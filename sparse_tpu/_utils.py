@@ -1,0 +1,351 @@
+"""Shared helpers: fill-value equivalence, axis normalization, dtype sizing,
+sparse random generation, and the test oracle ``assert_eq``.
+
+Semantics follow the reference helpers in
+``/root/reference/sparse/numba_backend/_utils.py`` (``equivalent:406``,
+``normalize_axis:367``, ``can_store:651``, ``random:221``, ``assert_eq:11``),
+re-implemented for a JAX-backed library: host logic uses NumPy, device logic
+uses jnp/lax equivalents.
+"""
+
+from __future__ import annotations
+
+import functools
+from collections.abc import Iterable
+from numbers import Integral
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def equivalent(x, y, /, loose=False):
+    """Element-wise equivalence with *bitwise* float semantics.
+
+    For float/complex dtypes, two values are equivalent iff their bit patterns
+    match — so ``NaN ≡ NaN`` and ``0.0 ≢ -0.0``. With ``loose=True``, uses
+    value equality but still treats NaNs as equal (``NaN ≡ NaN``,
+    ``0.0 ≡ -0.0``). Non-float dtypes use ``==``.
+
+    Mirrors reference ``_utils.py:406-452``.
+    """
+    x = np.asarray(x)
+    y = np.asarray(y)
+    dt = np.result_type(x.dtype, y.dtype)
+    if not (np.issubdtype(dt, np.floating) or np.issubdtype(dt, np.complexfloating)):
+        return x == y
+
+    if loose:
+        if np.issubdtype(dt, np.complexfloating):
+            return equivalent(x.real, y.real, loose=True) & equivalent(x.imag, y.imag, loose=True)
+        return (x == y) | ((x != x) & (y != y))
+
+    if x.size == 0 or y.size == 0:
+        shape = np.broadcast_shapes(x.shape, y.shape)
+        return np.empty(shape, dtype=np.bool_)
+    xb, yb = np.broadcast_arrays(x.astype(dt)[..., None], y.astype(dt)[..., None])
+    return (xb.view(np.uint8).reshape(xb.shape[:-1] + (-1,)) == yb.view(np.uint8).reshape(yb.shape[:-1] + (-1,))).all(
+        axis=-1
+    )
+
+
+def equivalent_jnp(x, fill_value):
+    """Traced element-wise bitwise equivalence of a jnp array against a scalar.
+
+    Device-side analogue of :func:`equivalent` used when pruning results
+    inside jitted kernels.
+    """
+    x = jnp.asarray(x)
+    fv = jnp.asarray(fill_value, dtype=x.dtype)
+    dt = x.dtype
+    if jnp.issubdtype(dt, jnp.complexfloating):
+        return equivalent_jnp(x.real, fv.real) & equivalent_jnp(x.imag, fv.imag)
+    if jnp.issubdtype(dt, jnp.floating):
+        bits_dtype = {2: jnp.uint16, 4: jnp.uint32, 8: jnp.uint64}[dt.itemsize]
+        xb = jax.lax.bitcast_convert_type(x, bits_dtype)
+        fb = jax.lax.bitcast_convert_type(fv, bits_dtype)
+        return xb == fb
+    return x == fv
+
+
+def zero_of_dtype(dtype):
+    return np.zeros((), dtype=dtype)[()]
+
+
+def normalize_axis(axis, ndim):
+    """Normalize negative/iterable axes against ``ndim``; raise on overflow."""
+    if axis is None:
+        return None
+    if isinstance(axis, Integral):
+        axis = int(axis)
+        if axis < 0:
+            axis += ndim
+        if axis < 0 or axis >= ndim:
+            raise ValueError(f"Invalid axis index {axis} for ndim={ndim}")
+        return axis
+    if isinstance(axis, Iterable):
+        if not all(isinstance(a, Integral) for a in axis):
+            raise ValueError(f"axis {axis} not understood")
+        return tuple(normalize_axis(a, ndim) for a in axis)
+    raise ValueError(f"axis {axis} not understood")
+
+
+def can_store(dtype, nelem):
+    """Whether index dtype ``dtype`` can store values up to ``nelem``."""
+    return np.array(nelem, dtype=np.uint64) <= np.iinfo(np.dtype(dtype)).max
+
+
+def index_dtype_for(max_value):
+    """Smallest of int32/int64 that can hold ``max_value``."""
+    from ._settings import DEFAULT_INDEX_DTYPE
+
+    if DEFAULT_INDEX_DTYPE == "int64":
+        return np.int64
+    return np.int32 if max_value <= np.iinfo(np.int32).max else np.int64
+
+
+def get_out_dtype(arr_dtype, max_value):
+    """Index dtype for outputs: keep ``arr_dtype`` when it can store the value."""
+    if can_store(arr_dtype, max_value):
+        return np.dtype(arr_dtype)
+    return np.dtype(index_dtype_for(max_value))
+
+
+def np_array(x):
+    """Host copy of a (possibly device) array."""
+    return np.asarray(x)
+
+
+def check_fill_value(arr, accept_fv, func_name=""):
+    accept = accept_fv if isinstance(accept_fv, Iterable) and not isinstance(accept_fv, str) else [accept_fv]
+    if not any(bool(np.all(equivalent(arr.fill_value, fv))) for fv in accept):
+        raise ValueError(f"{func_name or 'This operation'} requires a fill value in {accept}, got {arr.fill_value!s}.")
+
+
+def check_zero_fill_value(*args, func_name=""):
+    for arr in args:
+        if hasattr(arr, "fill_value"):
+            check_fill_value(arr, 0, func_name=func_name)
+
+
+def check_consistent_fill_value(arrays):
+    arrays = list(arrays)
+    if not arrays:
+        raise ValueError("At least one array required.")
+    fv = arrays[0].fill_value
+    for i, arr in enumerate(arrays):
+        if not bool(np.all(equivalent(arr.fill_value, fv))):
+            raise ValueError(
+                f"This operation requires consistent fill-values, but argument {i} has fill value {arr.fill_value!s}"
+                f" while argument 0 has fill value {fv!s}."
+            )
+
+
+def isscalar(x):
+    return np.ndim(x) == 0 and not hasattr(x, "fill_value")
+
+
+def random_value_array(value, fraction):
+    """Data generator returning arrays where ``fraction`` of entries equal
+    ``value`` (used by tests for NaN-laden data). Mirrors ``_utils.py:355``."""
+
+    def replace_values(n):
+        i = int(n * fraction)
+        ar = np.empty((n,), dtype=np.float64)
+        ar[:i] = value
+        ar[i:] = np.random.rand(n - i)
+        return ar
+
+    return replace_values
+
+
+def random(
+    shape,
+    density=None,
+    nnz=None,
+    random_state=None,
+    data_rvs=None,
+    format="coo",
+    fill_value=None,
+    idx_dtype=None,
+    **kwargs,
+):
+    """Generate a random sparse array with the given density or nnz.
+
+    Sampling without replacement over the linearized index space uses
+    draw-and-dedup rejection (uniform over fixed-size subsets by
+    exchangeability) instead of the reference's sequential Vitter algD/algA
+    (``_utils.py:103-215``) — the vectorized form is host/TPU friendly.
+    """
+    from .core.coo import COO
+
+    elements = int(np.prod(shape, dtype=np.float64)) if len(shape) else 1
+    if density is not None and nnz is not None:
+        raise ValueError("'density' and 'nnz' are mutually exclusive")
+    if density is None:
+        density = 0.01
+    if not (0 <= density <= 1):
+        raise ValueError(f"density {density} is not in the unit interval")
+    if nnz is None:
+        nnz = int(round(elements * density))
+    if not (0 <= nnz <= elements):
+        raise ValueError(f"cannot generate {nnz} samples from {elements} elements")
+
+    if random_state is None:
+        rng = np.random.default_rng()
+    elif isinstance(random_state, Integral):
+        rng = np.random.default_rng(random_state)
+    elif isinstance(random_state, np.random.RandomState | np.random.Generator):
+        rng = random_state
+    else:
+        raise ValueError("random_state must be None, an int, RandomState, or Generator")
+
+    ind = _sample_without_replacement(rng, elements, nnz)
+
+    if data_rvs is None:
+        data = rng.random(nnz)
+    else:
+        data = data_rvs(nnz)
+
+    if len(shape):
+        coords = np.stack(np.unravel_index(ind, shape), axis=0)
+    else:
+        coords = np.empty((0, nnz), dtype=np.intp)
+    ar = COO(
+        coords,
+        data,
+        shape=shape,
+        fill_value=fill_value,
+        has_duplicates=False,
+        sorted=True,
+        idx_dtype=idx_dtype,
+    )
+    return ar.asformat(format, **kwargs)
+
+
+def _sample_without_replacement(rng, n, k):
+    """k distinct sorted integers uniform over [0, n)."""
+    if k == 0:
+        return np.empty(0, dtype=np.int64)
+    if k == n:
+        return np.arange(n, dtype=np.int64)
+    if n <= 1 << 24 or k > n // 2:
+        # small space (or dense sample): permutation-based choice is fine
+        if k > n // 2:
+            # sample the complement when over half
+            comp = _sample_without_replacement(rng, n, n - k)
+            mask = np.ones(n, dtype=bool)
+            mask[comp] = False
+            return np.flatnonzero(mask).astype(np.int64)
+        return np.sort(rng.choice(n, size=k, replace=False).astype(np.int64))
+    # sparse sample over a huge space: draw with replacement, dedup, top up.
+    out = np.empty(0, dtype=np.int64)
+    need = k
+    while need > 0:
+        draw = rng.integers(0, n, size=int(need * 1.1) + 16, dtype=np.int64)
+        out = np.unique(np.concatenate([out, draw]))
+        need = k - out.size
+    if out.size > k:
+        sel = rng.choice(out.size, size=k, replace=False)
+        out = np.sort(out[sel])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Test oracle helpers (mirrors reference assert_eq / is_canonical)
+# ---------------------------------------------------------------------------
+
+
+def is_canonical(x):
+    """True iff a COO array is sorted, deduplicated, and pruned."""
+    from .core.coo import COO
+
+    if not isinstance(x, COO):
+        return True
+    lin = np.asarray(x.linear_loc())
+    return bool((np.diff(lin) > 0).all()) and not bool(equivalent(np.asarray(x.data), np.asarray(x.fill_value)).any())
+
+
+def assert_nnz(s, x):
+    fill_value = np.asarray(s.fill_value)
+    assert np.sum(~equivalent(x, fill_value)) == s.nnz
+
+
+def assert_eq(x, y, check_nnz=True, compare_dtype=True, **kwargs):
+    """Oracle equality assert between any mix of sparse arrays / ndarrays.
+
+    Checks shape, dtype, canonical form + nnz for COO operands, fill_value
+    consistency when both are sparse, and element-wise closeness of the dense
+    forms (``allclose(equal_nan=True)`` for floats, exact otherwise) — the
+    same contract as reference ``_utils.py:11-49``.
+    """
+    from .core.base import SparseArray
+    from .core.coo import COO
+
+    assert x.shape == y.shape, f"shape mismatch: {x.shape} vs {y.shape}"
+
+    if compare_dtype:
+        assert np.dtype(x.dtype) == np.dtype(y.dtype), f"dtype mismatch: {x.dtype} vs {y.dtype}"
+
+    if isinstance(x, COO):
+        assert is_canonical(x), "left operand not canonical"
+    if isinstance(y, COO):
+        assert is_canonical(y), "right operand not canonical"
+
+    if isinstance(x, SparseArray) and isinstance(y, SparseArray):
+        assert np.all(equivalent(np.asarray(x.fill_value), np.asarray(y.fill_value))), (
+            f"fill_value mismatch: {x.fill_value} vs {y.fill_value}"
+        )
+
+    xx = np.asarray(x.todense()) if isinstance(x, SparseArray) else np.asarray(x)
+    yy = np.asarray(y.todense()) if isinstance(y, SparseArray) else np.asarray(y)
+
+    if check_nnz:
+        if isinstance(x, SparseArray):
+            assert_nnz(x, xx)
+        if isinstance(y, SparseArray):
+            assert_nnz(y, yy)
+
+    if np.issubdtype(xx.dtype, np.floating) or np.issubdtype(xx.dtype, np.complexfloating):
+        np.testing.assert_allclose(xx, yy, equal_nan=True, **kwargs)
+    else:
+        np.testing.assert_array_equal(xx, yy)
+
+
+def html_table(arr):
+    """Small HTML summary table used by ``_repr_html_``."""
+    table = ["<table><tbody>"]
+    headings = ["Format", "Data Type", "Shape", "nnz", "Density", "Read-only"]
+    info = [
+        type(arr).__name__.lower(),
+        str(arr.dtype),
+        str(arr.shape),
+        str(arr.nnz),
+        str(arr.nnz / max(arr.size, 1)),
+        "True",
+    ]
+    if hasattr(arr, "nbytes"):
+        headings.append("Size")
+        info.append(human_readable_size(arr.nbytes))
+        headings.append("Storage ratio")
+        dense_bytes = arr.size * arr.dtype.itemsize
+        info.append(f"{arr.nbytes / dense_bytes:.2f}" if dense_bytes else "nan")
+    for h, i in zip(headings, info):
+        table.append(f'<tr><th style="text-align: left">{h}</th><td style="text-align: left">{i}</td></tr>')
+    table.append("</tbody></table>")
+    return "".join(table)
+
+
+def human_readable_size(size):
+    for limit, suffix in [(2**10, ""), (2**20, "K"), (2**30, "M"), (2**40, "G")]:
+        if size < limit:
+            if not suffix:
+                return str(size)
+            return f"{size / (limit / 2**10):.1f}{suffix}"
+    return f"{size / 2**40:.1f}T"
+
+
+@functools.cache
+def _cached_jit(fn, **kwargs):
+    return jax.jit(fn, **kwargs)

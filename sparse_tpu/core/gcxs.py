@@ -1,0 +1,513 @@
+"""GCXS — generalized compressed sparse format for N dimensions, with 2-D
+specializations CSR and CSC.
+
+Layout (mirroring reference ``_compressed/compressed.py:25-77``): choose a
+subset ``compressed_axes`` of the dimensions; logically transpose the array
+so those axes lead; flatten to a 2-D matrix of shape ``(row_size, col_size)``
+where ``row_size = prod(shape[a] for a in compressed_axes)``; store that
+matrix as CSR (``data`` / ``indices`` / ``indptr``).
+
+All conversions are vectorized linearize → argsort → bincount/cumsum passes
+(the TPU-friendly form of ``_compressed/convert.py``'s Numba kernels). Like
+COO, GCXS is a registered JAX pytree.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+from numbers import Integral
+
+import numpy as np
+
+import jax
+
+from .._utils import equivalent, index_dtype_for, normalize_axis, zero_of_dtype
+from .base import SparseArray
+from .coo import COO
+
+
+def _validate_compressed_axes(shape, compressed_axes):
+    ndim = len(shape)
+    if ndim == 1:
+        if compressed_axes is not None and tuple(compressed_axes) not in ((), (0,)):
+            raise ValueError("compressed_axes must be None for 1-D arrays")
+        return ()
+    if compressed_axes is None:
+        return (int(np.argmin(shape)),)
+    compressed_axes = normalize_axis(tuple(compressed_axes), ndim)
+    if len(compressed_axes) == 0 or len(compressed_axes) >= ndim:
+        raise ValueError("compressed_axes must be a proper non-empty subset of the axes")
+    if len(set(compressed_axes)) != len(compressed_axes):
+        raise ValueError("repeated axis in compressed_axes")
+    return tuple(sorted(compressed_axes))
+
+
+class GCXS(SparseArray):
+    """Generalized CSR/CSC sparse array.
+
+    Construct from a COO/ndarray/scipy matrix, or from the raw
+    ``(data, indices, indptr)`` triple.
+    """
+
+    def __init__(self, arg, shape=None, compressed_axes=None, prune=False, fill_value=None, idx_dtype=None):
+        import scipy.sparse
+
+        if isinstance(arg, GCXS):
+            if compressed_axes is not None and tuple(compressed_axes) != arg.compressed_axes:
+                arg = arg.change_compressed_axes(compressed_axes)
+            self._make_shallow_copy_of(arg)
+            if fill_value is not None and not np.all(equivalent(np.asarray(fill_value), np.asarray(self.fill_value))):
+                self.fill_value = np.asarray(fill_value, dtype=self.dtype)[()]
+            return
+        if isinstance(arg, np.ndarray):
+            coo = COO.from_numpy(arg, fill_value=fill_value)
+            self._make_shallow_copy_of(GCXS.from_coo(coo, compressed_axes=compressed_axes, idx_dtype=idx_dtype))
+            return
+        if scipy.sparse.issparse(arg):
+            coo = COO.from_scipy_sparse(arg, fill_value=fill_value)
+            self._make_shallow_copy_of(GCXS.from_coo(coo, compressed_axes=compressed_axes, idx_dtype=idx_dtype))
+            return
+        if isinstance(arg, SparseArray):
+            coo = arg.tocoo() if hasattr(arg, "tocoo") else COO.from_numpy(arg.todense(), fill_value=arg.fill_value)
+            self._make_shallow_copy_of(GCXS.from_coo(coo, compressed_axes=compressed_axes, idx_dtype=idx_dtype))
+            return
+        if isinstance(arg, tuple) and len(arg) == 3:
+            data, indices, indptr = arg
+            if shape is None:
+                raise ValueError("shape must be provided when constructing from (data, indices, indptr)")
+            compressed_axes = _validate_compressed_axes(shape, compressed_axes)
+            self.data = np.asarray(data)
+            self.indices = np.asarray(indices)
+            self.indptr = np.asarray(indptr)
+            self.compressed_axes = compressed_axes
+            super().__init__(shape, fill_value=fill_value)
+            if prune:
+                self._prune()
+            return
+        raise ValueError(f"Invalid inputs to GCXS: {type(arg)}")
+
+    # -- fast internal constructor -------------------------------------------------
+    @classmethod
+    def _make(cls, data, indices, indptr, shape, compressed_axes, fill_value):
+        self = object.__new__(cls)
+        self.data = data
+        self.indices = indices
+        self.indptr = indptr
+        self.shape = tuple(int(s) for s in shape)
+        self.compressed_axes = tuple(compressed_axes)
+        self.fill_value = fill_value
+        return self
+
+    def tree_flatten(self):
+        return (self.data, self.indices, self.indptr, self.fill_value), (self.shape, self.compressed_axes)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        data, indices, indptr, fill_value = children
+        shape, compressed_axes = aux
+        return cls._make(data, indices, indptr, shape, compressed_axes, fill_value)
+
+    # -- axis bookkeeping ------------------------------------------------------------
+    @property
+    def _axis_order(self):
+        """(compressed axes..., uncompressed axes...) permutation."""
+        comp = self.compressed_axes
+        uncomp = tuple(a for a in range(self.ndim) if a not in comp)
+        return comp + uncomp
+
+    @property
+    def _compressed_shape(self):
+        comp = self.compressed_axes
+        row_size = int(np.prod([self.shape[a] for a in comp], dtype=np.float64)) if comp else 1
+        col_size = int(np.prod([self.shape[a] for a in range(self.ndim) if a not in comp], dtype=np.float64))
+        return (row_size, col_size)
+
+    # -- constructors ------------------------------------------------------------------
+    @classmethod
+    def from_coo(cls, x, compressed_axes=None, idx_dtype=None):
+        compressed_axes = _validate_compressed_axes(x.shape, compressed_axes)
+        coords = np.asarray(x.coords)
+        data = np.asarray(x.data)
+
+        comp = compressed_axes
+        uncomp = tuple(a for a in range(x.ndim) if a not in comp)
+        comp_shape = tuple(x.shape[a] for a in comp)
+        uncomp_shape = tuple(x.shape[a] for a in uncomp)
+        row_size = int(np.prod(comp_shape, dtype=np.float64)) if comp else 1
+        col_size = int(np.prod(uncomp_shape, dtype=np.float64)) if uncomp else 1
+
+        if x.ndim == 0:
+            rows = np.zeros(x.nnz, dtype=np.int64)
+            cols = np.zeros(x.nnz, dtype=np.int64)
+        else:
+            rows = (
+                np.ravel_multi_index(tuple(coords[list(comp)]), comp_shape).astype(np.int64)
+                if comp
+                else np.zeros(coords.shape[1], dtype=np.int64)
+            )
+            cols = (
+                np.ravel_multi_index(tuple(coords[list(uncomp)]), uncomp_shape).astype(np.int64)
+                if uncomp
+                else np.zeros(coords.shape[1], dtype=np.int64)
+            )
+
+        order = np.argsort(rows * col_size + cols, kind="stable")
+        rows = rows[order]
+        cols = cols[order]
+        data = data[order]
+
+        if idx_dtype is None:
+            idx_dtype = index_dtype_for(max(col_size, x.nnz, row_size))
+        indptr = np.zeros(row_size + 1, dtype=idx_dtype)
+        np.cumsum(np.bincount(rows, minlength=row_size), out=indptr[1:])
+        return cls._make(
+            data,
+            cols.astype(idx_dtype),
+            indptr,
+            x.shape,
+            compressed_axes,
+            x.fill_value,
+        )
+
+    @classmethod
+    def from_numpy(cls, x, compressed_axes=None, fill_value=None, idx_dtype=None):
+        return cls.from_coo(COO.from_numpy(x, fill_value=fill_value), compressed_axes=compressed_axes, idx_dtype=idx_dtype)
+
+    @classmethod
+    def from_scipy_sparse(cls, x, /, *, fill_value=None):
+        x = x.tocsr()
+        x.sum_duplicates()
+        return cls._make(
+            np.asarray(x.data),
+            np.asarray(x.indices),
+            np.asarray(x.indptr),
+            x.shape,
+            (0,),
+            zero_of_dtype(x.dtype) if fill_value is None else np.asarray(fill_value, dtype=x.dtype)[()],
+        )
+
+    @classmethod
+    def from_iter(cls, x, shape, fill_value=None, compressed_axes=None, dtype=None):
+        return cls.from_coo(COO.from_iter(x, shape=shape, fill_value=fill_value, dtype=dtype), compressed_axes=compressed_axes)
+
+    # -- properties ---------------------------------------------------------------------
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    @property
+    def nnz(self):
+        return int(self.data.shape[0])
+
+    @property
+    def nbytes(self):
+        return self.data.nbytes + self.indices.nbytes + self.indptr.nbytes
+
+    @property
+    def format(self):
+        return "gcxs"
+
+    @property
+    def T(self):
+        return self.transpose()
+
+    @property
+    def mT(self):
+        if self.ndim < 2:
+            raise ValueError("Cannot compute matrix transpose if `ndim < 2`.")
+        axes = list(range(self.ndim))
+        axes[-1], axes[-2] = axes[-2], axes[-1]
+        return self.transpose(tuple(axes))
+
+    def __str__(self):
+        return (
+            f"<GCXS: shape={self.shape}, dtype={self.dtype}, nnz={self.nnz}, fill_value={self.fill_value}, "
+            f"compressed_axes={self.compressed_axes}>"
+        )
+
+    __repr__ = __str__
+
+    def _prune(self):
+        mask = ~equivalent(self.data, np.asarray(self.fill_value, dtype=self.data.dtype))
+        if mask.all():
+            return
+        coo = self.tocoo()
+        coo._prune()
+        self._make_shallow_copy_of(GCXS.from_coo(coo, compressed_axes=self.compressed_axes))
+
+    # -- conversions ----------------------------------------------------------------------
+    def tocoo(self):
+        rows = _uncompress_indptr_np(np.asarray(self.indptr))
+        cols = np.asarray(self.indices).astype(np.int64)
+        comp = self.compressed_axes
+        uncomp = tuple(a for a in range(self.ndim) if a not in comp)
+        comp_shape = tuple(self.shape[a] for a in comp)
+        uncomp_shape = tuple(self.shape[a] for a in uncomp)
+        coords = np.empty((self.ndim, self.nnz), dtype=index_dtype_for(max(self.shape) if self.shape else 0))
+        if comp:
+            for a, c in zip(comp, np.unravel_index(rows, comp_shape)):
+                coords[a] = c
+        if uncomp:
+            for a, c in zip(uncomp, np.unravel_index(cols, uncomp_shape)):
+                coords[a] = c
+        return COO(
+            coords,
+            np.asarray(self.data),
+            shape=self.shape,
+            has_duplicates=False,
+            sorted=(comp + uncomp) == tuple(range(self.ndim)),
+            fill_value=self.fill_value,
+        )
+
+    def todense(self):
+        return self.tocoo().todense()
+
+    def to_scipy_sparse(self, /, *, accept_fv=None):
+        import scipy.sparse
+
+        from .._utils import check_fill_value
+
+        if accept_fv is None:
+            accept_fv = [0]
+        check_fill_value(self, accept_fv, func_name="to_scipy_sparse")
+        if self.ndim != 2:
+            raise ValueError("Can only convert a 2-dimensional array to a Scipy sparse matrix.")
+        if self.compressed_axes == (0,):
+            return scipy.sparse.csr_matrix((np.asarray(self.data), np.asarray(self.indices), np.asarray(self.indptr)), shape=self.shape)
+        return scipy.sparse.csc_matrix((np.asarray(self.data), np.asarray(self.indices), np.asarray(self.indptr)), shape=self.shape)
+
+    def asformat(self, format, **kwargs):
+        if format == "gcxs" or format is GCXS:
+            if "compressed_axes" in kwargs and kwargs["compressed_axes"] is not None and tuple(
+                kwargs["compressed_axes"]
+            ) != self.compressed_axes:
+                return self.change_compressed_axes(kwargs["compressed_axes"])
+            return self
+        if format == "coo":
+            return self.tocoo()
+        if format == "dok":
+            from .dok import DOK
+
+            return DOK.from_coo(self.tocoo())
+        if format == "csr":
+            return CSR(self.change_compressed_axes((0,))) if self.compressed_axes != (0,) else CSR(self)
+        if format == "csc":
+            return CSC(self.change_compressed_axes((1,))) if self.compressed_axes != (1,) else CSC(self)
+        raise NotImplementedError(f"The given format {format} is not supported.")
+
+    def change_compressed_axes(self, new_compressed_axes):
+        """Re-compress along different axes (relinearize + sort + rebuild)."""
+        new_compressed_axes = _validate_compressed_axes(self.shape, new_compressed_axes)
+        if new_compressed_axes == self.compressed_axes:
+            return self
+        return GCXS.from_coo(self.tocoo(), compressed_axes=new_compressed_axes)
+
+    # -- structural ops ---------------------------------------------------------------------
+    def reshape(self, shape, order="C", compressed_axes=None):
+        shape = tuple(shape) if isinstance(shape, Iterable) else (shape,)
+        if order not in ("C", None):
+            raise NotImplementedError("The `order` parameter is not supported.")
+        if any(d == -1 for d in shape):
+            extra = int(self.size / np.prod([d for d in shape if d != -1], dtype=np.float64))
+            shape = tuple([d if d != -1 else extra for d in shape])
+        if self.shape == shape:
+            return self
+        coo = self.tocoo().reshape(shape)
+        if len(shape) == 1:
+            return GCXS.from_coo(coo)
+        return GCXS.from_coo(coo, compressed_axes=compressed_axes)
+
+    def transpose(self, axes=None, compressed_axes=None):
+        if axes is None:
+            axes = tuple(reversed(range(self.ndim)))
+        axes = normalize_axis(axes, self.ndim)
+        if not isinstance(axes, tuple):
+            axes = (axes,)
+        if axes == tuple(range(self.ndim)):
+            return self
+        if self.ndim == 2 and compressed_axes is None:
+            # O(1): CSR of A == CSC of Aᵀ (reference `_2d_transpose:743`)
+            return GCXS._make(
+                self.data,
+                self.indices,
+                self.indptr,
+                (self.shape[1], self.shape[0]),
+                (1 - self.compressed_axes[0],),
+                self.fill_value,
+            )
+        coo = self.tocoo().transpose(axes)
+        return GCXS.from_coo(coo, compressed_axes=compressed_axes)
+
+    def __getitem__(self, index):
+        from ..ops.indexing import getitem
+
+        out = getitem(self.tocoo(), index)
+        if isinstance(out, COO) and out.ndim >= 1:
+            try:
+                return GCXS.from_coo(out, compressed_axes=self.compressed_axes if out.ndim > max(self.compressed_axes, default=0) and out.ndim >= 2 else None)
+            except ValueError:
+                return GCXS.from_coo(out)
+        return out
+
+    def flatten(self, order="C"):
+        return self.reshape(-1, order=order)
+
+    # -- reduce plumbing (delegates to COO's segment machinery) ------------------------------
+    def _reduce_calc(self, method, axis, keepdims=False, **kwargs):
+        out = self.tocoo()._reduce_calc(method, axis, keepdims, **kwargs)
+        if len(out) == 1:
+            return out
+        data, counts, axis, n_cols, arr_attrs = out
+        return data, counts, axis, n_cols, (arr_attrs, self.compressed_axes)
+
+    def _reduce_return(self, data, arr_attrs, result_fill_value):
+        coo_attrs, compressed_axes = arr_attrs
+        a, neg_shape, inv_idx = coo_attrs
+        out = COO(
+            inv_idx[None, :],
+            data,
+            shape=(a.shape[0],),
+            has_duplicates=False,
+            sorted=True,
+            prune=True,
+            fill_value=result_fill_value,
+        ).reshape(neg_shape)
+        if out.ndim < 2:
+            return GCXS.from_coo(out)
+        try:
+            return GCXS.from_coo(out, compressed_axes=tuple(a for a in compressed_axes if a < out.ndim) or None)
+        except ValueError:
+            return GCXS.from_coo(out)
+
+    def dot(self, other):
+        from ..ops.dot import dot
+
+        return dot(self, other)
+
+    def __dask_tokenize__(self):
+        from dask.base import normalize_token
+
+        return normalize_token(
+            (type(self), np.asarray(self.data), np.asarray(self.indices), np.asarray(self.indptr), self.shape, self.fill_value)
+        )
+
+    def copy(self, deep=True):
+        if deep:
+            return GCXS._make(
+                np.array(self.data, copy=True),
+                np.array(self.indices, copy=True),
+                np.array(self.indptr, copy=True),
+                self.shape,
+                self.compressed_axes,
+                self.fill_value,
+            )
+        return GCXS._make(self.data, self.indices, self.indptr, self.shape, self.compressed_axes, self.fill_value)
+
+    def isnan(self):
+        from ..ops.elemwise import elemwise
+
+        return elemwise(np.isnan, self)
+
+    def isinf(self):
+        from ..ops.elemwise import elemwise
+
+        return elemwise(np.isinf, self)
+
+
+def _uncompress_indptr_np(indptr):
+    """Row id per stored entry from indptr (vectorized ``repeat``)."""
+    counts = np.diff(indptr)
+    return np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+
+
+class _Compressed2d(GCXS):
+    def __init__(self, arg, shape=None, prune=False, fill_value=None):
+        cls_axis = self._cls_compressed_axes
+        import scipy.sparse
+
+        if isinstance(arg, tuple) and len(arg) == 3:
+            super().__init__(arg, shape=shape, compressed_axes=cls_axis, prune=prune, fill_value=fill_value)
+        elif isinstance(arg, GCXS) and arg.ndim == 2:
+            converted = arg.change_compressed_axes(cls_axis)
+            self._make_shallow_copy_of(converted)
+            if fill_value is not None:
+                self.fill_value = np.asarray(fill_value, dtype=self.dtype)[()]
+        elif isinstance(arg, np.ndarray) or scipy.sparse.issparse(arg) or isinstance(arg, SparseArray):
+            super().__init__(arg, shape=shape, compressed_axes=cls_axis, prune=prune, fill_value=fill_value)
+        else:
+            super().__init__(arg, shape=shape, compressed_axes=cls_axis, prune=prune, fill_value=fill_value)
+        if self.ndim != 2:
+            raise ValueError(f"{type(self).__name__} is a 2-dimensional format")
+
+    @classmethod
+    def from_numpy(cls, x, fill_value=None, idx_dtype=None):
+        coo = COO.from_numpy(x, fill_value=fill_value)
+        return cls(GCXS.from_coo(coo, compressed_axes=cls._cls_compressed_axes, idx_dtype=idx_dtype))
+
+    def transpose(self, axes=None, compressed_axes=None):
+        if axes is not None and tuple(normalize_axis(tuple(axes), 2)) == (0, 1):
+            return self
+        other = CSC if isinstance(self, CSR) else CSR
+        return other._make(
+            self.data,
+            self.indices,
+            self.indptr,
+            (self.shape[1], self.shape[0]),
+            other._cls_compressed_axes,
+            self.fill_value,
+        )
+
+
+class CSR(_Compressed2d):
+    """2-D compressed-sparse-row matrix (GCXS with compressed_axes=(0,))."""
+
+    _cls_compressed_axes = (0,)
+
+    @property
+    def format(self):
+        return "csr"
+
+    @classmethod
+    def from_scipy_sparse(cls, x, /, *, fill_value=None):
+        x = x.tocsr()
+        x.sum_duplicates()
+        return cls._make(
+            np.asarray(x.data),
+            np.asarray(x.indices),
+            np.asarray(x.indptr),
+            x.shape,
+            (0,),
+            zero_of_dtype(x.dtype) if fill_value is None else np.asarray(fill_value, dtype=x.dtype)[()],
+        )
+
+
+class CSC(_Compressed2d):
+    """2-D compressed-sparse-column matrix (GCXS with compressed_axes=(1,))."""
+
+    _cls_compressed_axes = (1,)
+
+    @property
+    def format(self):
+        return "csc"
+
+    @classmethod
+    def from_scipy_sparse(cls, x, /, *, fill_value=None):
+        x = x.tocsc()
+        x.sum_duplicates()
+        return cls._make(
+            np.asarray(x.data),
+            np.asarray(x.indices),
+            np.asarray(x.indptr),
+            x.shape,
+            (1,),
+            zero_of_dtype(x.dtype) if fill_value is None else np.asarray(fill_value, dtype=x.dtype)[()],
+        )
+
+
+for _cls in (GCXS, CSR, CSC):
+    jax.tree_util.register_pytree_node(
+        _cls,
+        lambda x: x.tree_flatten(),
+        (lambda c: (lambda aux, children: c.tree_unflatten(aux, children)))(_cls),
+    )
+del _cls

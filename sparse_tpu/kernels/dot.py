@@ -1,0 +1,111 @@
+"""Traceable XLA kernels for the sparse matmul family: SpMV, SpMM, SDDMM,
+MTTKRP.
+
+These are the TPU-native equivalents of the reference's Numba dot kernels
+(``_common.py:543-1158``). They are pure jittable functions over plain
+arrays; the eager op layer (``sparse_tpu.ops.dot``) orchestrates formats and
+shapes around them, and ``bench.py`` / the distributed layer jit them
+end-to-end.
+
+Design notes
+------------
+- All inputs have static shapes (nnz is the length of ``data``), so XLA can
+  tile and fuse freely.
+- Segment sums over the sorted row ids use ``jax.ops.segment_sum`` by
+  default; strategy "cumsum" (diff-of-prefix-sums at row boundaries) avoids
+  XLA's serial scatter path on TPU.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import functools
+
+import jax
+import jax.numpy as jnp
+
+DEFAULT_SEGMENT_STRATEGY = "scatter"
+
+
+def on_cpu():
+    """Context manager pinning uncommitted computation to the host CPU
+    backend. The eager op layer uses this so numpy-backed arrays don't
+    round-trip through a (possibly remote) accelerator; jitted/TPU callers
+    simply don't enter it."""
+    try:
+        dev = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        return contextlib.nullcontext()
+    return jax.default_device(dev)
+
+
+@functools.partial(jax.jit, static_argnames=("n_rows", "strategy"))
+def coo_spmm(rows, cols, data, dense, *, n_rows, strategy="scatter"):
+    """``A @ B`` for COO ``A`` (zero fill) and dense ``B`` → dense.
+
+    rows/cols/data: the canonical (row-major sorted) COO triplet of A
+    with shape (nnz,); dense: (K, N). Returns (n_rows, N).
+    """
+    gathered = jnp.take(dense, cols, axis=0)
+    prod = data[:, None] * gathered
+    if strategy == "cumsum":
+        return _sorted_segment_sum_cumsum(prod, rows, n_rows)
+    return jax.ops.segment_sum(prod, rows, num_segments=n_rows, indices_are_sorted=True)
+
+
+@functools.partial(jax.jit, static_argnames=("n_rows", "strategy"))
+def coo_spmv(rows, cols, data, x, *, n_rows, strategy="scatter"):
+    """``A @ x`` for COO ``A`` and dense vector ``x`` → dense (n_rows,)."""
+    prod = data * jnp.take(x, cols)
+    if strategy == "cumsum":
+        return _sorted_segment_sum_cumsum(prod[:, None], rows, n_rows)[:, 0]
+    return jax.ops.segment_sum(prod, rows, num_segments=n_rows, indices_are_sorted=True)
+
+
+@functools.partial(jax.jit, static_argnames=("n_out_cols",))
+def dense_coo_matmul(dense, rows, cols, data, *, n_out_cols):
+    """``B @ A``: dense ``B (M, K)`` × COO ``A (K, N)`` → dense (M, N)."""
+    gathered = jnp.take(dense, rows, axis=1)  # (M, nnz)
+    prod = gathered * data[None, :]
+    out = jax.ops.segment_sum(prod.T, cols, num_segments=n_out_cols, indices_are_sorted=False)
+    return out.T
+
+
+@jax.jit
+def sddmm(rows, cols, sample_data, lhs, rhs):
+    """Sampled dense-dense matmul: for each stored (i, j, s) return
+    ``s * (lhs[i, :] @ rhs[:, j])``. lhs (M, K), rhs (K, N) → (nnz,)."""
+    lg = jnp.take(lhs, rows, axis=0)  # (nnz, K)
+    rg = jnp.take(rhs.T, cols, axis=0)  # (nnz, K)
+    return sample_data * jnp.sum(lg * rg, axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("n_rows",))
+def mttkrp(coords_i, coords_j, coords_k, data, c, d, *, n_rows):
+    """Matricized-tensor-times-Khatri-Rao-product for a 3-D COO tensor B:
+    ``out[i, r] = sum_{(i,j,k) in B} B[i,j,k] * C[j, r] * D[k, r]``.
+
+    The hot kernel of the reference's mttkrp example workload
+    (``examples/mttkrp_example.py``)."""
+    prod = data[:, None] * jnp.take(c, coords_j, axis=0) * jnp.take(d, coords_k, axis=0)
+    return jax.ops.segment_sum(prod, coords_i, num_segments=n_rows, indices_are_sorted=True)
+
+
+def _sorted_segment_sum_cumsum(values, segment_ids, num_segments):
+    """Segment-sum for sorted ids via difference of prefix sums — avoids the
+    serial XLA scatter on TPU. values: (nnz, N)."""
+    nnz = values.shape[0]
+    cs = jnp.cumsum(values, axis=0)
+    # ends[m] = index of last entry of segment m (exclusive end - 1)
+    counts = jnp.bincount(segment_ids, length=num_segments)
+    ends = jnp.cumsum(counts)
+    hi = jnp.where(ends > 0, cs[jnp.clip(ends - 1, 0, nnz - 1)], 0)
+    starts = ends - counts
+    lo = jnp.where(starts > 0, cs[jnp.clip(starts - 1, 0, nnz - 1)], 0)
+    return hi - lo
+
+
+def uncompress_indptr(indptr, nnz):
+    """Row id of each stored entry, from CSR indptr. Traceable."""
+    positions = jnp.arange(nnz)
+    return jnp.searchsorted(indptr, positions, side="right") - 1

@@ -1,0 +1,434 @@
+"""Matmul family: ``tensordot`` / ``matmul`` / ``dot`` / ``sddmm`` and the
+format-dispatch core ``_dot``.
+
+Semantics mirror reference ``_common.py:95-500``:
+
+- ``tensordot`` moves contracted axes, reshapes both operands to 2-D,
+  multiplies, reshapes back; ``return_type`` selects np.ndarray vs COO.
+- sparse × dense returns **dense** by default; sparse × sparse returns sparse.
+- all operands must have zero fill values.
+
+The 2-D compute cores are TPU-native:
+
+- SpMM / SpMV: gather + sorted segment-sum XLA kernels
+  (``sparse_tpu.kernels.dot``) instead of the reference's Numba CSR loops.
+- SpGEMM (sparse × sparse): vectorized expand–sort–contract — materialize
+  all partial products by joining on the contraction index, then canonicalize
+  (sort + duplicate-sum). Replaces the sequential Gustavson linked-list
+  accumulator (``_common.py:640-717``), which has no parallel analogue on
+  TPU; ESC is sorts + segment ops, which do.
+"""
+
+from __future__ import annotations
+
+import warnings
+from collections.abc import Iterable
+
+import numpy as np
+
+from .._utils import check_zero_fill_value
+from ..core.base import SparseArray
+from ..core.coo import COO
+
+__all__ = ["tensordot", "matmul", "dot", "vecdot", "sddmm"]
+
+
+def tensordot(a, b, axes=2, *, return_type=None):
+    """Tensor contraction over the given axes (numpy semantics)."""
+    from ..core.gcxs import GCXS
+
+    check_zero_fill_value(a, b, func_name="tensordot")
+
+    if np.isscalar(a) or np.isscalar(b):
+        raise ValueError("Cannot perform tensordot on scalars")
+
+    try:
+        iter(axes)
+    except TypeError:
+        axes_a = list(range(-axes, 0))
+        axes_b = list(range(axes))
+    else:
+        axes_a, axes_b = axes
+    try:
+        na = len(axes_a)
+        axes_a = list(axes_a)
+    except TypeError:
+        axes_a = [axes_a]
+        na = 1
+    try:
+        nb = len(axes_b)
+        axes_b = list(axes_b)
+    except TypeError:
+        axes_b = [axes_b]
+        nb = 1
+
+    as_ = a.shape
+    nda = a.ndim
+    bs = b.shape
+    ndb = b.ndim
+    equal = True
+    if nda == 0 or ndb == 0:
+        pos = int(nda == 0)
+        raise ValueError(f"Input {pos} operand does not have enough dimensions")
+    if na != nb:
+        equal = False
+    else:
+        for k in range(na):
+            if as_[axes_a[k]] != bs[axes_b[k]]:
+                equal = False
+                break
+            if axes_a[k] < 0:
+                axes_a[k] += nda
+            if axes_b[k] < 0:
+                axes_b[k] += ndb
+    if not equal:
+        raise ValueError("shape-mismatch for sum")
+
+    notin = [k for k in range(nda) if k not in axes_a]
+    newaxes_a = notin + axes_a
+    N2 = 1
+    for axis in axes_a:
+        N2 *= as_[axis]
+    newshape_a = (-1, N2)
+    olda = [as_[axis] for axis in notin]
+
+    notin = [k for k in range(ndb) if k not in axes_b]
+    newaxes_b = axes_b + notin
+    N2 = 1
+    for axis in axes_b:
+        N2 *= bs[axis]
+    newshape_b = (N2, -1)
+    oldb = [bs[axis] for axis in notin]
+
+    if any(dim == 0 for dim in (*newshape_a, *newshape_b)) or 0 in olda or 0 in oldb:
+        res = _empty_result(a, b, olda, oldb, return_type)
+        return res
+
+    if isinstance(a, SparseArray):
+        at = a.transpose(tuple(newaxes_a)).reshape(_concrete_2d_shape(as_, newaxes_a, nda - na))
+    else:
+        at = np.transpose(np.asarray(a), newaxes_a).reshape(_concrete_2d_shape(as_, newaxes_a, nda - na))
+    if isinstance(b, SparseArray):
+        bt = b.transpose(tuple(newaxes_b)).reshape(_concrete_2d_shape_b(bs, newaxes_b, nb))
+    else:
+        bt = np.transpose(np.asarray(b), newaxes_b).reshape(_concrete_2d_shape_b(bs, newaxes_b, nb))
+
+    res = _dot(at, bt, return_type)
+    if isinstance(res, np.ndarray):
+        return res.reshape(olda + oldb)
+    return res.reshape(tuple(olda + oldb))
+
+
+def _concrete_2d_shape(shape, newaxes, n_keep):
+    keep = int(np.prod([shape[ax] for ax in newaxes[:n_keep]], dtype=np.float64))
+    red = int(np.prod([shape[ax] for ax in newaxes[n_keep:]], dtype=np.float64))
+    return (keep, red)
+
+
+def _concrete_2d_shape_b(shape, newaxes, n_red):
+    red = int(np.prod([shape[ax] for ax in newaxes[:n_red]], dtype=np.float64))
+    keep = int(np.prod([shape[ax] for ax in newaxes[n_red:]], dtype=np.float64))
+    return (red, keep)
+
+
+def _empty_result(a, b, olda, oldb, return_type):
+    shape = tuple(olda + oldb)
+    dt = np.promote_types(a.dtype, b.dtype)
+    if return_type == np.ndarray or (return_type is None and not (isinstance(a, SparseArray) and isinstance(b, SparseArray))):
+        return np.zeros(shape, dtype=dt)
+    return COO(np.empty((len(shape), 0), dtype=np.intp), np.empty((0,), dtype=dt), shape=shape)
+
+
+def matmul(a, b):
+    """``a @ b`` with numpy matmul semantics (batching, 1-D promotion)."""
+    check_zero_fill_value(a, b, func_name="matmul")
+    if not hasattr(a, "ndim") or not hasattr(b, "ndim"):
+        a = a if isinstance(a, SparseArray) else np.asarray(a)
+        b = b if isinstance(b, SparseArray) else np.asarray(b)
+    if np.isscalar(a) or np.isscalar(b) or a.ndim == 0 or b.ndim == 0:
+        raise ValueError("matmul: Input operands do not have enough dimensions")
+
+    if _has_nan(a) or _has_nan(b):
+        warnings.warn(
+            "Nan will not be propagated in matrix multiplication",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+
+    # 1-D promotions
+    if a.ndim == 1 and b.ndim == 1:
+        return dot(a, b)
+    if a.ndim <= 2 and b.ndim <= 2:
+        return dot(a, b)
+
+    # batched: broadcast leading dims, recurse
+    a_orig, b_orig = a, b
+    if a.ndim == 1:
+        a = a.reshape((1,) + a.shape)
+    if b.ndim == 1:
+        b = b.reshape(b.shape + (1,))
+    batch_a = a.shape[:-2]
+    batch_b = b.shape[:-2]
+    batch = np.broadcast_shapes(batch_a, batch_b)
+    a = _broadcast_batched(a, batch + a.shape[-2:])
+    b = _broadcast_batched(b, batch + b.shape[-2:])
+
+    from .common import stack
+
+    if a.ndim > 2:
+        res = [matmul(a[i], b[i]) for i in range(a.shape[0])]
+        if all(isinstance(r, np.ndarray) for r in res):
+            out = np.stack(res)
+        else:
+            res = [COO.from_numpy(r) if isinstance(r, np.ndarray) else r for r in res]
+            out = stack(res)
+    else:
+        out = dot(a, b)
+    if a_orig.ndim == 1:
+        out = out[..., 0, :] if out.ndim > 2 else out[0]
+    if b_orig.ndim == 1:
+        out = out[..., 0]
+    return out
+
+
+def _broadcast_batched(x, shape):
+    if x.shape == shape:
+        return x
+    if isinstance(x, np.ndarray):
+        return np.broadcast_to(x, shape)
+    from .elemwise import broadcast_to as sp_broadcast_to
+
+    return sp_broadcast_to(x, shape)
+
+
+def _has_nan(x):
+    if isinstance(x, SparseArray):
+        data = np.asarray(getattr(x, "data", np.empty(0)))
+        return bool(np.issubdtype(data.dtype, np.floating) and np.isnan(data).any())
+    x = np.asarray(x)
+    return bool(np.issubdtype(x.dtype, np.floating) and np.isnan(x).any())
+
+
+def dot(a, b):
+    """``np.dot`` semantics: contract last axis of a with second-to-last of b."""
+    check_zero_fill_value(a, b, func_name="dot")
+    if not hasattr(a, "ndim") or not hasattr(b, "ndim"):
+        a = a if isinstance(a, SparseArray) else np.asarray(a)
+        b = b if isinstance(b, SparseArray) else np.asarray(b)
+    if a.ndim == 0 or b.ndim == 0:
+        raise ValueError("Cannot perform dot product on scalars")
+
+    if a.ndim == 1 and b.ndim == 1:
+        if isinstance(a, SparseArray):
+            res = (a * b).sum()
+            return res.todense()[()] if isinstance(res, SparseArray) else res
+        res = (b * a).sum()
+        return res.todense()[()] if isinstance(res, SparseArray) else res
+
+    a_axis = -1
+    b_axis = -2
+    if b.ndim == 1:
+        b_axis = -1
+    return tensordot(a, b, axes=(a_axis, b_axis))
+
+
+def vecdot(x1, x2, /, *, axis=-1):
+    """Conjugating vector dot product along ``axis`` (Array API)."""
+    if np.issubdtype(x1.dtype, np.complexfloating):
+        x1 = np.conjugate(x1) if isinstance(x1, np.ndarray) else x1.conj()
+    return np.sum(x1 * x2, axis=axis, dtype=np.result_type(x1, x2))
+
+
+# ---------------------------------------------------------------------------
+# 2-D dispatch core
+# ---------------------------------------------------------------------------
+
+
+def _dot(a, b, return_type=None):
+    from ..core.gcxs import GCXS
+
+    out_shape = (a.shape[0], b.shape[1]) if b.ndim == 2 else (a.shape[0],)
+
+    a_sparse = isinstance(a, SparseArray)
+    b_sparse = isinstance(b, SparseArray)
+
+    if a_sparse and b_sparse:
+        a_coo = a.tocoo() if not isinstance(a, COO) else a
+        b_coo = b.tocoo() if not isinstance(b, COO) else b
+        res = _spgemm(a_coo, b_coo)
+        if return_type == np.ndarray:
+            return res.todense()
+        if isinstance(a, GCXS) and isinstance(b, GCXS) and return_type is not COO:
+            return res.asformat("gcxs", compressed_axes=a.compressed_axes)
+        return res
+
+    if a_sparse and not b_sparse:
+        res = _spmm_dense(a, np.asarray(b))
+        if return_type is COO:
+            return COO.from_numpy(res)
+        from ..core.gcxs import GCXS as _G
+
+        if return_type is _G:
+            return COO.from_numpy(res).asformat("gcxs")
+        return res
+
+    if b_sparse and not a_sparse:
+        res = _dense_spmm(np.asarray(a), b)
+        if return_type is COO:
+            return COO.from_numpy(res)
+        from ..core.gcxs import GCXS as _G
+
+        if return_type is _G:
+            return COO.from_numpy(res).asformat("gcxs")
+        return res
+
+    return np.dot(a, b)
+
+
+def _spmm_dense(a, b):
+    """sparse (M, K) × dense (K,) or (K, N) → dense, via XLA kernel."""
+    from ..kernels import dot as kdot
+
+    a_coo = a.tocoo() if not isinstance(a, COO) else a
+    coords = np.asarray(a_coo.coords)
+    data = np.asarray(a_coo.data)
+    dt = np.promote_types(data.dtype, b.dtype)
+    if np.issubdtype(dt, np.complexfloating) or dt.itemsize > 8 or dt == np.float16:
+        # dtypes XLA handles awkwardly: dense fallback through numpy
+        return _spmm_dense_np(coords, data.astype(dt), b.astype(dt), a.shape[0])
+    data = data.astype(dt, copy=False)
+    b = b.astype(dt, copy=False)
+    with kdot.on_cpu():
+        if b.ndim == 1:
+            out = kdot.coo_spmv(coords[0], coords[1], data, b, n_rows=a.shape[0])
+        else:
+            out = kdot.coo_spmm(coords[0], coords[1], data, b, n_rows=a.shape[0])
+    return np.asarray(out).astype(dt, copy=False)
+
+
+def _spmm_dense_np(coords, data, b, n_rows):
+    rows, cols = coords[0], coords[1]
+    if b.ndim == 1:
+        out = np.zeros((n_rows,), dtype=data.dtype)
+        np.add.at(out, rows, data * b[cols])
+    else:
+        out = np.zeros((n_rows, b.shape[1]), dtype=data.dtype)
+        np.add.at(out, rows, data[:, None] * b[cols])
+    return out
+
+
+def _dense_spmm(a, b):
+    """dense (M, K) × sparse (K, N) → dense."""
+    from ..kernels import dot as kdot
+
+    b_coo = b.tocoo() if not isinstance(b, COO) else b
+    coords = np.asarray(b_coo.coords)
+    data = np.asarray(b_coo.data)
+    dt = np.promote_types(data.dtype, a.dtype)
+    if b_coo.ndim == 1:
+        # (M, K) @ (K,) -> handled by caller via b_axis=-1: b is 1-D sparse
+        rows = coords[0]
+        out = np.zeros((a.shape[0],), dtype=dt)
+        contrib = a[:, rows] * data[None, :].astype(dt)
+        return contrib.sum(axis=1)
+    if np.issubdtype(dt, np.complexfloating) or dt.itemsize > 8 or dt == np.float16:
+        rows, cols = coords[0], coords[1]
+        out = np.zeros((a.shape[0], b.shape[1]), dtype=dt)
+        np.add.at(out.T, cols, (a.astype(dt)[:, rows] * data.astype(dt)[None, :]).T)
+        return out
+    with kdot.on_cpu():
+        out = kdot.dense_coo_matmul(
+            a.astype(dt, copy=False), coords[0], coords[1], data.astype(dt, copy=False), n_out_cols=b.shape[1]
+        )
+    return np.asarray(out)
+
+
+def _spgemm(a, b):
+    """COO (M, K) × COO (K, N) → COO via expand–sort–contract.
+
+    Joins A's entries with B's rows on the contraction index k, materializes
+    all nnz(A-row k)×nnz(B-row k) partial products with vectorized
+    repeat/gather, then lets the canonical COO constructor sort and sum
+    duplicates. Computed (cancellation) zeros are kept, matching the
+    reference's symbolic-pattern semantics."""
+    if a.ndim == 1:
+        a = a.reshape((1, -1))
+        res = _spgemm(a, b)
+        return res.reshape(res.shape[1:]) if res.ndim == 2 else res
+    if b.ndim == 1:
+        b = b.reshape((-1, 1))
+        res = _spgemm(a, b)
+        return res.reshape(res.shape[:-1])
+
+    M, K = a.shape
+    K2, N = b.shape
+    assert K == K2
+
+    a_coords = np.asarray(a.coords)
+    a_data = np.asarray(a.data)
+    b_coords = np.asarray(b.coords)
+    b_data = np.asarray(b.data)
+    dt = np.promote_types(a_data.dtype, b_data.dtype)
+
+    # sort A entries by contraction index k
+    order = np.argsort(a_coords[1], kind="stable")
+    a_i = a_coords[0][order]
+    a_k = a_coords[1][order]
+    a_v = a_data[order]
+
+    # B is row-major sorted: entries grouped by k already
+    b_counts = np.bincount(b_coords[0], minlength=K)
+    b_starts = np.concatenate([[0], np.cumsum(b_counts)[:-1]])
+
+    repeats = b_counts[a_k]
+    total = int(repeats.sum())
+    if total == 0:
+        return COO(
+            np.empty((2, 0), dtype=np.intp), np.empty((0,), dtype=dt), shape=(M, N), prune=False
+        )
+
+    ends = np.cumsum(repeats)
+    starts = ends - repeats
+    within = np.arange(total, dtype=np.int64) - np.repeat(starts, repeats)
+    b_idx = np.repeat(b_starts[a_k], repeats) + within
+
+    out_i = np.repeat(a_i, repeats)
+    out_j = b_coords[1][b_idx]
+    out_v = (np.repeat(a_v, repeats).astype(dt) * b_data[b_idx].astype(dt))
+
+    return COO(
+        np.stack([out_i, out_j], axis=0),
+        out_v,
+        shape=(M, N),
+        has_duplicates=True,
+        sorted=False,
+        prune=False,
+    )
+
+
+def sddmm(s, lhs, rhs):
+    """Sampled dense-dense matmul: ``s * (lhs @ rhs)`` evaluated only at the
+    stored coordinates of the sparse sample matrix ``s`` (COO, zero fill).
+
+    The TPU-native fused path for the reference's sddmm example
+    (``examples/sddmm_example.py``): gathers the needed lhs rows / rhs
+    columns at s's coordinates and contracts, never forming lhs @ rhs."""
+    from ..kernels import dot as kdot
+
+    check_zero_fill_value(s, func_name="sddmm")
+    s_coo = s.tocoo() if not isinstance(s, COO) else s
+    coords = np.asarray(s_coo.coords)
+    data = np.asarray(s_coo.data)
+    lhs = np.asarray(lhs)
+    rhs = np.asarray(rhs)
+    dt = np.promote_types(data.dtype, np.promote_types(lhs.dtype, rhs.dtype))
+    if np.issubdtype(dt, np.complexfloating) or dt == np.float16:
+        vals = data.astype(dt) * np.einsum("ek,ek->e", lhs.astype(dt)[coords[0]], rhs.T.astype(dt)[coords[1]])
+    else:
+        with kdot.on_cpu():
+            vals = np.asarray(
+                kdot.sddmm(
+                    coords[0], coords[1], data.astype(dt, copy=False), lhs.astype(dt, copy=False), rhs.astype(dt, copy=False)
+                )
+            )
+    return COO._make(coords.copy(), vals, s_coo.shape, np.asarray(0, dtype=dt)[()])

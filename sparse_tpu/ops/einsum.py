@@ -1,0 +1,176 @@
+"""``einsum`` over sparse operands.
+
+Strategy (same shape as reference ``_common.py:1400-1476``, parser written
+from the numpy einsum spec): parse subscripts (string or interleaved
+sublists, with ellipsis), resolve repeated in-operand labels via diagonals,
+align every operand into a common label space with size-1 dims, multiply
+through the sparse broadcasting elemwise engine, then sum the contracted
+labels.
+"""
+
+from __future__ import annotations
+
+import string
+
+import numpy as np
+
+from ..core.base import SparseArray
+from ..core.coo import COO
+from .common import diagonal as _diagonal
+
+_LETTERS = string.ascii_letters
+
+
+def _sublist_to_subscript(sublist):
+    out = []
+    for item in sublist:
+        if item is Ellipsis:
+            out.append("...")
+        else:
+            out.append(_LETTERS[int(item)])
+    return "".join(out)
+
+
+def _parse_operands(operands):
+    """Normalize to (input_subscripts: list[str], output: str|None, arrays)."""
+    if isinstance(operands[0], str):
+        subscripts = operands[0].replace(" ", "")
+        arrays = list(operands[1:])
+        if "->" in subscripts:
+            in_sub, out_sub = subscripts.split("->")
+        else:
+            in_sub, out_sub = subscripts, None
+        inputs = in_sub.split(",")
+        return inputs, out_sub, arrays
+    # interleaved form: op0, sub0, op1, sub1, ..., [output_sublist]
+    arrays = list(operands[::2])
+    sublists = list(operands[1::2])
+    out_sub = None
+    if len(sublists) == len(arrays) + 1 or (len(operands) % 2 == 1):
+        out_sub = _sublist_to_subscript(operands[-1])
+        arrays = list(operands[:-1:2])
+        sublists = list(operands[1:-1:2])
+    inputs = [_sublist_to_subscript(s) for s in sublists]
+    return inputs, out_sub, arrays
+
+
+def _expand_ellipsis(inputs, out_sub, arrays):
+    used = set("".join(inputs) + (out_sub or "")) - {"."}
+    free = [c for c in _LETTERS if c not in used]
+    max_ell = 0
+    for sub, arr in zip(inputs, arrays):
+        if "..." in sub:
+            n_named = len(sub.replace("...", ""))
+            max_ell = max(max_ell, np.ndim(arr) - n_named)
+    ell_labels = "".join(free[:max_ell])
+    new_inputs = []
+    for sub, arr in zip(inputs, arrays):
+        if "..." in sub:
+            n_named = len(sub.replace("...", ""))
+            n_ell = np.ndim(arr) - n_named
+            if n_ell < 0:
+                raise ValueError("operand has fewer dimensions than subscripts given")
+            sub = sub.replace("...", ell_labels[max_ell - n_ell :])
+        if len(sub) != np.ndim(arr):
+            raise ValueError(
+                f"operand has {np.ndim(arr)} dimensions but {len(sub)} subscripts given"
+            )
+        new_inputs.append(sub)
+    if out_sub is not None and "..." in out_sub:
+        out_sub = out_sub.replace("...", ell_labels)
+    return new_inputs, out_sub, ell_labels
+
+
+def einsum(*operands, **kwargs):
+    """Evaluate the Einstein summation convention on sparse/dense operands."""
+    dtype = kwargs.pop("dtype", None)
+    if kwargs:
+        raise TypeError(f"einsum() got unexpected keyword arguments {list(kwargs)}")
+
+    inputs, out_sub, arrays = _parse_operands(operands)
+    if len(inputs) != len(arrays):
+        raise ValueError("number of einsum subscripts must be equal to the number of operands")
+
+    inputs, out_sub, ell_labels = _expand_ellipsis(inputs, out_sub, arrays)
+
+    # implicit output: labels occurring exactly once, sorted, ellipsis first
+    all_labels = "".join(inputs)
+    if out_sub is None:
+        counts = {c: all_labels.count(c) for c in set(all_labels)}
+        out_sub = ell_labels + "".join(sorted(c for c in counts if counts[c] == 1 and c not in ell_labels))
+    else:
+        for c in out_sub:
+            if c not in all_labels:
+                raise ValueError(f"output subscript {c} does not appear in any input")
+        if len(set(out_sub)) != len(out_sub):
+            raise ValueError("output subscript includes a repeated label")
+
+    # resolve repeated labels within each operand via diagonals
+    proc_arrays = []
+    proc_inputs = []
+    for sub, arr in zip(inputs, arrays):
+        while len(set(sub)) != len(sub):
+            for c in sub:
+                if sub.count(c) > 1:
+                    ax1 = sub.index(c)
+                    ax2 = sub.index(c, ax1 + 1)
+                    if isinstance(arr, SparseArray):
+                        arr = _diagonal(arr, axis1=ax1, axis2=ax2)
+                    else:
+                        arr = np.diagonal(arr, axis1=ax1, axis2=ax2)
+                    # diagonal moves the pair to the last axis
+                    sub = "".join(ch for i, ch in enumerate(sub) if i not in (ax1, ax2)) + c
+                    break
+        proc_arrays.append(arr)
+        proc_inputs.append(sub)
+
+    # shape consistency + label extents
+    extents = {}
+    for sub, arr in zip(proc_inputs, proc_arrays):
+        for c, d in zip(sub, np.shape(arr)):
+            if c in extents and extents[c] != d and 1 not in (extents[c], d):
+                raise ValueError(f"inconsistent extent for label {c}")
+            extents[c] = max(extents.get(c, 1), d)
+
+    contracted = [c for c in sorted(set(all_labels)) if c not in out_sub]
+    full_order = out_sub + "".join(contracted)
+
+    # align each operand into the full label space
+    aligned = []
+    for sub, arr in zip(proc_inputs, proc_arrays):
+        perm = sorted(range(len(sub)), key=lambda i: full_order.index(sub[i]))
+        if isinstance(arr, SparseArray):
+            arr = arr.transpose(tuple(perm)) if len(perm) > 1 else arr
+        else:
+            arr = np.transpose(np.asarray(arr), perm) if len(perm) > 1 else np.asarray(arr)
+        sub_sorted = "".join(sub[i] for i in perm)
+        new_shape = tuple(np.shape(arr)[sub_sorted.index(c)] if c in sub_sorted else 1 for c in full_order)
+        arr = arr.reshape(new_shape) if isinstance(arr, SparseArray) else np.asarray(arr).reshape(new_shape)
+        aligned.append(arr)
+
+    # multiply through the sparse elemwise engine
+    if len(aligned) == 1:
+        result = aligned[0]
+    else:
+        from .elemwise import elemwise
+
+        result = aligned[0]
+        for nxt in aligned[1:]:
+            if isinstance(result, SparseArray) or isinstance(nxt, SparseArray):
+                result = elemwise(np.multiply, result, nxt)
+            else:
+                result = np.multiply(result, nxt)
+
+    # sum out contracted labels
+    if contracted:
+        axes = tuple(full_order.index(c) for c in contracted)
+        result = result.sum(axis=axes) if isinstance(result, SparseArray) else np.sum(result, axis=axes)
+    else:
+        # ensure no leftover dims
+        pass
+
+    if dtype is not None:
+        result = result.astype(dtype)
+    if isinstance(result, SparseArray) and result.ndim == 0:
+        return result
+    return result

@@ -1,0 +1,172 @@
+"""COO ``__getitem__``: basic (int/slice/newaxis) and advanced (1-D integer
+array, incl. multiple broadcast arrays) indexing.
+
+The reference computes per-entry masks with sequential binary-search
+pair-walking Numba kernels (``_coo/indexing.py:291-663``). Here the mask is
+one vectorized boolean reduction over nnz (fully data-parallel — the form a
+VPU likes), and advanced indices are resolved with a sort-join
+(``argsort`` + ``searchsorted`` + ``repeat``) instead of per-entry loops.
+
+Numpy semantics notes (same as the reference):
+
+- advanced indices must be 1-D; they broadcast together; if the advanced
+  positions are non-contiguous the advanced result dimension moves to the
+  front.
+"""
+
+from __future__ import annotations
+
+from numbers import Integral
+
+import numpy as np
+
+from .slicing import normalize_index
+
+__all__ = ["getitem"]
+
+
+def getitem(x, index):
+    from ..core.coo import COO
+
+    if index == () and x.ndim == 0:
+        return x.data[-1][()] if x.nnz else np.asarray(x.fill_value)[()]
+
+    index = normalize_index(index, x.shape)
+
+    # identity fast path (fresh object so `out=`-style mutation is safe)
+    if all(isinstance(k, slice) and k == slice(0, d, 1) for k, d in zip(index, x.shape)) and len(
+        [k for k in index if k is not None]
+    ) == x.ndim and not any(k is None for k in index):
+        return x.copy(deep=False)
+
+    coords = np.asarray(x.coords)
+    data = np.asarray(x.data)
+    nnz = data.shape[0]
+
+    mask = np.ones(nnz, dtype=bool)
+    dim_entries = []  # aligned with `index`: dicts describing each output axis
+    adv_positions = []
+    adv_arrays = []
+    adv_dims = []
+
+    d = 0
+    for pos, k in enumerate(index):
+        if k is None:
+            dim_entries.append({"kind": "new"})
+            continue
+        if isinstance(k, Integral):
+            mask &= coords[d] == int(k)
+            dim_entries.append({"kind": "int"})
+        elif isinstance(k, slice):
+            start, stop, step = k.start, k.stop, k.step
+            size = len(range(start, stop, step))
+            if step > 0:
+                m = (coords[d] >= start) & (coords[d] < stop)
+                if step != 1:
+                    m &= (coords[d] - start) % step == 0
+                newc = (coords[d] - start) // step
+            else:
+                m = (coords[d] <= start) & (coords[d] > stop)
+                if step != -1:
+                    m &= (start - coords[d]) % (-step) == 0
+                newc = (start - coords[d]) // (-step)
+            mask &= m
+            dim_entries.append({"kind": "slice", "size": size, "coord": newc, "reversed": step < 0})
+        else:  # integer array
+            adv_positions.append(pos)
+            adv_arrays.append(np.asarray(k))
+            adv_dims.append(d)
+            dim_entries.append({"kind": "adv"})
+        d += 1
+
+    if adv_arrays:
+        try:
+            adv_bcast = np.broadcast_arrays(*adv_arrays)
+        except ValueError as e:
+            raise IndexError(f"shape mismatch among advanced indices: {e}") from None
+        L = adv_bcast[0].shape[0] if adv_bcast[0].ndim else 1
+        adv_bcast = [np.broadcast_to(a, (L,)) for a in adv_bcast]
+
+    # filter entries by the basic-index mask
+    sel = np.flatnonzero(mask)
+    coords_sel = coords[:, sel]
+    data_sel = data[sel]
+
+    if adv_arrays:
+        # join stored entries with the advanced index list on the advanced dims
+        adv_shape = tuple(x.shape[dd] for dd in adv_dims)
+        entry_key = np.ravel_multi_index(tuple(coords_sel[dd] for dd in adv_dims), adv_shape) if adv_dims else None
+        query_key = np.ravel_multi_index(tuple(adv_bcast), adv_shape)
+
+        order = np.argsort(query_key, kind="stable")
+        sorted_q = query_key[order]
+        lo = np.searchsorted(sorted_q, entry_key, side="left")
+        hi = np.searchsorted(sorted_q, entry_key, side="right")
+        counts = hi - lo
+        total = int(counts.sum())
+        rep_idx = np.repeat(np.arange(entry_key.size), counts)
+        ends = np.cumsum(counts)
+        within = np.arange(total, dtype=np.int64) - np.repeat(ends - counts, counts)
+        adv_result_coord = order[np.repeat(lo, counts) + within]
+
+        coords_sel = coords_sel[:, rep_idx]
+        data_sel = data_sel[rep_idx]
+    else:
+        adv_result_coord = None
+        L = None
+
+    # assemble output coords/shape
+    out_coords = []
+    out_shape = []
+    # advanced dim position: at first adv index if contiguous, else front
+    if adv_arrays:
+        adv_pos_sorted = sorted(adv_positions)
+        contiguous = all(
+            b - a == 1 for a, b in zip(adv_pos_sorted, adv_pos_sorted[1:])
+        ) or len(adv_pos_sorted) == 1
+        # "contiguous" must ignore interleaved None? numpy: adv separated by
+        # slice/None moves to front. Treat any gap as non-contiguous.
+        if not contiguous:
+            out_coords.append(adv_result_coord)
+            out_shape.append(L)
+        adv_emitted = not contiguous
+    else:
+        adv_emitted = True
+
+    sel_entry_iter = 0
+    for pos, entry in enumerate(dim_entries):
+        kind = entry["kind"]
+        if kind == "new":
+            out_coords.append(np.zeros(data_sel.shape[0], dtype=coords.dtype))
+            out_shape.append(1)
+        elif kind == "int":
+            continue
+        elif kind == "slice":
+            c = entry["coord"][sel]
+            if adv_result_coord is not None:
+                c = c[rep_idx]
+            out_coords.append(c)
+            out_shape.append(entry["size"])
+        elif kind == "adv":
+            if not adv_emitted:
+                out_coords.append(adv_result_coord)
+                out_shape.append(L)
+                adv_emitted = True
+
+    if not out_shape:
+        # scalar result
+        if data_sel.size:
+            return data_sel[0][()]
+        return np.asarray(x.fill_value, dtype=x.dtype)[()]
+
+    from ..core.coo import COO
+
+    out_coords = np.stack(out_coords, axis=0) if out_coords else np.empty((0, data_sel.shape[0]), dtype=np.intp)
+    return COO(
+        out_coords,
+        data_sel,
+        shape=tuple(out_shape),
+        has_duplicates=False,
+        sorted=False,
+        fill_value=x.fill_value,
+    )

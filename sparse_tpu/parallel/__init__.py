@@ -1,0 +1,12 @@
+"""Distributed execution over TPU meshes (new relative to the reference —
+see SURVEY §2.4)."""
+
+from .sharding import (  # noqa: F401
+    PartitionedCOO,
+    bucket_columns,
+    make_mesh,
+    mttkrp_sharded,
+    partition_coo_rows,
+    spmm_replicated,
+    spmm_ring,
+)

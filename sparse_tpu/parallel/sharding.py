@@ -1,0 +1,241 @@
+"""Multi-chip execution: mesh-sharded sparse operands + collective matmul.
+
+The reference has **no** distributed layer (SURVEY §2.4); this module is the
+new TPU-native scaling design:
+
+- the sparse operand is **row-block partitioned** across a 1-D mesh axis,
+  with per-shard nnz padded to a common static capacity (padding entries
+  carry ``data == 0`` so they are no-ops under additive kernels);
+- the dense operand is either replicated (small N) or **K-sharded and
+  rotated around the ring** with ``jax.lax.ppermute`` — the
+  ring-attention-shaped schedule applied to SpMM: at each of the D steps a
+  shard contracts the column-block of its local rows that matches the dense
+  block currently resident, while the next block is in flight over ICI;
+- epilogues (full-array reductions) use ``psum``.
+
+Everything is expressed with ``shard_map`` over ``jax.sharding.Mesh`` so XLA
+schedules the collectives; no per-device code.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices=None, axis_name="x", devices=None):
+    """1-D device mesh over the first ``n_devices`` devices."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is None:
+        n_devices = len(devices)
+    return Mesh(np.array(devices[:n_devices]), (axis_name,))
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class PartitionedCOO:
+    """A 2-D COO matrix row-block partitioned over a mesh axis.
+
+    Arrays have a leading shard dimension of size ``n_shards`` and are laid
+    out so that sharding dim 0 over the mesh places each row block on its
+    device. ``rows`` are *local* (relative to the shard's row offset).
+    Padding entries have ``valid == False`` and ``data == 0``.
+    """
+
+    rows: jax.Array  # (n_shards, cap) int32, local row ids
+    cols: jax.Array  # (n_shards, cap) int32, global col ids
+    data: jax.Array  # (n_shards, cap)
+    shape: tuple  # global (M, K) — static
+    block_rows: int  # rows per shard (static; last shard may be ragged→padded)
+
+    def tree_flatten(self):
+        return (self.rows, self.cols, self.data), (self.shape, self.block_rows)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        rows, cols, data = children
+        shape, block_rows = aux
+        return cls(rows, cols, data, shape, block_rows)
+
+    @property
+    def n_shards(self):
+        return self.rows.shape[0]
+
+
+def partition_coo_rows(coo, n_shards, mesh=None, axis_name="x", balance="rows"):
+    """Partition a 2-D COO array into ``n_shards`` row blocks.
+
+    ``balance="rows"`` splits the row space evenly; each shard's nnz is
+    padded to the global max (static capacity). Returns a
+    :class:`PartitionedCOO`; if ``mesh`` is given, the leaves are placed with
+    a ``(axis_name, None)`` sharding so shard i lives on device i.
+    """
+    from ..core.coo import COO
+
+    if not isinstance(coo, COO):
+        coo = coo.asformat("coo")
+    if coo.ndim != 2:
+        raise ValueError("partition_coo_rows requires a 2-D array")
+    M, K = coo.shape
+    rows = np.asarray(coo.coords[0]).astype(np.int64)
+    cols = np.asarray(coo.coords[1]).astype(np.int64)
+    data = np.asarray(coo.data)
+
+    block_rows = -(-M // n_shards)
+    shard_of = rows // block_rows
+    counts = np.bincount(shard_of, minlength=n_shards)
+    cap = max(int(counts.max()), 1)
+
+    out_rows = np.zeros((n_shards, cap), dtype=np.int32)
+    out_cols = np.zeros((n_shards, cap), dtype=np.int32)
+    out_data = np.zeros((n_shards, cap), dtype=data.dtype)
+    for s in range(n_shards):
+        sel = shard_of == s
+        k = int(counts[s])
+        out_rows[s, :k] = (rows[sel] - s * block_rows).astype(np.int32)
+        out_cols[s, :k] = cols[sel].astype(np.int32)
+        out_data[s, :k] = data[sel]
+
+    pcoo = PartitionedCOO(out_rows, out_cols, out_data, (M, K), block_rows)
+    if mesh is not None:
+        sh = NamedSharding(mesh, P(axis_name, None))
+        pcoo = PartitionedCOO(
+            jax.device_put(jnp.asarray(out_rows), sh),
+            jax.device_put(jnp.asarray(out_cols), sh),
+            jax.device_put(jnp.asarray(out_data), sh),
+            (M, K),
+            block_rows,
+        )
+    return pcoo
+
+
+def spmm_replicated(pcoo, dense, mesh, axis_name="x"):
+    """Sharded SpMM with the dense operand replicated on every device.
+
+    out rows are sharded over the mesh; no communication beyond the input
+    broadcast. Best when ``dense`` is small (tall-skinny N)."""
+
+    def local(rows, cols, data, b):
+        # rows/cols/data: (1, cap) local shard (shard_map strips mesh dim partially)
+        rows = rows.reshape(-1)
+        cols = cols.reshape(-1)
+        data = data.reshape(-1)
+        prod = data[:, None] * jnp.take(b, cols, axis=0)
+        out = jax.ops.segment_sum(prod, rows, num_segments=pcoo.block_rows)
+        return out[None]
+
+    f = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis_name, None), P(axis_name, None), P(axis_name, None), P()),
+        out_specs=P(axis_name, None, None),
+    )
+    out = f(pcoo.rows, pcoo.cols, pcoo.data, dense)
+    n_shards = pcoo.n_shards
+    return out.reshape(n_shards * pcoo.block_rows, dense.shape[1])[: pcoo.shape[0]]
+
+
+def bucket_columns(pcoo, n_buckets):
+    """Re-bucket a PartitionedCOO's entries by column block, padding each
+    (shard, bucket) to a common static capacity — the layout the ring
+    schedule consumes. Host-side preprocessing (one-time per matrix)."""
+    n_shards, cap = pcoo.rows.shape
+    M, K = pcoo.shape
+    block_cols = -(-K // n_buckets)
+    rows = np.asarray(pcoo.rows)
+    cols = np.asarray(pcoo.cols)
+    data = np.asarray(pcoo.data)
+
+    bucket_of = cols // block_cols
+    caps = np.zeros((n_shards, n_buckets), dtype=np.int64)
+    for s in range(n_shards):
+        caps[s] = np.bincount(bucket_of[s][data[s] != 0], minlength=n_buckets)
+    bcap = max(int(caps.max()), 1)
+
+    out_rows = np.zeros((n_shards, n_buckets, bcap), dtype=np.int32)
+    out_cols = np.zeros((n_shards, n_buckets, bcap), dtype=np.int32)
+    out_data = np.zeros((n_shards, n_buckets, bcap), dtype=data.dtype)
+    for s in range(n_shards):
+        for b in range(n_buckets):
+            sel = (bucket_of[s] == b) & (data[s] != 0)
+            k = int(sel.sum())
+            out_rows[s, b, :k] = rows[s][sel]
+            out_cols[s, b, :k] = cols[s][sel] - b * block_cols  # local col ids
+            out_data[s, b, :k] = data[s][sel]
+    return out_rows, out_cols, out_data, block_cols
+
+
+def spmm_ring(bucketed, pcoo_shape, block_rows, dense_sharded, mesh, axis_name="x"):
+    """Ring SpMM: dense operand K-sharded; each step contracts the local
+    column bucket matching the resident dense block, then rotates the block
+    to the next device with ``ppermute`` (overlapped by XLA with the next
+    step's compute)."""
+    out_rows, out_cols, out_data, block_cols = bucketed
+    n_shards = out_rows.shape[0]
+    M, K = pcoo_shape
+    N = dense_sharded.shape[-1]
+
+    def local(rows, cols, data, b_block):
+        # rows/cols/data: (1, n_buckets, bcap); b_block: (block_cols_pad, N) local K block
+        rows = rows[0]
+        cols = cols[0]
+        data = data[0]
+        b_block = b_block.reshape(-1, N)
+        idx = jax.lax.axis_index(axis_name)
+        n_dev = jax.lax.axis_size(axis_name)
+
+        def step(i, carry):
+            acc, blk = carry
+            # bucket currently resident on this device after i rotations
+            bucket = (idx + i) % n_dev
+            r = jnp.take(rows, bucket, axis=0)
+            c = jnp.take(cols, bucket, axis=0)
+            d = jnp.take(data, bucket, axis=0)
+            prod = d[:, None] * jnp.take(blk, c, axis=0)
+            acc = acc + jax.ops.segment_sum(prod, r, num_segments=block_rows)
+            blk = jax.lax.ppermute(blk, axis_name, [(j, (j - 1) % n_dev) for j in range(n_dev)])
+            return acc, blk
+
+        acc = jnp.zeros((block_rows, N), dtype=jnp.promote_types(data.dtype, b_block.dtype))
+        # mark the accumulator as device-varying so the carry types match
+        # after the ppermute makes the rotating block varying over the mesh
+        acc = jax.lax.pvary(acc, (axis_name,))
+        acc, _ = jax.lax.fori_loop(0, n_dev, step, (acc, b_block))
+        return acc[None]
+
+    f = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis_name, None, None), P(axis_name, None, None), P(axis_name, None, None), P(axis_name, None)),
+        out_specs=P(axis_name, None, None),
+    )
+    out = f(jnp.asarray(out_rows), jnp.asarray(out_cols), jnp.asarray(out_data), dense_sharded)
+    return out.reshape(n_shards * block_rows, N)[:M]
+
+
+def mttkrp_sharded(coords_i, coords_j, coords_k, data, c, d, n_rows, mesh, axis_name="x"):
+    """Distributed MTTKRP: the 3-D sparse tensor is i-partitioned (leading
+    output axis); factor matrices are replicated (they are small). Inputs
+    must already be bucketed per shard with a leading shard dim."""
+    block_rows = -(-n_rows // coords_i.shape[0])
+
+    def local(ci, cj, ck, v, c_, d_):
+        ci, cj, ck, v = ci[0], cj[0], ck[0], v[0]
+        prod = v[:, None] * jnp.take(c_, cj, axis=0) * jnp.take(d_, ck, axis=0)
+        return jax.ops.segment_sum(prod, ci, num_segments=block_rows)[None]
+
+    f = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis_name, None),) * 4 + (P(), P()),
+        out_specs=P(axis_name, None, None),
+    )
+    out = f(coords_i, coords_j, coords_k, data, c, d)
+    return out.reshape(-1, c.shape[1])[:n_rows]
