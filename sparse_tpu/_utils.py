@@ -308,6 +308,8 @@ def assert_eq(x, y, check_nnz=True, compare_dtype=True, **kwargs):
             assert_nnz(y, yy)
 
     if np.issubdtype(xx.dtype, np.floating) or np.issubdtype(xx.dtype, np.complexfloating):
+        if "rtol" not in kwargs and np.dtype(xx.dtype).itemsize <= 4:
+            kwargs["rtol"] = 1e-5  # f32 accumulation-order slack
         np.testing.assert_allclose(xx, yy, equal_nan=True, **kwargs)
     else:
         np.testing.assert_array_equal(xx, yy)

@@ -235,7 +235,10 @@ class SparseArray(np.lib.mixins.NDArrayOperatorsMixin):
         if len(out) == 1:
             from .coo import COO
 
-            return out[0] if isinstance(out[0], SparseArray) else COO.from_numpy(np.asarray(out[0]))
+            res = out[0] if isinstance(out[0], SparseArray) else COO.from_numpy(np.asarray(out[0]))
+            if keepdims:
+                res = res.reshape((1,) * self.ndim)
+            return res
 
         data, counts, axis, n_cols, arr_attrs = out
         result_fill_value = self.fill_value
@@ -246,6 +249,7 @@ class SparseArray(np.lib.mixins.NDArrayOperatorsMixin):
             data = method(data, reduce_super_ufunc(self.fill_value, n_cols - counts)).astype(data.dtype)
             result_fill_value = reduce_super_ufunc(self.fill_value, n_cols)
 
+        result_fill_value = np.asarray(result_fill_value, dtype=np.asarray(data).dtype)[()]
         out = self._reduce_return(data, arr_attrs, result_fill_value)
 
         if keepdims:

@@ -509,6 +509,8 @@ class COO(SparseArray):
                         result = method(result, self.fill_value, **kwargs)
                     else:
                         result = self.fill_value
+            if kwargs.get("dtype") is not None:
+                result = np.asarray(result).astype(kwargs["dtype"])
             return (np.asarray(result)[()],)
 
         neg_axis = tuple(ax for ax in range(self.ndim) if ax not in set(axis))

@@ -99,9 +99,9 @@ def _sorted_segment_sum_cumsum(values, segment_ids, num_segments):
     # ends[m] = index of last entry of segment m (exclusive end - 1)
     counts = jnp.bincount(segment_ids, length=num_segments)
     ends = jnp.cumsum(counts)
-    hi = jnp.where(ends > 0, cs[jnp.clip(ends - 1, 0, nnz - 1)], 0)
+    hi = jnp.where((ends > 0)[:, None], cs[jnp.clip(ends - 1, 0, nnz - 1)], 0)
     starts = ends - counts
-    lo = jnp.where(starts > 0, cs[jnp.clip(starts - 1, 0, nnz - 1)], 0)
+    lo = jnp.where((starts > 0)[:, None], cs[jnp.clip(starts - 1, 0, nnz - 1)], 0)
     return hi - lo
 
 

@@ -32,15 +32,17 @@ def format_to_string(format):
 
 def eye(N, M=None, k=0, dtype=float, format="coo", *, device=None, **kwargs):
     """2-D array with ones on the k-th diagonal."""
+    import builtins
+
     if M is None:
         M = N
     N = int(N)
     M = int(M)
     if k > 0:
-        n_coords = min(N, M - k)
+        n_coords = builtins.min(N, M - k)
     else:
-        n_coords = min(N + k, M)
-    n_coords = max(n_coords, 0)
+        n_coords = builtins.min(N + k, M)
+    n_coords = builtins.max(n_coords, 0)
     if k > 0:
         rows = np.arange(n_coords, dtype=np.intp)
         cols = rows + k

@@ -28,7 +28,7 @@ __all__ = ["getitem"]
 def getitem(x, index):
     from ..core.coo import COO
 
-    if index == () and x.ndim == 0:
+    if isinstance(index, tuple) and index == () and x.ndim == 0:
         return x.data[-1][()] if x.nnz else np.asarray(x.fill_value)[()]
 
     index = normalize_index(index, x.shape)

@@ -63,7 +63,7 @@ def _replace_ellipsis(idx, ndim):
         raise IndexError("an index can only have a single ellipsis ('...')")
     if n_ellipsis == 0:
         return idx
-    loc = idx.index(Ellipsis)
+    loc = next(pos for pos, i in enumerate(idx) if i is Ellipsis)
     n_dims_consumed = sum(1 for i in idx if i is not None and i is not Ellipsis)
     fill = (slice(None),) * (ndim - n_dims_consumed)
     return idx[:loc] + fill + idx[loc + 1 :]

@@ -206,7 +206,7 @@ def spmm_ring(bucketed, pcoo_shape, block_rows, dense_sharded, mesh, axis_name="
         acc = jnp.zeros((block_rows, N), dtype=jnp.promote_types(data.dtype, b_block.dtype))
         # mark the accumulator as device-varying so the carry types match
         # after the ppermute makes the rotating block varying over the mesh
-        acc = jax.lax.pvary(acc, (axis_name,))
+        acc = jax.lax.pcast(acc, (axis_name,), to="varying")
         acc, _ = jax.lax.fori_loop(0, n_dev, step, (acc, b_block))
         return acc[None]
 

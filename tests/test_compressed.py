@@ -1,0 +1,167 @@
+"""GCXS / CSR / CSC tests — mirrors reference ``test_compressed.py`` /
+``test_compressed_2d.py`` / ``test_compressed_convert.py``."""
+
+import numpy as np
+import pytest
+import scipy.sparse
+
+import sparse_tpu as sparse
+from sparse_tpu import CSC, CSR, GCXS
+from sparse_tpu._utils import assert_eq
+
+
+@pytest.fixture(params=[(0,), (1,), (2,), (0, 1), (0, 2), (1, 2)])
+def compressed_axes(request):
+    return request.param
+
+
+def test_from_coo_roundtrip(compressed_axes):
+    s = sparse.random((5, 6, 7), density=0.2, random_state=0)
+    g = GCXS.from_coo(s, compressed_axes=compressed_axes)
+    assert g.compressed_axes == tuple(sorted(compressed_axes))
+    assert_eq(g, s.todense())
+    back = g.tocoo()
+    assert_eq(back, s)
+
+
+def test_default_compressed_axes():
+    g = GCXS.from_coo(sparse.random((10, 3), density=0.3, random_state=0))
+    assert g.compressed_axes == (1,)  # argmin(shape)
+
+
+def test_1d():
+    s = sparse.random((20,), density=0.3, random_state=0)
+    g = GCXS.from_coo(s)
+    assert_eq(g, s.todense())
+    assert_eq(g.tocoo(), s)
+
+
+def test_change_compressed_axes():
+    s = sparse.random((4, 5, 6), density=0.2, random_state=0)
+    g = GCXS.from_coo(s, compressed_axes=(0,))
+    g2 = g.change_compressed_axes((1, 2))
+    assert g2.compressed_axes == (1, 2)
+    assert_eq(g2, s.todense())
+
+
+@pytest.mark.parametrize("reduction", ["sum", "max", "min", "prod", "mean"])
+@pytest.mark.parametrize("axis", [None, 0, 1, (0, 2)])
+@pytest.mark.parametrize("keepdims", [True, False])
+def test_reductions(reduction, axis, keepdims):
+    s = sparse.random((4, 5, 6), density=0.2, random_state=0, format="gcxs")
+    xx = s.todense()
+    expected = getattr(xx, reduction)(axis=axis, keepdims=keepdims)
+    got = getattr(s, reduction)(axis=axis, keepdims=keepdims)
+    assert_eq(got, expected)
+
+
+@pytest.mark.parametrize(
+    "a,b",
+    [[(4, 5), (5, 4)], [(3, 4, 5), (12, 5)], [(60,), (3, 4, 5)], [(3, 4, 5), (60,)]],
+)
+def test_reshape(a, b):
+    s = sparse.random(a, density=0.3, random_state=0, format="gcxs")
+    assert_eq(s.reshape(b), s.todense().reshape(b))
+
+
+@pytest.mark.parametrize("axes", [None, (1, 0, 2), (2, 1, 0)])
+def test_transpose(axes):
+    s = sparse.random((4, 5, 6), density=0.2, random_state=0, format="gcxs")
+    assert_eq(s.transpose(axes), s.todense().transpose(axes))
+
+
+def test_2d_transpose_constant_time():
+    s = sparse.random((5, 8), density=0.3, random_state=0, format="gcxs")
+    t = s.transpose()
+    assert t.data is s.data  # O(1) buffer-sharing transpose
+    assert_eq(t, s.todense().T)
+
+
+@pytest.mark.parametrize(
+    "index",
+    [0, (1, slice(None)), (slice(None), 2), (slice(1, 4), slice(0, 6, 2)), (slice(None, None, -1), 1), ([0, 2], slice(None))],
+)
+def test_indexing(index):
+    s = sparse.random((5, 8), density=0.3, random_state=0, format="gcxs")
+    x = s.todense()
+    got = s[index]
+    if isinstance(got, sparse.SparseArray):
+        assert_eq(got, x[index])
+    else:
+        assert got == x[index]
+
+
+def test_csr_csc():
+    x = np.random.default_rng(0).random((6, 8))
+    x[x < 0.6] = 0
+    r = CSR.from_numpy(x)
+    c = CSC.from_numpy(x)
+    assert r.compressed_axes == (0,)
+    assert c.compressed_axes == (1,)
+    assert_eq(r, x)
+    assert_eq(c, x)
+    # O(1) transpose swaps class
+    assert isinstance(r.transpose(), CSC)
+    assert isinstance(c.transpose(), CSR)
+    assert_eq(r.transpose(), x.T)
+    assert_eq(c.transpose(), x.T)
+
+
+def test_scipy_roundtrip():
+    m = scipy.sparse.random(8, 9, density=0.3, random_state=0, format="csr")
+    g = GCXS.from_scipy_sparse(m)
+    assert_eq(g, m.toarray())
+    back = g.to_scipy_sparse()
+    assert np.allclose(back.toarray(), m.toarray())
+    r = CSR.from_scipy_sparse(m)
+    assert_eq(r, m.toarray())
+
+
+def test_triple_ctor():
+    m = scipy.sparse.random(5, 6, density=0.3, random_state=0, format="csr")
+    g = GCXS((m.data, m.indices, m.indptr), shape=(5, 6), compressed_axes=(0,))
+    assert_eq(g, m.toarray())
+
+
+def test_from_numpy_ctor():
+    x = np.random.default_rng(0).random((4, 5))
+    x[x < 0.5] = 0
+    g = GCXS(x)
+    assert_eq(g, x)
+
+
+def test_invalid_compressed_axes():
+    s = sparse.random((4, 5), density=0.3, random_state=0)
+    with pytest.raises(ValueError):
+        GCXS.from_coo(s, compressed_axes=(0, 1))
+    with pytest.raises(ValueError):
+        GCXS.from_coo(sparse.random((4,), density=0.3), compressed_axes=(1,))
+
+
+def test_matmul():
+    a = sparse.random((6, 5), density=0.4, random_state=0, format="gcxs")
+    b = np.random.default_rng(1).random((5, 3))
+    np.testing.assert_allclose(a @ b, a.todense() @ b)
+
+
+def test_elemwise_preserves_gcxs():
+    a = sparse.random((4, 5), density=0.3, random_state=0, format="gcxs", compressed_axes=(1,))
+    res = a * 2
+    assert isinstance(res, GCXS)
+    assert res.compressed_axes == (1,)
+    assert_eq(res, a.todense() * 2)
+
+
+def test_nbytes_and_density():
+    g = sparse.random((10, 10), density=0.2, random_state=0, format="gcxs")
+    assert g.nbytes > 0
+    assert 0.15 <= g.density <= 0.25
+
+
+def test_fill_value_preserved():
+    x = np.random.default_rng(0).random((4, 5))
+    x[x < 0.5] = 3.0
+    g = GCXS.from_numpy(x, fill_value=3.0)
+    assert float(g.fill_value) == 3.0
+    assert_eq(g, x)
+    assert_eq(g.tocoo(), x)

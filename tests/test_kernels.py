@@ -1,0 +1,149 @@
+"""XLA kernel tests (the Numba-kernel-equivalent layer): SpMM/SpMV/SDDMM/
+MTTKRP/ELL against numpy oracles, plus jit/pytree integration."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import sparse_tpu as sparse
+from sparse_tpu.kernels import (
+    build_block_ell,
+    coo_spmm,
+    coo_spmv,
+    dense_coo_matmul,
+    ell_spmm,
+    ell_spmv,
+    mttkrp,
+    sddmm,
+    uncompress_indptr,
+)
+
+
+@pytest.fixture
+def problem():
+    m, k, n = 40, 30, 8
+    a = sparse.random((m, k), density=0.1, random_state=0)
+    rows = jnp.asarray(np.asarray(a.coords[0]))
+    cols = jnp.asarray(np.asarray(a.coords[1]))
+    data = jnp.asarray(np.asarray(a.data))
+    dense = jnp.asarray(np.random.default_rng(1).random((k, n)))
+    return a, rows, cols, data, dense, m, k, n
+
+
+def test_coo_spmm(problem):
+    a, rows, cols, data, dense, m, k, n = problem
+    out = coo_spmm(rows, cols, data, dense, n_rows=m)
+    np.testing.assert_allclose(np.asarray(out), a.todense() @ np.asarray(dense))
+
+
+def test_coo_spmm_cumsum(problem):
+    a, rows, cols, data, dense, m, k, n = problem
+    out = coo_spmm(rows, cols, data, dense, n_rows=m, strategy="cumsum")
+    np.testing.assert_allclose(np.asarray(out), a.todense() @ np.asarray(dense), rtol=1e-10)
+
+
+def test_coo_spmv(problem):
+    a, rows, cols, data, dense, m, k, n = problem
+    x = jnp.asarray(np.random.default_rng(2).random(k))
+    out = coo_spmv(rows, cols, data, x, n_rows=m)
+    np.testing.assert_allclose(np.asarray(out), a.todense() @ np.asarray(x))
+
+
+def test_dense_coo_matmul(problem):
+    a, rows, cols, data, dense, m, k, n = problem
+    lhs = jnp.asarray(np.random.default_rng(3).random((7, m)))
+    out = dense_coo_matmul(lhs, rows, cols, data, n_out_cols=k)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(lhs) @ a.todense())
+
+
+def test_sddmm(problem):
+    a, rows, cols, data, dense, m, k, n = problem
+    lhs = jnp.asarray(np.random.default_rng(4).random((m, 6)))
+    rhs = jnp.asarray(np.random.default_rng(5).random((6, k)))
+    vals = sddmm(rows, cols, data, lhs, rhs)
+    full = np.asarray(lhs) @ np.asarray(rhs)
+    expected = np.asarray(data) * full[np.asarray(rows), np.asarray(cols)]
+    np.testing.assert_allclose(np.asarray(vals), expected)
+
+
+def test_mttkrp():
+    t = sparse.random((20, 10, 12), density=0.05, random_state=0)
+    c = np.random.default_rng(1).random((10, 4))
+    d = np.random.default_rng(2).random((12, 4))
+    coords = np.asarray(t.coords)
+    out = mttkrp(
+        jnp.asarray(coords[0]), jnp.asarray(coords[1]), jnp.asarray(coords[2]),
+        jnp.asarray(np.asarray(t.data)), jnp.asarray(c), jnp.asarray(d), n_rows=20,
+    )
+    expected = np.einsum("ijk,jr,kr->ir", t.todense(), c, d)
+    np.testing.assert_allclose(np.asarray(out), expected)
+
+
+def test_uncompress_indptr():
+    indptr = jnp.asarray(np.array([0, 2, 2, 5, 6]))
+    rows = uncompress_indptr(indptr, 6)
+    np.testing.assert_array_equal(np.asarray(rows), [0, 0, 2, 2, 2, 3])
+
+
+@pytest.mark.parametrize("block_rows", [8, 128])
+def test_block_ell(problem, block_rows):
+    a, rows, cols, data, dense, m, k, n = problem
+    ell = build_block_ell(np.asarray(rows), np.asarray(cols), np.asarray(data), m, k, block_rows=block_rows)
+    out = ell_spmm(ell.e_rows, ell.e_cols, ell.e_data, dense, n_rows=m, block_rows=block_rows)
+    np.testing.assert_allclose(np.asarray(out), a.todense() @ np.asarray(dense), rtol=1e-10)
+    x = jnp.asarray(np.random.default_rng(2).random(k))
+    outv = ell_spmv(ell.e_rows, ell.e_cols, ell.e_data, x, n_rows=m, block_rows=block_rows)
+    np.testing.assert_allclose(np.asarray(outv), a.todense() @ np.asarray(x), rtol=1e-10)
+
+
+def test_block_ell_empty():
+    ell = build_block_ell(np.empty(0, np.int32), np.empty(0, np.int32), np.empty(0), 16, 16)
+    out = ell_spmm(ell.e_rows, ell.e_cols, ell.e_data, jnp.ones((16, 4)), n_rows=16)
+    np.testing.assert_allclose(np.asarray(out), np.zeros((16, 4)))
+
+
+def test_coo_pytree_jit():
+    a = sparse.random((10, 8), density=0.3, random_state=0)
+
+    @jax.jit
+    def f(a, b):
+        return coo_spmm(jnp.asarray(a.coords[0]), jnp.asarray(a.coords[1]), jnp.asarray(a.data), b, n_rows=a.shape[0])
+
+    b = jnp.asarray(np.random.default_rng(1).random((8, 3)))
+    np.testing.assert_allclose(np.asarray(f(a, b)), a.todense() @ np.asarray(b))
+
+
+def test_gcxs_pytree_flatten():
+    g = sparse.random((6, 8), density=0.3, random_state=0, format="gcxs")
+    leaves, treedef = jax.tree_util.tree_flatten(g)
+    g2 = jax.tree_util.tree_unflatten(treedef, leaves)
+    np.testing.assert_allclose(g2.todense(), g.todense())
+
+
+def test_vmap_over_coo_data():
+    a = sparse.random((10, 8), density=0.3, random_state=0)
+    rows = jnp.asarray(np.asarray(a.coords[0]))
+    cols = jnp.asarray(np.asarray(a.coords[1]))
+    datas = jnp.stack([jnp.asarray(np.asarray(a.data)) * (i + 1) for i in range(3)])
+    b = jnp.asarray(np.random.default_rng(1).random((8, 3)))
+    outs = jax.vmap(lambda d: coo_spmm(rows, cols, d, b, n_rows=10))(datas)
+    for i in range(3):
+        np.testing.assert_allclose(np.asarray(outs[i]), (i + 1) * (a.todense() @ np.asarray(b)))
+
+
+def test_grad_through_spmm():
+    a = sparse.random((6, 5), density=0.4, random_state=0)
+    rows = jnp.asarray(np.asarray(a.coords[0]))
+    cols = jnp.asarray(np.asarray(a.coords[1]))
+    data = jnp.asarray(np.asarray(a.data))
+    b = jnp.asarray(np.random.default_rng(1).random((5, 2)))
+
+    def loss(data):
+        return coo_spmm(rows, cols, data, b, n_rows=6).sum()
+
+    g = jax.grad(loss)(data)
+    # d(loss)/d(data_e) = sum_j b[col_e, j]
+    expected = np.asarray(b).sum(axis=1)[np.asarray(cols)]
+    np.testing.assert_allclose(np.asarray(g), expected)
