@@ -119,10 +119,12 @@ class COO(SparseArray):
         self.data = data
         super().__init__(shape, fill_value=fill_value)
 
-        if not sorted:
-            self._sort_indices()
-        if has_duplicates:
-            self._sum_duplicates()
+        if not sorted or has_duplicates:
+            lin = np.asarray(self.linear_loc())
+            if not sorted:
+                lin = self._sort_indices(lin)
+            if has_duplicates:
+                self._sum_duplicates(lin)
         if prune:
             self._prune()
 
@@ -177,32 +179,46 @@ class COO(SparseArray):
         """Row-major linearized coordinates, shape ``(nnz,)``."""
         if self.ndim == 0:
             return np.zeros(self.coords.shape[1], dtype=np.intp)
-        dtype = np.int64 if (signed or True) else np.uint64
         if self.size > np.iinfo(np.int64).max:
             raise ValueError("Cannot linearize an array with more than 2**63 elements.")
-        out = np.zeros(self.coords.shape[1], dtype=dtype)
-        strides = 1
+        coords = np.asarray(self.coords)
+        out = None
+        stride = 1
         for d in range(self.ndim - 1, -1, -1):
-            out += self.coords[d].astype(dtype) * strides
-            strides *= self.shape[d]
+            if stride == 1:
+                term = coords[d].astype(np.int64)
+            else:
+                term = np.multiply(coords[d], stride, dtype=np.int64)
+            out = term if out is None else np.add(out, term, out=out)
+            stride *= self.shape[d]
         return out
 
-    def _sort_indices(self):
-        lin = self.linear_loc()
-        if lin.size and not (np.diff(lin) >= 0).all():
-            order = np.argsort(lin, kind="stable")
+    def _sort_indices(self, lin=None):
+        """Sort entries into canonical row-major order. Returns the (possibly
+        updated) linearized coordinates so callers can reuse them."""
+        from ..native import sort_with_perm
+
+        if lin is None:
+            lin = np.asarray(self.linear_loc())
+        if lin.size and not _nondecreasing(lin):
+            order, lin_sorted = sort_with_perm(lin, max_key=self.size - 1)
             self.coords = self.coords[:, order]
             self.data = self.data[order]
+            lin = lin_sorted if lin_sorted is not None else lin[order]
+        return lin
 
-    def _sum_duplicates(self):
-        lin = self.linear_loc()
+    def _sum_duplicates(self, lin=None):
+        from ..native import dedup_sum_sorted
+
+        if lin is None:
+            lin = np.asarray(self.linear_loc())
         if lin.size == 0:
             return
         unique_mask = np.diff(lin) != 0
-        if unique_mask.all():
+        if bool(unique_mask.all()):
             return
-        starts = np.flatnonzero(np.concatenate([[True], unique_mask]))
-        self.data = np.add.reduceat(self.data, starts)
+        starts, sums = dedup_sum_sorted(lin, np.asarray(self.data))
+        self.data = sums
         self.coords = self.coords[:, starts]
 
     def _prune(self):
@@ -578,6 +594,10 @@ class COO(SparseArray):
         from ..ops.elemwise import elemwise
 
         return elemwise(np.isinf, self)
+
+
+def _nondecreasing(lin):
+    return bool((np.diff(lin) >= 0).all()) if lin.size > 1 else True
 
 
 def _interpret_single_arg(coords, shape, fill_value):

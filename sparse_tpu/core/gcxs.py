@@ -151,7 +151,9 @@ class GCXS(SparseArray):
                 else np.zeros(coords.shape[1], dtype=np.int64)
             )
 
-        order = np.argsort(rows * col_size + cols, kind="stable")
+        from ..native import argsort_i64
+
+        order = argsort_i64(rows * col_size + cols)
         rows = rows[order]
         cols = cols[order]
         data = data[order]
