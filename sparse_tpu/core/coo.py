@@ -567,6 +567,42 @@ class COO(SparseArray):
         )
         return out.reshape(neg_shape)
 
+    def nonzero(self):
+        """Indices of stored non-zero elements (requires zero fill)."""
+        from ..ops.common import nonzero
+
+        return nonzero(self)
+
+    # -- jax.experimental.sparse interop ------------------------------------------------
+    def to_bcoo(self):
+        """Convert to a ``jax.experimental.sparse.BCOO`` (zero fill only) —
+        for interop with jax's builtin sparse ops and sparsify transform."""
+        from jax.experimental import sparse as jsparse
+
+        from .._utils import check_zero_fill_value
+
+        check_zero_fill_value(self, func_name="to_bcoo")
+        import jax.numpy as jnp
+
+        return jsparse.BCOO(
+            (jnp.asarray(self.data), jnp.asarray(np.asarray(self.coords).T)),
+            shape=self.shape,
+            indices_sorted=True,
+            unique_indices=True,
+        )
+
+    @classmethod
+    def from_bcoo(cls, b, fill_value=None):
+        """Construct from a ``jax.experimental.sparse.BCOO``."""
+        return cls(
+            np.asarray(b.indices).T,
+            np.asarray(b.data),
+            shape=b.shape,
+            fill_value=fill_value,
+            has_duplicates=not b.unique_indices,
+            sorted=b.indices_sorted,
+        )
+
     # -- linalg ------------------------------------------------------------------------
     def dot(self, other):
         from ..ops.dot import dot
