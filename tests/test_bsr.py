@@ -1,0 +1,74 @@
+"""BSR block-sparse format + kernels (XLA path and Pallas interpret mode)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import sparse_tpu as sparse
+from sparse_tpu.kernels.bsr import BSR, bsr_spmm_pallas, bsr_spmm_xla, build_bsr
+
+
+@pytest.fixture
+def problem():
+    a = sparse.random((500, 600), density=0.02, random_state=0)
+    rows, cols = np.asarray(a.coords)
+    data = np.asarray(a.data)
+    bsr = build_bsr(rows, cols, data, (500, 600))
+    return a, bsr
+
+
+def test_build_todense(problem):
+    a, bsr = problem
+    np.testing.assert_allclose(bsr.todense(), a.todense())
+
+
+def test_build_sorted(problem):
+    _, bsr = problem
+    br = np.asarray(bsr.block_rows)
+    bc = np.asarray(bsr.block_cols)
+    key = br.astype(np.int64) * 1000 + bc
+    assert (np.diff(key) > 0).all()
+
+
+def test_every_block_row_present():
+    # includes empty rows 128..255
+    rows = np.array([0, 300, 301])
+    cols = np.array([5, 10, 500])
+    bsr = build_bsr(rows, cols, np.ones(3), (400, 600))
+    assert set(np.asarray(bsr.block_rows)) == {0, 1, 2, 3}
+
+
+def test_spmm_xla(problem):
+    a, bsr = problem
+    B = np.random.default_rng(1).random((600, 200))
+    out = bsr_spmm_xla(bsr.block_rows, bsr.block_cols, bsr.blocks, jnp.asarray(B), n_rows=500)
+    np.testing.assert_allclose(np.asarray(out), a.todense() @ B, rtol=1e-10)
+
+
+def test_spmm_pallas_interpret(problem):
+    a, bsr = problem
+    B = np.random.default_rng(1).random((600, 200))
+    out = bsr_spmm_pallas(bsr.block_rows, bsr.block_cols, bsr.blocks, jnp.asarray(B), n_rows=500, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), a.todense() @ B, rtol=1e-10)
+
+
+def test_spmm_duplicate_entries():
+    rows = np.array([0, 0, 130])
+    cols = np.array([1, 1, 200])
+    data = np.array([2.0, 3.0, 4.0])
+    bsr = build_bsr(rows, cols, data, (256, 256))
+    dense = np.zeros((256, 256))
+    dense[tuple(np.array([rows, cols]))] = 0  # noqa - just shape
+    ref = np.zeros((256, 256))
+    np.add.at(ref, (rows, cols), data)
+    B = np.eye(256)
+    out = bsr_spmm_xla(bsr.block_rows, bsr.block_cols, bsr.blocks, jnp.asarray(B), n_rows=256)
+    np.testing.assert_allclose(np.asarray(out), ref)
+
+
+def test_empty():
+    bsr = build_bsr(np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0), (128, 128))
+    out = bsr_spmm_xla(bsr.block_rows, bsr.block_cols, bsr.blocks, jnp.ones((128, 8)), n_rows=128)
+    np.testing.assert_allclose(np.asarray(out), np.zeros((128, 8)))
