@@ -18,12 +18,26 @@ Environment flags (same semantics as the reference):
 from __future__ import annotations
 
 import os as _os
+import warnings as _warnings
 
 import jax as _jax
 
 if not bool(int(_os.environ.get("SPARSE_TPU_NO_X64", "0"))):
     # NumPy-parity semantics (float64/int64 defaults) require x64 mode.
     _jax.config.update("jax_enable_x64", True)
+
+# Backend selector parity (reference sparse/__init__.py:10-63): the reference
+# dispatches between Numba/Finch/MLIR via SPARSE_BACKEND; here there is one
+# JAX/XLA/Pallas backend — honor the variable and warn on unknown values so
+# programs written against the reference keep working.
+_backend = _os.environ.get("SPARSE_BACKEND", "JAX")
+if _backend.lower() not in {"jax", "numba", "auto", ""}:
+    _warnings.warn(
+        f"SPARSE_BACKEND={_backend!r} is not available in sparse_tpu; using the JAX/XLA/Pallas backend.",
+        RuntimeWarning,
+        stacklevel=2,
+    )
+del _backend
 
 from numpy import (  # noqa: E402
     add,

@@ -84,8 +84,9 @@ class DOK(SparseArray):
         ar = cls(x.shape, dtype=x.dtype, fill_value=x.fill_value)
         coords = np.asarray(x.coords)
         data = np.asarray(x.data)
-        for i in range(coords.shape[1]):
-            ar.data[tuple(int(c) for c in coords[:, i])] = data[i]
+        # vectorized bulk build: tuple keys from one transpose+tolist pass
+        keys = map(tuple, coords.T.tolist())
+        ar.data = dict(zip(keys, list(data)))
         return ar
 
     @classmethod
