@@ -147,3 +147,33 @@ def test_grad_through_spmm():
     # d(loss)/d(data_e) = sum_j b[col_e, j]
     expected = np.asarray(b).sum(axis=1)[np.asarray(cols)]
     np.testing.assert_allclose(np.asarray(g), expected)
+
+
+def test_esc_spgemm_traceable():
+    from sparse_tpu.kernels.spgemm import esc_spgemm, product_count
+
+    a = sparse.random((25, 20), density=0.2, random_state=0)
+    b = sparse.random((20, 30), density=0.2, random_state=1)
+    ra, ca = np.asarray(a.coords)
+    rb, cb = np.asarray(b.coords)
+    P = product_count(ca, rb, 20) + 5
+    out_r, out_c, out_d, nnz = esc_spgemm(
+        jnp.asarray(ra), jnp.asarray(ca), jnp.asarray(np.asarray(a.data)),
+        jnp.asarray(rb), jnp.asarray(cb), jnp.asarray(np.asarray(b.data)),
+        k=20, n=30, product_capacity=P, out_capacity=P,
+    )
+    nnz = int(nnz)
+    res = np.zeros((25, 30))
+    res[np.asarray(out_r)[:nnz], np.asarray(out_c)[:nnz]] = np.asarray(out_d)[:nnz]
+    np.testing.assert_allclose(res, a.todense() @ b.todense(), rtol=1e-10)
+
+
+def test_esc_spgemm_empty():
+    from sparse_tpu.kernels.spgemm import esc_spgemm
+
+    out_r, out_c, out_d, nnz = esc_spgemm(
+        jnp.zeros(1, jnp.int32), jnp.zeros(1, jnp.int32), jnp.zeros(1),
+        jnp.zeros(1, jnp.int32), jnp.zeros(1, jnp.int32), jnp.zeros(1),
+        k=4, n=4, product_capacity=4, out_capacity=4,
+    )
+    assert int(nnz) >= 0
