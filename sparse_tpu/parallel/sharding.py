@@ -116,27 +116,35 @@ def partition_coo_rows(coo, n_shards, mesh=None, axis_name="x", balance="rows"):
     return pcoo
 
 
-def spmm_replicated(pcoo, dense, mesh, axis_name="x"):
-    """Sharded SpMM with the dense operand replicated on every device.
-
-    out rows are sharded over the mesh; no communication beyond the input
-    broadcast. Best when ``dense`` is small (tall-skinny N)."""
-
+@functools.cache
+def _spmm_replicated_fn(mesh, axis_name, block_rows):
     def local(rows, cols, data, b):
         # rows/cols/data: (1, cap) local shard (shard_map strips mesh dim partially)
         rows = rows.reshape(-1)
         cols = cols.reshape(-1)
         data = data.reshape(-1)
         prod = data[:, None] * jnp.take(b, cols, axis=0)
-        out = jax.ops.segment_sum(prod, rows, num_segments=pcoo.block_rows)
+        out = jax.ops.segment_sum(prod, rows, num_segments=block_rows)
         return out[None]
 
-    f = jax.shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(P(axis_name, None), P(axis_name, None), P(axis_name, None), P()),
-        out_specs=P(axis_name, None, None),
+    return jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(axis_name, None), P(axis_name, None), P(axis_name, None), P()),
+            out_specs=P(axis_name, None, None),
+        )
     )
+
+
+def spmm_replicated(pcoo, dense, mesh, axis_name="x"):
+    """Sharded SpMM with the dense operand replicated on every device.
+
+    out rows are sharded over the mesh; no communication beyond the input
+    broadcast. Best when ``dense`` is small (tall-skinny N). The jitted
+    shard_map is cached per (mesh, axis, block_rows); repeated calls with
+    the same shapes reuse the compiled executable."""
+    f = _spmm_replicated_fn(mesh, axis_name, pcoo.block_rows)
     out = f(pcoo.rows, pcoo.cols, pcoo.data, dense)
     n_shards = pcoo.n_shards
     return out.reshape(n_shards * pcoo.block_rows, dense.shape[1])[: pcoo.shape[0]]
@@ -172,22 +180,13 @@ def bucket_columns(pcoo, n_buckets):
     return out_rows, out_cols, out_data, block_cols
 
 
-def spmm_ring(bucketed, pcoo_shape, block_rows, dense_sharded, mesh, axis_name="x"):
-    """Ring SpMM: dense operand K-sharded; each step contracts the local
-    column bucket matching the resident dense block, then rotates the block
-    to the next device with ``ppermute`` (overlapped by XLA with the next
-    step's compute)."""
-    out_rows, out_cols, out_data, block_cols = bucketed
-    n_shards = out_rows.shape[0]
-    M, K = pcoo_shape
-    N = dense_sharded.shape[-1]
-
+@functools.cache
+def _spmm_ring_fn(mesh, axis_name, block_rows):
     def local(rows, cols, data, b_block):
         # rows/cols/data: (1, n_buckets, bcap); b_block: (block_cols_pad, N) local K block
         rows = rows[0]
         cols = cols[0]
         data = data[0]
-        b_block = b_block.reshape(-1, N)
         idx = jax.lax.axis_index(axis_name)
         n_dev = jax.lax.axis_size(axis_name)
 
@@ -203,21 +202,58 @@ def spmm_ring(bucketed, pcoo_shape, block_rows, dense_sharded, mesh, axis_name="
             blk = jax.lax.ppermute(blk, axis_name, [(j, (j - 1) % n_dev) for j in range(n_dev)])
             return acc, blk
 
-        acc = jnp.zeros((block_rows, N), dtype=jnp.promote_types(data.dtype, b_block.dtype))
+        n_loc = b_block.shape[-1]
+        acc = jnp.zeros((block_rows, n_loc), dtype=jnp.promote_types(data.dtype, b_block.dtype))
         # mark the accumulator as device-varying so the carry types match
         # after the ppermute makes the rotating block varying over the mesh
         acc = jax.lax.pcast(acc, (axis_name,), to="varying")
         acc, _ = jax.lax.fori_loop(0, n_dev, step, (acc, b_block))
         return acc[None]
 
-    f = jax.shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(P(axis_name, None, None), P(axis_name, None, None), P(axis_name, None, None), P(axis_name, None)),
-        out_specs=P(axis_name, None, None),
+    return jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(
+                P(axis_name, None, None),
+                P(axis_name, None, None),
+                P(axis_name, None, None),
+                P(axis_name, None),
+            ),
+            out_specs=P(axis_name, None, None),
+        )
     )
+
+
+def spmm_ring(bucketed, pcoo_shape, block_rows, dense_sharded, mesh, axis_name="x"):
+    """Ring SpMM: dense operand K-sharded; each step contracts the local
+    column bucket matching the resident dense block, then rotates the block
+    to the next device with ``ppermute`` (overlapped by XLA with the next
+    step's compute). Jitted shard_map cached per (mesh, axis, block_rows)."""
+    out_rows, out_cols, out_data, block_cols = bucketed
+    n_shards = out_rows.shape[0]
+    M, K = pcoo_shape
+    N = dense_sharded.shape[-1]
+    f = _spmm_ring_fn(mesh, axis_name, block_rows)
     out = f(jnp.asarray(out_rows), jnp.asarray(out_cols), jnp.asarray(out_data), dense_sharded)
     return out.reshape(n_shards * block_rows, N)[:M]
+
+
+@functools.cache
+def _mttkrp_fn(mesh, axis_name, block_rows):
+    def local(ci, cj, ck, v, c_, d_):
+        ci, cj, ck, v = ci[0], cj[0], ck[0], v[0]
+        prod = v[:, None] * jnp.take(c_, cj, axis=0) * jnp.take(d_, ck, axis=0)
+        return jax.ops.segment_sum(prod, ci, num_segments=block_rows)[None]
+
+    return jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(axis_name, None),) * 4 + (P(), P()),
+            out_specs=P(axis_name, None, None),
+        )
+    )
 
 
 def mttkrp_sharded(coords_i, coords_j, coords_k, data, c, d, n_rows, mesh, axis_name="x"):
@@ -225,17 +261,6 @@ def mttkrp_sharded(coords_i, coords_j, coords_k, data, c, d, n_rows, mesh, axis_
     output axis); factor matrices are replicated (they are small). Inputs
     must already be bucketed per shard with a leading shard dim."""
     block_rows = -(-n_rows // coords_i.shape[0])
-
-    def local(ci, cj, ck, v, c_, d_):
-        ci, cj, ck, v = ci[0], cj[0], ck[0], v[0]
-        prod = v[:, None] * jnp.take(c_, cj, axis=0) * jnp.take(d_, ck, axis=0)
-        return jax.ops.segment_sum(prod, ci, num_segments=block_rows)[None]
-
-    f = jax.shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(P(axis_name, None),) * 4 + (P(), P()),
-        out_specs=P(axis_name, None, None),
-    )
+    f = _mttkrp_fn(mesh, axis_name, block_rows)
     out = f(coords_i, coords_j, coords_k, data, c, d)
     return out.reshape(-1, c.shape[1])[:n_rows]
