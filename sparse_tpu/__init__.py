@@ -215,6 +215,8 @@ from .ops.creation import (  # noqa: E402
 )
 from . import kernels  # noqa: E402
 from . import parallel  # noqa: E402
+from . import profiling  # noqa: E402
+from .profiling import compiled  # noqa: E402
 
 __version__ = "0.1.0"
 

@@ -177,6 +177,15 @@ def random(
     draw-and-dedup rejection (uniform over fixed-size subsets by
     exchangeability) instead of the reference's sequential Vitter algD/algA
     (``_utils.py:103-215``) — the vectorized form is host/TPU friendly.
+
+    Examples
+    --------
+    >>> import sparse_tpu as sparse
+    >>> s = sparse.random((10, 10), density=0.1, random_state=42)
+    >>> s.nnz
+    10
+    >>> s.shape
+    (10, 10)
     """
     from .core.coo import COO
 

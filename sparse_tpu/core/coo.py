@@ -44,6 +44,21 @@ class COO(SparseArray):
     data : array-like (nnz,), optional
     shape : tuple of int, optional (inferred from coords when omitted)
     fill_value : scalar, default 0
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> import sparse_tpu as sparse
+    >>> x = np.array([[0.0, 1.0, 0.0], [2.0, 0.0, 3.0]])
+    >>> s = sparse.COO.from_numpy(x)
+    >>> s.nnz
+    3
+    >>> s.todense().tolist()
+    [[0.0, 1.0, 0.0], [2.0, 0.0, 3.0]]
+    >>> (s * 2).data.tolist()
+    [2.0, 4.0, 6.0]
+    >>> s.sum(axis=0).todense().tolist()
+    [2.0, 1.0, 3.0]
     """
 
     def __init__(

@@ -294,6 +294,18 @@ def nanprod(x, axis=None, keepdims=False, dtype=None, out=None):
 
 
 def where(condition, x=None, y=None):
+    """Ternary select (or coordinate query with one argument).
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> import sparse_tpu as sparse
+    >>> s = sparse.COO.from_numpy(np.array([0.0, 1.0, 2.0]))
+    >>> sparse.where(s > 1, s, 0.0).todense().tolist()
+    [0.0, 0.0, 2.0]
+    >>> [i.tolist() for i in sparse.where(s)]
+    [[1, 2]]
+    """
     from .elemwise import elemwise
 
     x_given = x is not None

@@ -34,7 +34,17 @@ __all__ = ["tensordot", "matmul", "dot", "vecdot", "sddmm"]
 
 
 def tensordot(a, b, axes=2, *, return_type=None):
-    """Tensor contraction over the given axes (numpy semantics)."""
+    """Tensor contraction over the given axes (numpy semantics).
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> import sparse_tpu as sparse
+    >>> a = sparse.COO.from_numpy(np.eye(3))
+    >>> b = np.arange(6.0).reshape(3, 2)
+    >>> sparse.tensordot(a, b, axes=(1, 0)).tolist()
+    [[0.0, 1.0], [2.0, 3.0], [4.0, 5.0]]
+    """
     from ..core.gcxs import GCXS
 
     check_zero_fill_value(a, b, func_name="tensordot")
