@@ -391,6 +391,26 @@ class SparseArray(np.lib.mixins.NDArrayOperatorsMixin):
 
         return elemwise(np.conj, self)
 
+    def isnan(self):
+        from ..ops.elemwise import elemwise
+
+        return elemwise(np.isnan, self)
+
+    def isinf(self):
+        from ..ops.elemwise import elemwise
+
+        return elemwise(np.isinf, self)
+
+    def maybe_densify(self, max_size=1000, min_density=0.25):
+        """Densify if small or dense enough, else raise (reference
+        ``_sparse_array.py`` semantics)."""
+        if self.size > max_size and self.density < min_density:
+            raise ValueError("Operation would require converting large sparse array to dense")
+        return self.todense()
+
+    def todok(self):
+        return self.asformat("dok")
+
     # -- scalar conversion ---------------------------------------------------------
     def _to_scalar(self, builtin):
         if self.size != 1 or self.shape != ():

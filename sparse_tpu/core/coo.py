@@ -365,10 +365,6 @@ class COO(SparseArray):
             out = data[-1].reshape(())
         return out
 
-    def maybe_densify(self, max_size=1000, min_density=0.25):
-        if self.size > max_size and self.density < min_density:
-            raise ValueError("Operation would require converting large sparse array to dense")
-        return self.todense()
 
     # -- conversions -------------------------------------------------------------------
     def asformat(self, format, **kwargs):
@@ -636,15 +632,6 @@ class COO(SparseArray):
             )
         return COO._make(self.coords, self.data, self.shape, self.fill_value)
 
-    def isnan(self):
-        from ..ops.elemwise import elemwise
-
-        return elemwise(np.isnan, self)
-
-    def isinf(self):
-        from ..ops.elemwise import elemwise
-
-        return elemwise(np.isinf, self)
 
 
 def _nondecreasing(lin):

@@ -405,15 +405,6 @@ class GCXS(SparseArray):
             )
         return GCXS._make(self.data, self.indices, self.indptr, self.shape, self.compressed_axes, self.fill_value)
 
-    def isnan(self):
-        from ..ops.elemwise import elemwise
-
-        return elemwise(np.isnan, self)
-
-    def isinf(self):
-        from ..ops.elemwise import elemwise
-
-        return elemwise(np.isinf, self)
 
 
 def _uncompress_indptr_np(indptr):
