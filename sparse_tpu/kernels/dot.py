@@ -39,27 +39,28 @@ def on_cpu():
     return jax.default_device(dev)
 
 
-@functools.partial(jax.jit, static_argnames=("n_rows", "strategy"))
-def coo_spmm(rows, cols, data, dense, *, n_rows, strategy="scatter"):
+@functools.partial(jax.jit, static_argnames=("n_rows", "strategy", "rows_sorted"))
+def coo_spmm(rows, cols, data, dense, *, n_rows, strategy="scatter", rows_sorted=True):
     """``A @ B`` for COO ``A`` (zero fill) and dense ``B`` → dense.
 
-    rows/cols/data: the canonical (row-major sorted) COO triplet of A
-    with shape (nnz,); dense: (K, N). Returns (n_rows, N).
+    rows/cols/data: the COO triplet of A with shape (nnz,); dense: (K, N).
+    Returns (n_rows, N). ``rows_sorted`` is the canonical-row-order hint
+    (False for e.g. a CSC-derived triplet).
     """
     gathered = jnp.take(dense, cols, axis=0)
     prod = data[:, None] * gathered
     if strategy == "cumsum":
         return _sorted_segment_sum_cumsum(prod, rows, n_rows)
-    return jax.ops.segment_sum(prod, rows, num_segments=n_rows, indices_are_sorted=True)
+    return jax.ops.segment_sum(prod, rows, num_segments=n_rows, indices_are_sorted=rows_sorted)
 
 
-@functools.partial(jax.jit, static_argnames=("n_rows", "strategy"))
-def coo_spmv(rows, cols, data, x, *, n_rows, strategy="scatter"):
+@functools.partial(jax.jit, static_argnames=("n_rows", "strategy", "rows_sorted"))
+def coo_spmv(rows, cols, data, x, *, n_rows, strategy="scatter", rows_sorted=True):
     """``A @ x`` for COO ``A`` and dense vector ``x`` → dense (n_rows,)."""
     prod = data * jnp.take(x, cols)
     if strategy == "cumsum":
         return _sorted_segment_sum_cumsum(prod[:, None], rows, n_rows)[:, 0]
-    return jax.ops.segment_sum(prod, rows, num_segments=n_rows, indices_are_sorted=True)
+    return jax.ops.segment_sum(prod, rows, num_segments=n_rows, indices_are_sorted=rows_sorted)
 
 
 @functools.partial(jax.jit, static_argnames=("n_out_cols",))

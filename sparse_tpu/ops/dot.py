@@ -296,12 +296,32 @@ def _dot(a, b, return_type=None):
 
 
 def _spmm_dense(a, b):
-    """sparse (M, K) × dense (K,) or (K, N) → dense, via XLA kernel."""
+    """sparse (M, K) × dense (K,) or (K, N) → dense, via XLA kernel.
+
+    2-D GCXS inputs use their compressed buffers directly (CSR: rows from
+    indptr; CSC: indices are the row ids) — no COO materialization, the
+    path of reference ``_dot_csr_ndarray_type`` / ``_dot_csc_ndarray_type``."""
+    from ..core.gcxs import GCXS
     from ..kernels import dot as kdot
 
-    a_coo = a.tocoo() if not isinstance(a, COO) else a
-    coords = np.asarray(a_coo.coords)
-    data = np.asarray(a_coo.data)
+    if isinstance(a, GCXS) and a.ndim == 2 and a.compressed_axes in ((0,), (1,)):
+        from ..core.gcxs import _uncompress_indptr_np
+
+        rows_sorted = True
+        if a.compressed_axes == (0,):
+            rows = _uncompress_indptr_np(np.asarray(a.indptr))
+            cols = np.asarray(a.indices).astype(np.int64)
+        else:  # CSC: internal CSR is of Aᵀ
+            cols = _uncompress_indptr_np(np.asarray(a.indptr))
+            rows = np.asarray(a.indices).astype(np.int64)
+            rows_sorted = False
+        coords = np.stack([rows, cols])
+        data = np.asarray(a.data)
+    else:
+        rows_sorted = True
+        a_coo = a.tocoo() if not isinstance(a, COO) else a
+        coords = np.asarray(a_coo.coords)
+        data = np.asarray(a_coo.data)
     dt = np.promote_types(data.dtype, b.dtype)
     if np.issubdtype(dt, np.complexfloating) or dt.itemsize > 8 or dt == np.float16:
         # dtypes XLA handles awkwardly: dense fallback through numpy
@@ -310,9 +330,9 @@ def _spmm_dense(a, b):
     b = b.astype(dt, copy=False)
     with kdot.on_cpu():
         if b.ndim == 1:
-            out = kdot.coo_spmv(coords[0], coords[1], data, b, n_rows=a.shape[0])
+            out = kdot.coo_spmv(coords[0], coords[1], data, b, n_rows=a.shape[0], rows_sorted=rows_sorted)
         else:
-            out = kdot.coo_spmm(coords[0], coords[1], data, b, n_rows=a.shape[0])
+            out = kdot.coo_spmm(coords[0], coords[1], data, b, n_rows=a.shape[0], rows_sorted=rows_sorted)
     return np.asarray(out).astype(dt, copy=False)
 
 

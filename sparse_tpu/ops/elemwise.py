@@ -110,6 +110,27 @@ def elemwise(func, *args, **kwargs):
     if full_size > np.iinfo(np.int64).max:
         raise ValueError("array too large for element-wise operation")
 
+    # fast path: all sparse operands share one coordinate pattern at the
+    # full shape (x + x, chains over one mask) — skip the union/searches
+    if (
+        all(a.shape == full_shape for a in sparse_args)
+        and len({a.nnz for a in sparse_args}) == 1
+        and (
+            len(sparse_args) == 1
+            or all(
+                a.coords is sparse_args[0].coords or np.array_equal(np.asarray(a.coords), np.asarray(sparse_args[0].coords))
+                for a in sparse_args[1:]
+            )
+        )
+    ):
+        union_coords = np.asarray(sparse_args[0].coords).astype(np.int64, copy=False)
+        values = [
+            np.asarray(a.data) if isinstance(a, COO) else _gather_dense(a, union_coords, full_shape) for a in args
+        ]
+        return _finish_elemwise(
+            func, values, union_coords, full_shape, fill_value, out_dtype, dtype, kwargs, out_format, out_kwargs
+        )
+
     expanded = [
         _expand_linear_coords(a, full_shape) for a in args if isinstance(a, COO)
     ]
@@ -127,12 +148,18 @@ def elemwise(func, *args, **kwargs):
             values.append(_lookup_coo(a, union_coords, full_shape))
         else:
             values.append(_gather_dense(a, union_coords, full_shape))
+    return _finish_elemwise(
+        func, values, union_coords, full_shape, fill_value, out_dtype, dtype, kwargs, out_format, out_kwargs
+    )
+
+
+def _finish_elemwise(func, values, union_coords, full_shape, fill_value, out_dtype, dtype, kwargs, out_format, out_kwargs):
     result_data = func(*values, dtype=dtype, **kwargs) if dtype is not None else func(*values, **kwargs)
     result_data = np.asarray(result_data)
     if result_data.dtype != out_dtype:
         result_data = result_data.astype(out_dtype)
     if result_data.ndim == 0:
-        result_data = np.broadcast_to(result_data, union.shape).copy()
+        result_data = np.broadcast_to(result_data, (union_coords.shape[1],)).copy()
     elif result_data.ndim == 2 and result_data.shape[0] == 1:
         result_data = result_data[0]
 

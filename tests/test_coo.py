@@ -656,3 +656,34 @@ def test_scalar_conversions():
     assert float(s) == 3.5
     assert int(s) == 3
     assert bool(s)
+
+
+@pytest.mark.parametrize("dtype", [np.float64, np.float32, np.float16, np.int64, np.int32, np.uint8, np.bool_, np.complex128])
+def test_dtype_grid_roundtrip_and_sum(dtype):
+    rng = np.random.default_rng(11)
+    x = (rng.random((5, 6)) * 4).astype(dtype)
+    x[(rng.random((5, 6)) < 0.5)] = 0
+    s = COO.from_numpy(x)
+    assert s.dtype == dtype
+    assert_eq(s, x)
+    assert_eq(s.sum(axis=0), x.sum(axis=0))
+    if np.issubdtype(dtype, np.number) and dtype != np.bool_:
+        assert_eq(s + s, x + x)
+
+
+def test_warn_on_too_dense(monkeypatch):
+    import sparse_tpu.core.coo as coo_mod
+
+    monkeypatch.setattr(coo_mod, "WARN_ON_TOO_DENSE", True)
+    with pytest.warns(RuntimeWarning, match="no less memory"):
+        COO.from_numpy(np.ones((3, 3)))
+
+
+def test_auto_densify(monkeypatch):
+    import sparse_tpu.core.base as base_mod
+
+    s = sparse.random((3, 3), density=0.5, random_state=0)
+    monkeypatch.setattr(base_mod, "AUTO_DENSIFY", True)
+    arr = np.asarray(s)
+    assert isinstance(arr, np.ndarray)
+    np.testing.assert_allclose(arr, s.todense())
