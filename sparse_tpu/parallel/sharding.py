@@ -72,10 +72,15 @@ class PartitionedCOO:
 def partition_coo_rows(coo, n_shards, mesh=None, axis_name="x", balance="rows"):
     """Partition a 2-D COO array into ``n_shards`` row blocks.
 
-    ``balance="rows"`` splits the row space evenly; each shard's nnz is
-    padded to the global max (static capacity). Returns a
-    :class:`PartitionedCOO`; if ``mesh`` is given, the leaves are placed with
-    a ``(axis_name, None)`` sharding so shard i lives on device i.
+    ``balance="rows"`` splits the row space evenly. ``balance="nnz"`` picks
+    row boundaries that equalize stored entries per shard (SURVEY §7.4-6:
+    skewed matrices otherwise leave most chips idle); shards then cover
+    unequal row ranges, all padded to a common ``block_rows``, and local row
+    ids are relative to each shard's own start (``row_starts``).
+
+    Each shard's nnz is padded to the global max (static capacity). Returns
+    a :class:`PartitionedCOO`; if ``mesh`` is given, the leaves are placed
+    with a ``(axis_name, None)`` sharding so shard i lives on device i.
     """
     from ..core.coo import COO
 
@@ -87,6 +92,40 @@ def partition_coo_rows(coo, n_shards, mesh=None, axis_name="x", balance="rows"):
     rows = np.asarray(coo.coords[0]).astype(np.int64)
     cols = np.asarray(coo.coords[1]).astype(np.int64)
     data = np.asarray(coo.data)
+
+    if balance == "nnz" and rows.size:
+        # boundaries at equal-nnz quantiles of the (sorted) row stream,
+        # snapped to row edges
+        targets = (np.arange(1, n_shards) * rows.size) // n_shards
+        boundary_rows = np.minimum(rows[targets] + 1, M)
+        row_starts = np.concatenate([[0], np.sort(boundary_rows)]).astype(np.int64)
+        shard_of = np.searchsorted(row_starts, rows, side="right") - 1
+        extents = np.diff(np.concatenate([row_starts, [M]]))
+        block_rows = max(int(extents.max()), 1)
+        counts = np.bincount(shard_of, minlength=n_shards)
+        cap = max(int(counts.max()), 1)
+        out_rows = np.zeros((n_shards, cap), dtype=np.int32)
+        out_cols = np.zeros((n_shards, cap), dtype=np.int32)
+        out_data = np.zeros((n_shards, cap), dtype=data.dtype)
+        for s in range(n_shards):
+            sel = shard_of == s
+            k = int(counts[s])
+            out_rows[s, :k] = (rows[sel] - row_starts[s]).astype(np.int32)
+            out_cols[s, :k] = cols[sel].astype(np.int32)
+            out_data[s, :k] = data[sel]
+        pcoo = PartitionedCOO(out_rows, out_cols, out_data, (M, K), block_rows)
+        pcoo.row_starts = row_starts
+        if mesh is not None:
+            sh = NamedSharding(mesh, P(axis_name, None))
+            pcoo = PartitionedCOO(
+                jax.device_put(jnp.asarray(out_rows), sh),
+                jax.device_put(jnp.asarray(out_cols), sh),
+                jax.device_put(jnp.asarray(out_data), sh),
+                (M, K),
+                block_rows,
+            )
+            pcoo.row_starts = row_starts
+        return pcoo
 
     block_rows = -(-M // n_shards)
     shard_of = rows // block_rows
@@ -147,6 +186,12 @@ def spmm_replicated(pcoo, dense, mesh, axis_name="x"):
     f = _spmm_replicated_fn(mesh, axis_name, pcoo.block_rows)
     out = f(pcoo.rows, pcoo.cols, pcoo.data, dense)
     n_shards = pcoo.n_shards
+    row_starts = getattr(pcoo, "row_starts", None)
+    if row_starts is not None:
+        # nnz-balanced shards cover ragged row ranges; stitch the valid
+        # prefix of each shard's padded output block
+        extents = np.diff(np.concatenate([row_starts, [pcoo.shape[0]]]))
+        return jnp.concatenate([out[s, : int(e)] for s, e in enumerate(extents)], axis=0)
     return out.reshape(n_shards * pcoo.block_rows, dense.shape[1])[: pcoo.shape[0]]
 
 

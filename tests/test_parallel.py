@@ -96,3 +96,22 @@ def test_graft_entry_dryrun():
     out = jax.jit(fn)(*args)
     assert out[0].shape == (8192, 128)
     ge.dryrun_multichip(4)
+
+
+def test_spmm_nnz_balanced(mesh):
+    # skewed matrix: most entries in the first rows
+    rng = np.random.default_rng(5)
+    n_skew = 5000
+    rows = np.concatenate([rng.integers(0, 20, n_skew), rng.integers(20, 500, 500)])
+    cols = np.concatenate([rng.integers(0, 300, n_skew), rng.integers(0, 300, 500)])
+    data = rng.random(rows.size)
+    a = sparse.COO(np.stack([rows, cols]), data, shape=(500, 300))
+    b = rng.random((300, 8))
+    expected = a.todense() @ b
+
+    pcoo = partition_coo_rows(a, N_DEV, mesh=mesh, balance="nnz")
+    # balanced: max shard population within 2x of mean
+    counts = (np.asarray(pcoo.data) != 0).sum(axis=1)
+    assert counts.max() <= 2.5 * counts.mean()
+    out = spmm_replicated(pcoo, jnp.asarray(b), mesh)
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-10)
