@@ -559,7 +559,7 @@ class COO(SparseArray):
         else:
             inv_idx = np.empty(0, dtype=rows.dtype)
             counts = np.empty(0, dtype=np.intp)
-            dtype = kwargs.get("dtype") or method.reduce(np.empty(0, dtype=data.dtype)).dtype
+            dtype = kwargs.get("dtype") or method.reduce(np.ones(1, dtype=data.dtype)).dtype
             result = np.empty(0, dtype=dtype)
         arr_attrs = (a, neg_shape, inv_idx)
         n_cols = a.shape[1]

@@ -48,6 +48,10 @@ def getitem(x, index):
     adv_positions = []
     adv_arrays = []
     adv_dims = []
+    # numpy rule: integer indices become 0-d *advanced* indices when any
+    # array index is present — their positions count for the
+    # contiguous-vs-front placement of the advanced result dimension
+    has_arrays = any(not isinstance(k, (Integral, slice, type(None))) for k in index)
 
     d = 0
     for pos, k in enumerate(index):
@@ -56,7 +60,11 @@ def getitem(x, index):
             continue
         if isinstance(k, Integral):
             mask &= coords[d] == int(k)
-            dim_entries.append({"kind": "int"})
+            if has_arrays:
+                adv_positions.append(pos)
+                dim_entries.append({"kind": "advint"})
+            else:
+                dim_entries.append({"kind": "int"})
         elif isinstance(k, slice):
             start, stop, step = k.start, k.stop, k.step
             size = len(range(start, stop, step))
@@ -147,7 +155,7 @@ def getitem(x, index):
                 c = c[rep_idx]
             out_coords.append(c)
             out_shape.append(entry["size"])
-        elif kind == "adv":
+        elif kind in ("adv", "advint"):
             if not adv_emitted:
                 out_coords.append(adv_result_coord)
                 out_shape.append(L)

@@ -1,0 +1,119 @@
+"""Randomized differential tests: random shapes/densities/fill-values/ops,
+always compared against dense numpy. A cheap hypothesis-style sweep that
+exercises interactions the curated suites don't."""
+
+import numpy as np
+import pytest
+
+import sparse_tpu as sparse
+from sparse_tpu import COO
+from sparse_tpu._utils import assert_eq
+
+N_CASES = 40
+
+
+def random_case(rng):
+    ndim = int(rng.integers(1, 4))
+    shape = tuple(int(rng.integers(1, 8)) for _ in range(ndim))
+    density = float(rng.uniform(0.05, 0.6))
+    fv = float(rng.choice([0.0, 0.0, 0.0, 1.5, -2.0]))
+    x = rng.random(shape)
+    mask = rng.random(shape) < density
+    dense = np.where(mask, x, fv)
+    return dense, COO.from_numpy(dense, fill_value=fv)
+
+
+@pytest.mark.parametrize("seed", range(N_CASES))
+def test_fuzz_elemwise_binary(seed):
+    rng = np.random.default_rng(seed)
+    dense, s = random_case(rng)
+    dense2 = np.where(rng.random(dense.shape) < 0.4, rng.random(dense.shape), np.asarray(s.fill_value))
+    s2 = COO.from_numpy(dense2, fill_value=float(np.asarray(s.fill_value)))
+    op = rng.choice([np.add, np.multiply, np.maximum, np.minimum, np.subtract])
+    assert_eq(op(s, s2), op(dense, dense2), check_nnz=False)
+
+
+@pytest.mark.parametrize("seed", range(N_CASES))
+def test_fuzz_reduce(seed):
+    rng = np.random.default_rng(seed + 1000)
+    dense, s = random_case(rng)
+    axis_opts = [None] + list(range(dense.ndim))
+    axis = axis_opts[int(rng.integers(0, len(axis_opts)))]
+    keepdims = bool(rng.integers(0, 2))
+    red = rng.choice(["sum", "max", "min", "mean"])
+    expected = getattr(dense, red)(axis=axis, keepdims=keepdims)
+    got = getattr(s, red)(axis=axis, keepdims=keepdims)
+    assert_eq(got, expected, check_nnz=False)
+
+
+@pytest.mark.parametrize("seed", range(N_CASES))
+def test_fuzz_reshape_transpose(seed):
+    rng = np.random.default_rng(seed + 2000)
+    dense, s = random_case(rng)
+    perm = tuple(rng.permutation(dense.ndim).tolist())
+    assert_eq(s.transpose(perm), dense.transpose(perm))
+    assert_eq(s.reshape((-1,)), dense.reshape(-1))
+    assert_eq(s.reshape(dense.shape[::-1]), dense.reshape(dense.shape[::-1]))
+
+
+@pytest.mark.parametrize("seed", range(N_CASES))
+def test_fuzz_indexing(seed):
+    rng = np.random.default_rng(seed + 3000)
+    dense, s = random_case(rng)
+    idx = []
+    for d in dense.shape:
+        kind = rng.integers(0, 4)
+        if kind == 0:
+            idx.append(int(rng.integers(-d, d)))
+        elif kind == 1:
+            a = int(rng.integers(0, d + 1))
+            b = int(rng.integers(0, d + 1))
+            step = int(rng.choice([1, 1, 2, -1]))
+            idx.append(slice(min(a, b), max(a, b), step) if step > 0 else slice(None, None, -1))
+        elif kind == 2:
+            idx.append(slice(None))
+        else:
+            n = int(rng.integers(1, d + 1))
+            idx.append(rng.integers(0, d, n))
+    idx = tuple(idx)
+    # numpy: multiple advanced indices must broadcast; keep at most one array
+    arrays = [i for i in idx if isinstance(i, np.ndarray)]
+    if len(arrays) > 1:
+        idx = tuple(i if not isinstance(i, np.ndarray) else slice(None) for i in idx[:-1]) + (idx[-1],)
+    expected = dense[idx]
+    got = s[idx]
+    if np.isscalar(expected) or expected.ndim == 0:
+        assert np.allclose(np.asarray(got), expected)
+    else:
+        assert_eq(got, expected, check_nnz=False)
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_fuzz_matmul(seed):
+    rng = np.random.default_rng(seed + 4000)
+    m, k, n = (int(rng.integers(1, 12)) for _ in range(3))
+    a = sparse.random((m, k), density=float(rng.uniform(0.1, 0.7)), random_state=int(rng.integers(1 << 16)))
+    b = sparse.random((k, n), density=float(rng.uniform(0.1, 0.7)), random_state=int(rng.integers(1 << 16)))
+    assert_eq(a @ b, a.todense() @ b.todense(), check_nnz=False)
+    d = rng.random((k, n))
+    np.testing.assert_allclose(a @ d, a.todense() @ d)
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_fuzz_format_roundtrip(seed):
+    rng = np.random.default_rng(seed + 5000)
+    dense, s = random_case(rng)
+    fmt = rng.choice(["gcxs", "dok"])
+    conv = s.asformat(fmt)
+    assert_eq(conv, dense)
+    assert_eq(conv.asformat("coo"), s)
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_fuzz_concat_stack(seed):
+    rng = np.random.default_rng(seed + 6000)
+    dense, s = random_case(rng)
+    axis = int(rng.integers(0, dense.ndim))
+    assert_eq(sparse.concatenate([s, s], axis=axis), np.concatenate([dense, dense], axis=axis), check_nnz=False)
+    axis2 = int(rng.integers(0, dense.ndim + 1))
+    assert_eq(sparse.stack([s, s], axis=axis2), np.stack([dense, dense], axis=axis2), check_nnz=False)
