@@ -117,3 +117,49 @@ def test_fuzz_concat_stack(seed):
     assert_eq(sparse.concatenate([s, s], axis=axis), np.concatenate([dense, dense], axis=axis), check_nnz=False)
     axis2 = int(rng.integers(0, dense.ndim + 1))
     assert_eq(sparse.stack([s, s], axis=axis2), np.stack([dense, dense], axis=axis2), check_nnz=False)
+
+
+EINSUM_SPECS = [
+    ("ij,jk->ik", [(0, 1), (1, 2)]),
+    ("ij,ik->jk", [(0, 1), (0, 2)]),
+    ("ijk,ik->ij", [(0, 1, 2), (0, 2)]),
+    ("ij,ij->i", [(0, 1), (0, 1)]),
+    ("ijk->j", [(0, 1, 2)]),
+    ("ii->i", [(0, 0)]),
+]
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_fuzz_einsum(seed):
+    rng = np.random.default_rng(seed + 7000)
+    spec, dim_ids = EINSUM_SPECS[int(rng.integers(0, len(EINSUM_SPECS)))]
+    extents = {d: int(rng.integers(2, 7)) for d in range(3)}
+    operands, denses = [], []
+    for ids in dim_ids:
+        shape = tuple(extents[d] for d in ids)
+        s = sparse.random(shape, density=float(rng.uniform(0.2, 0.7)), random_state=int(rng.integers(1 << 16)))
+        operands.append(s)
+        denses.append(s.todense())
+    expected = np.einsum(spec, *denses)
+    got = sparse.einsum(spec, *operands)
+    if isinstance(got, sparse.SparseArray):
+        assert_eq(got, expected, check_nnz=False)
+    else:
+        np.testing.assert_allclose(np.asarray(got), expected)
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_fuzz_sort_where(seed):
+    rng = np.random.default_rng(seed + 8000)
+    dense, s = random_case(rng)
+    if dense.ndim >= 1:
+        ax = int(rng.integers(0, dense.ndim))
+        desc = bool(rng.integers(0, 2))
+        expected = np.sort(dense, axis=ax)
+        if desc:
+            expected = np.flip(expected, axis=ax)
+        assert_eq(sparse.sort(s, axis=ax, descending=desc), expected, check_nnz=False)
+    thresh = float(rng.uniform(0, 1))
+    assert_eq(
+        sparse.where(s > thresh, s, s * 0), np.where(dense > thresh, dense, dense * 0), check_nnz=False
+    )
