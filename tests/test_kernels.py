@@ -177,3 +177,39 @@ def test_esc_spgemm_empty():
         k=4, n=4, product_capacity=4, out_capacity=4,
     )
     assert int(nnz) >= 0
+
+
+def test_coo_elemwise_union_traceable():
+    from sparse_tpu.kernels.elemwise import coo_elemwise_union
+
+    a = sparse.random((6, 7), density=0.3, random_state=0, fill_value=1.0)
+    b = sparse.random((6, 7), density=0.3, random_state=1, fill_value=2.0)
+    lin_a = jnp.asarray(np.asarray(a.linear_loc()))
+    lin_b = jnp.asarray(np.asarray(b.linear_loc()))
+    lin_out, data_out, fill_out, nnz_out = coo_elemwise_union(
+        lin_a, jnp.asarray(np.asarray(a.data)), 1.0,
+        lin_b, jnp.asarray(np.asarray(b.data)), 2.0,
+        func=jnp.add, size=42,
+    )
+    n = int(nnz_out)
+    dense = np.full(42, float(fill_out))
+    dense[np.asarray(lin_out)[:n]] = np.asarray(data_out)[:n]
+    expected = (a.todense() + b.todense()).reshape(-1)
+    np.testing.assert_allclose(dense, expected)
+
+
+def test_coo_elemwise_union_in_jit():
+    from sparse_tpu.kernels.elemwise import coo_elemwise_union
+
+    a = sparse.random((5, 5), density=0.4, random_state=2)
+    b = sparse.random((5, 5), density=0.4, random_state=3)
+
+    @jax.jit
+    def f(la, da, lb, db):
+        lo, do, fo, n = coo_elemwise_union(la, da, 0.0, lb, db, 0.0, func=jnp.multiply, size=25)
+        return do.sum()
+
+    got = float(f(jnp.asarray(np.asarray(a.linear_loc())), jnp.asarray(np.asarray(a.data)),
+                  jnp.asarray(np.asarray(b.linear_loc())), jnp.asarray(np.asarray(b.data))))
+    expected = float((a.todense() * b.todense()).sum())
+    assert np.isclose(got, expected)
