@@ -44,10 +44,18 @@ def equivalent(x, y, /, loose=False):
     if x.size == 0 or y.size == 0:
         shape = np.broadcast_shapes(x.shape, y.shape)
         return np.empty(shape, dtype=np.bool_)
-    xb, yb = np.broadcast_arrays(x.astype(dt)[..., None], y.astype(dt)[..., None])
-    return (xb.view(np.uint8).reshape(xb.shape[:-1] + (-1,)) == yb.view(np.uint8).reshape(yb.shape[:-1] + (-1,))).all(
-        axis=-1
-    )
+
+    if np.issubdtype(dt, np.complexfloating):
+        xc = np.ascontiguousarray(x.astype(dt))
+        yc = np.ascontiguousarray(y.astype(dt))
+        return equivalent(xc.real, yc.real) & equivalent(xc.imag, yc.imag)
+
+    # single-pass bit compare through a matching-width unsigned view
+    bits = {2: np.uint16, 4: np.uint32, 8: np.uint64}[np.dtype(dt).itemsize]
+    shape = np.broadcast_shapes(x.shape, y.shape)
+    xb = np.ascontiguousarray(np.broadcast_to(x.astype(dt), shape))
+    yb = np.ascontiguousarray(np.broadcast_to(y.astype(dt), shape))
+    return (xb.view(bits) == yb.view(bits)).reshape(shape)
 
 
 def equivalent_jnp(x, fill_value):

@@ -70,11 +70,13 @@ class BSR(NamedTuple):
         return out[:m, :n]
 
 
-def build_bsr(rows, cols, data, shape, block_shape=(128, 128)):
+def build_bsr(rows, cols, data, shape, block_shape=(128, 128), pad_run_multiple=1):
     """Build a BSR layout from COO triplets (host-side, one-time).
 
     Every empty block-row receives one zero block so the Pallas kernel's
-    output tiles are always initialized."""
+    output tiles are always initialized. ``pad_run_multiple > 1`` pads each
+    block-row's run of stored blocks to a multiple of that count (with zero
+    blocks) so the unrolled kernel can consume fixed-size groups."""
     bm, bn = block_shape
     m, k = shape
     n_block_rows = -(-m // bm)
@@ -114,10 +116,28 @@ def build_bsr(rows, cols, data, shape, block_shape=(128, 128)):
         total = 1
     # final row-major order over (brow, bcol)
     forder = np.argsort(all_brow.astype(np.int64) * (-(-k // bn)) + all_bcol, kind="stable")
+    blocks = blocks[:total][forder]
+    all_brow = all_brow[forder]
+    all_bcol = all_bcol[forder]
+
+    if pad_run_multiple > 1:
+        counts = np.bincount(all_brow, minlength=n_block_rows)
+        padded = -(-counts // pad_run_multiple) * pad_run_multiple
+        extra = padded - counts
+        if extra.sum():
+            pad_rows = np.repeat(np.arange(n_block_rows, dtype=np.int32), extra)
+            blocks = np.concatenate([blocks, np.zeros((pad_rows.size, bm, bn), dtype=blocks.dtype)])
+            all_brow = np.concatenate([all_brow, pad_rows])
+            all_bcol = np.concatenate([all_bcol, np.zeros(pad_rows.size, dtype=np.int32)])
+            forder = np.argsort(all_brow.astype(np.int64) * (-(-k // bn) + 1), kind="stable")
+            blocks = blocks[forder]
+            all_brow = all_brow[forder]
+            all_bcol = all_bcol[forder]
+
     return BSR(
-        jnp.asarray(blocks[:total][forder]),
-        jnp.asarray(all_brow[forder]),
-        jnp.asarray(all_bcol[forder]),
+        jnp.asarray(blocks),
+        jnp.asarray(all_brow),
+        jnp.asarray(all_bcol),
         (m, k),
         (bm, bn),
     )
@@ -189,6 +209,70 @@ def bsr_spmm_pallas(
             out_shape=jax.ShapeDtypeStruct((n_block_rows * bm, n_tiles * n_tile), dense.dtype),
             interpret=interpret,
         )(block_rows, block_cols, blocks.reshape(n_blocks * bm, bn), dense)
+    return out[:n_rows, :n]
+
+
+def _spmm_kernel2(block_rows_ref, block_cols_ref, blocks_ref, b0_ref, b1_ref, out_ref, acc_ref, *, precision):
+    j = pl.program_id(1)
+    row = block_rows_ref[2 * j]
+    prev_row = block_rows_ref[jnp.maximum(2 * j, 1) - 1]
+    is_first = jnp.logical_or(j == 0, row != prev_row)
+
+    @pl.when(is_first)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    bm = acc_ref.shape[0]
+    acc_ref[...] += jnp.dot(
+        blocks_ref[:bm], b0_ref[...], preferred_element_type=acc_ref.dtype, precision=precision
+    ) + jnp.dot(
+        blocks_ref[bm:], b1_ref[...], preferred_element_type=acc_ref.dtype, precision=precision
+    )
+    out_ref[...] = acc_ref[...].astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("n_rows", "block_shape", "n_tile", "interpret"))
+def bsr_spmm_pallas2(
+    block_rows, block_cols, blocks, dense, *, n_rows, block_shape=(128, 128), n_tile=512, interpret=False
+):
+    """Unrolled variant of :func:`bsr_spmm_pallas` consuming TWO stored
+    blocks per grid step (halves per-step overhead). Requires the layout
+    built with ``build_bsr(..., pad_run_multiple=2)`` so each block-row's
+    run has even length."""
+    bm, bn = block_shape
+    n_blocks = blocks.shape[0]
+    assert n_blocks % 2 == 0, "pad_run_multiple=2 layout required"
+    k, n = dense.shape
+    n_tile = min(n_tile, max(-(-n // 128) * 128, 128))
+    n_block_rows = -(-n_rows // bm)
+    n_tiles = -(-n // n_tile)
+    kb = -(-k // bn)
+    if dense.shape != (kb * bn, n_tiles * n_tile):
+        dense = jnp.pad(dense, ((0, kb * bn - k), (0, n_tiles * n_tile - n)))
+
+    precision = jax.lax.Precision.DEFAULT if blocks.dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
+    acc_dtype = jnp.float64 if blocks.dtype == jnp.float64 else jnp.float32
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles, n_blocks // 2),
+        in_specs=[
+            pl.BlockSpec((2 * bm, bn), lambda t, j, rows, cols: (j, 0)),
+            pl.BlockSpec((bn, n_tile), lambda t, j, rows, cols: (cols[2 * j], t)),
+            pl.BlockSpec((bn, n_tile), lambda t, j, rows, cols: (cols[2 * j + 1], t)),
+        ],
+        out_specs=pl.BlockSpec((bm, n_tile), lambda t, j, rows, cols: (rows[2 * j], t)),
+        scratch_shapes=[pltpu.VMEM((bm, n_tile), acc_dtype)],
+    )
+    import contextlib
+
+    ctx = contextlib.nullcontext() if interpret else jax.enable_x64(False)
+    with ctx:
+        out = pl.pallas_call(
+            functools.partial(_spmm_kernel2, precision=precision),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((n_block_rows * bm, n_tiles * n_tile), dense.dtype),
+            interpret=interpret,
+        )(block_rows, block_cols, blocks.reshape(n_blocks * bm, bn), dense, dense)
     return out[:n_rows, :n]
 
 

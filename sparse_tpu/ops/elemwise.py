@@ -131,6 +131,46 @@ def elemwise(func, *args, **kwargs):
             func, values, union_coords, full_shape, fill_value, out_dtype, dtype, kwargs, out_format, out_kwargs
         )
 
+    # merge fast path: exactly two same-shape sparse operands — one packed
+    # sort of the concatenated streams instead of expand/unique/searchsorted
+    if (
+        len(sparse_args) == 2
+        and sparse_args[0] is not sparse_args[1]
+        and all(a.shape == full_shape for a in sparse_args)
+        and full_size < (1 << 62)
+    ):
+        a0, a1 = sparse_args
+        lin0 = np.asarray(a0.linear_loc())
+        lin1 = np.asarray(a1.linear_loc())
+        packed = np.concatenate([lin0 << 1, (lin1 << 1) | 1])
+        packed.sort(kind="stable")
+        lin_s = packed >> 1
+        owner_s = (packed & 1).astype(bool)
+        is_new = np.empty(lin_s.shape, dtype=bool)
+        is_new[0:1] = True
+        np.not_equal(lin_s[1:], lin_s[:-1], out=is_new[1:])
+        u_id = np.cumsum(is_new) - 1
+        n_union = int(u_id[-1]) + 1 if lin_s.size else 0
+
+        union = lin_s[is_new]
+        union_coords = _unravel(union, full_shape)
+
+        values = []
+        for a in args:
+            if a is a0 or a is a1:
+                lin_a = lin0 if a is a0 else lin1
+                sel = ~owner_s if a is a0 else owner_s
+                vals = np.full(n_union, np.asarray(a.fill_value, dtype=np.asarray(a.data).dtype))
+                vals[u_id[sel]] = np.asarray(a.data)
+                values.append(vals)
+            elif isinstance(a, COO):  # pragma: no cover - defensive
+                values.append(_lookup_coo(a, union_coords, full_shape))
+            else:
+                values.append(_gather_dense(a, union_coords, full_shape))
+        return _finish_elemwise(
+            func, values, union_coords, full_shape, fill_value, out_dtype, dtype, kwargs, out_format, out_kwargs
+        )
+
     expanded = [
         _expand_linear_coords(a, full_shape) for a in args if isinstance(a, COO)
     ]
