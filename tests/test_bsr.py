@@ -72,3 +72,15 @@ def test_empty():
     bsr = build_bsr(np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0), (128, 128))
     out = bsr_spmm_xla(bsr.block_rows, bsr.block_cols, bsr.blocks, jnp.ones((128, 8)), n_rows=128)
     np.testing.assert_allclose(np.asarray(out), np.zeros((128, 8)))
+
+
+def test_spmm_pallas2_interpret(problem):
+    a, _ = problem
+    rows, cols = np.asarray(a.coords)
+    bsr = build_bsr(rows, cols, np.asarray(a.data), (500, 600), pad_run_multiple=2)
+    assert bsr.n_blocks % 2 == 0
+    from sparse_tpu.kernels.bsr import bsr_spmm_pallas2
+
+    B = np.random.default_rng(1).random((600, 200))
+    out = bsr_spmm_pallas2(bsr.block_rows, bsr.block_cols, bsr.blocks, jnp.asarray(B), n_rows=500, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), a.todense() @ B, rtol=1e-10)
