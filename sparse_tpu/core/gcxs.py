@@ -343,6 +343,10 @@ class GCXS(SparseArray):
     def __getitem__(self, index):
         from ..ops.indexing import getitem
 
+        fast = self._getitem_fast(index)
+        if fast is not NotImplemented:
+            return fast
+
         out = getitem(self.tocoo(), index)
         if isinstance(out, COO) and out.ndim >= 1:
             try:
@@ -353,6 +357,63 @@ class GCXS(SparseArray):
 
     def flatten(self, order="C"):
         return self.reshape(-1, order=order)
+
+    def _getitem_fast(self, index):
+        """O(rows + selected nnz) compressed-row selection for the common
+        2-D patterns (reference ``_compressed/indexing.py`` role): a single
+        row (or contiguous step-1 row range) of a CSR — or column range of a
+        CSC — slices ``indptr`` directly, no COO round trip."""
+        from numbers import Integral
+
+        if self.ndim != 2 or self.compressed_axes not in ((0,), (1,)):
+            return NotImplemented
+        if not isinstance(index, tuple):
+            index = (index,)
+        if len(index) > 2 or any(i is None or i is Ellipsis for i in index):
+            return NotImplemented
+        index = index + (slice(None),) * (2 - len(index))
+        comp_ax = self.compressed_axes[0]
+        sel_comp = index[comp_ax]
+        sel_other = index[1 - comp_ax]
+        if not (isinstance(sel_other, slice) and sel_other == slice(None)):
+            return NotImplemented
+        n_comp = self.shape[comp_ax]
+        indptr = np.asarray(self.indptr)
+
+        if isinstance(sel_comp, Integral):
+            i = int(sel_comp)
+            i += n_comp if i < 0 else 0
+            if not (0 <= i < n_comp):
+                raise IndexError(f"index {sel_comp} out of bounds for axis {comp_ax} with size {n_comp}")
+            lo, hi = int(indptr[i]), int(indptr[i + 1])
+            from .coo import COO
+
+            return COO(
+                np.asarray(self.indices)[lo:hi][None, :],
+                np.asarray(self.data)[lo:hi],
+                shape=(self.shape[1 - comp_ax],),
+                has_duplicates=False,
+                sorted=True,
+                fill_value=self.fill_value,
+            ).asformat("gcxs")
+        if isinstance(sel_comp, slice):
+            start, stop, step = sel_comp.indices(n_comp)
+            if step != 1 or stop <= start:
+                return NotImplemented
+            lo, hi = int(indptr[start]), int(indptr[stop])
+            new_indptr = (indptr[start : stop + 1] - indptr[start]).astype(indptr.dtype)
+            new_shape = (
+                (stop - start, self.shape[1]) if comp_ax == 0 else (self.shape[0], stop - start)
+            )
+            return GCXS._make(
+                np.asarray(self.data)[lo:hi],
+                np.asarray(self.indices)[lo:hi],
+                new_indptr,
+                new_shape,
+                self.compressed_axes,
+                self.fill_value,
+            )
+        return NotImplemented
 
     # -- reduce plumbing (delegates to COO's segment machinery) ------------------------------
     def _reduce_calc(self, method, axis, keepdims=False, **kwargs):

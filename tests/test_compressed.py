@@ -165,3 +165,25 @@ def test_fill_value_preserved():
     assert float(g.fill_value) == 3.0
     assert_eq(g, x)
     assert_eq(g.tocoo(), x)
+
+
+@pytest.mark.parametrize("compressed_axes2", [(0,), (1,)])
+@pytest.mark.parametrize(
+    "index", [0, 3, -1, (2,), (slice(1, 4), slice(None)), (slice(0, 5),), (slice(None), slice(None))]
+)
+def test_fast_indexing_paths(compressed_axes2, index):
+    s = sparse.random((5, 8), density=0.3, random_state=7, format="gcxs", compressed_axes=compressed_axes2)
+    x = s.todense()
+    got = s[index]
+    expected = x[index]
+    if isinstance(got, sparse.SparseArray):
+        assert_eq(got, expected)
+    else:
+        assert got == expected
+
+
+def test_fast_indexing_csc_col():
+    s = sparse.random((5, 8), density=0.3, random_state=7, format="gcxs", compressed_axes=(1,))
+    x = s.todense()
+    assert_eq(s[:, 2:6], x[:, 2:6])
+    assert_eq(s[:, 3], x[:, 3])
