@@ -110,3 +110,25 @@ def uncompress_indptr(indptr, nnz):
     """Row id of each stored entry, from CSR indptr. Traceable."""
     positions = jnp.arange(nnz)
     return jnp.searchsorted(indptr, positions, side="right") - 1
+
+
+@functools.partial(jax.jit, static_argnames=("shape", "axes"))
+def coo_sum_axes_dense(coords, data, *, shape, axes):
+    """Traceable ``x.sum(axis=axes)`` for a COO pytree's triplet, returning
+    the (dense) reduced array — the jit-compatible reduction for in-graph
+    pipelines (eager reductions keep sparse outputs; see
+    ``core/base.py::reduce``)."""
+    keep = tuple(d for d in range(len(shape)) if d not in set(axes))
+    keep_shape = tuple(shape[d] for d in keep)
+    keep_size = 1
+    for s in keep_shape:
+        keep_size *= s
+    if keep:
+        lin = jnp.zeros(data.shape[0], dtype=jnp.int32)
+        stride = 1
+        for d in reversed(keep):
+            lin = lin + coords[d].astype(jnp.int32) * stride
+            stride *= shape[d]
+        out = jax.ops.segment_sum(data, lin, num_segments=keep_size)
+        return out.reshape(keep_shape)
+    return data.sum().reshape(())

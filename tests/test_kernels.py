@@ -213,3 +213,17 @@ def test_coo_elemwise_union_in_jit():
                   jnp.asarray(np.asarray(b.linear_loc())), jnp.asarray(np.asarray(b.data))))
     expected = float((a.todense() * b.todense()).sum())
     assert np.isclose(got, expected)
+
+
+def test_coo_sum_axes_dense_traceable():
+    from sparse_tpu.kernels.dot import coo_sum_axes_dense
+
+    t = sparse.random((4, 5, 6), density=0.3, random_state=0)
+
+    @jax.jit
+    def f(t):
+        return coo_sum_axes_dense(jnp.asarray(t.coords), jnp.asarray(t.data), shape=t.shape, axes=(1,))
+
+    np.testing.assert_allclose(np.asarray(f(t)), t.todense().sum(axis=1))
+    full = coo_sum_axes_dense(jnp.asarray(np.asarray(t.coords)), jnp.asarray(np.asarray(t.data)), shape=t.shape, axes=(0, 1, 2))
+    np.testing.assert_allclose(float(full), t.todense().sum())

@@ -115,3 +115,19 @@ def test_spmm_nnz_balanced(mesh):
     assert counts.max() <= 2.5 * counts.mean()
     out = spmm_replicated(pcoo, jnp.asarray(b), mesh)
     np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-10)
+
+
+def test_checkpoint_roundtrip(tmp_path, mesh):
+    from sparse_tpu.checkpoint import load_partitioned, save_partitioned
+
+    a = sparse.random((200, 100), density=0.05, random_state=9)
+    pcoo = partition_coo_rows(a, N_DEV, mesh=mesh)
+    save_partitioned(str(tmp_path / "ckpt"), pcoo)
+    restored = load_partitioned(str(tmp_path / "ckpt"), mesh=mesh)
+    assert restored.shape == pcoo.shape
+    assert restored.block_rows == pcoo.block_rows
+    np.testing.assert_array_equal(np.asarray(restored.rows), np.asarray(pcoo.rows))
+    np.testing.assert_allclose(np.asarray(restored.data), np.asarray(pcoo.data))
+    b = np.random.default_rng(1).random((100, 4))
+    out = spmm_replicated(restored, jnp.asarray(b), mesh)
+    np.testing.assert_allclose(np.asarray(out), a.todense() @ b, rtol=1e-10)
