@@ -584,6 +584,26 @@ class COO(SparseArray):
 
         return nonzero(self)
 
+    def to_block_ell(self, block_rows=128):
+        """Cached block-ELL layout for the TPU SpMM fast path
+        (``kernels.ell_spmm``); requires a 2-D zero-fill matrix."""
+        from .._utils import check_zero_fill_value
+        from ..kernels.ell import build_block_ell
+
+        if self.ndim != 2:
+            raise ValueError("block-ELL requires a 2-D matrix")
+        check_zero_fill_value(self, func_name="to_block_ell")
+
+        def compute():
+            coords = np.asarray(self.coords)
+            return build_block_ell(
+                coords[0], coords[1], np.asarray(self.data), self.shape[0], self.shape[1], block_rows=block_rows
+            )
+
+        if self._cache is None:
+            self.enable_caching()
+        return self._cached(("block_ell", block_rows), compute)
+
     # -- jax.experimental.sparse interop ------------------------------------------------
     def to_bcoo(self):
         """Convert to a ``jax.experimental.sparse.BCOO`` (zero fill only) —

@@ -105,6 +105,32 @@ def einsum(*operands, **kwargs):
         if len(set(out_sub)) != len(out_sub):
             raise ValueError("output subscript includes a repeated label")
 
+    # fast path: a 2-operand pure contraction (every shared label contracted,
+    # no repeats, all unshared labels kept) routes through tensordot — the
+    # align-multiply-reduce general path would cartesian-expand the operands
+    # over each other's free dimensions
+    if len(arrays) == 2 and dtype is None:
+        s0, s1 = inputs
+        if len(set(s0)) == len(s0) and len(set(s1)) == len(s1):
+            shared = [c for c in s0 if c in s1]
+            free0 = [c for c in s0 if c not in s1]
+            free1 = [c for c in s1 if c not in s0]
+            if (
+                shared
+                and all(c not in out_sub for c in shared)
+                and set(out_sub) == set(free0 + free1)
+            ):
+                from .dot import tensordot as _tensordot
+
+                axes0 = [s0.index(c) for c in shared]
+                axes1 = [s1.index(c) for c in shared]
+                res = _tensordot(arrays[0], arrays[1], axes=(axes0, axes1))
+                natural = free0 + free1
+                if natural != list(out_sub):
+                    perm = tuple(natural.index(c) for c in out_sub)
+                    res = res.transpose(perm) if not isinstance(res, np.ndarray) else np.transpose(res, perm)
+                return res
+
     # resolve repeated labels within each operand via diagonals
     proc_arrays = []
     proc_inputs = []

@@ -227,3 +227,15 @@ def test_coo_sum_axes_dense_traceable():
     np.testing.assert_allclose(np.asarray(f(t)), t.todense().sum(axis=1))
     full = coo_sum_axes_dense(jnp.asarray(np.asarray(t.coords)), jnp.asarray(np.asarray(t.data)), shape=t.shape, axes=(0, 1, 2))
     np.testing.assert_allclose(float(full), t.todense().sum())
+
+
+def test_coo_to_block_ell_cached():
+    a = sparse.random((40, 30), density=0.1, random_state=0)
+    ell1 = a.to_block_ell()
+    ell2 = a.to_block_ell()
+    assert ell1 is ell2
+    from sparse_tpu.kernels import ell_spmm
+
+    b = jnp.asarray(np.random.default_rng(1).random((30, 4)))
+    out = ell_spmm(ell1.e_rows, ell1.e_cols, ell1.e_data, b, n_rows=40)
+    np.testing.assert_allclose(np.asarray(out), a.todense() @ np.asarray(b), rtol=1e-10)
