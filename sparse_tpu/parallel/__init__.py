@@ -7,6 +7,7 @@ from .sharding import (  # noqa: F401
     make_mesh,
     mttkrp_sharded,
     partition_coo_rows,
+    spmm_2d,
     spmm_replicated,
     spmm_ring,
 )

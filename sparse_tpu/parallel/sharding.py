@@ -285,6 +285,48 @@ def spmm_ring(bucketed, pcoo_shape, block_rows, dense_sharded, mesh, axis_name="
 
 
 @functools.cache
+def _spmm_2d_fn(mesh, row_axis, col_axis, block_rows):
+    def local(rows, cols, data, b):
+        # rows/cols/data: (1, cap) row shard (replicated over col_axis);
+        # b: (K, N/ny) feature shard (replicated over row_axis)
+        rows = rows.reshape(-1)
+        cols = cols.reshape(-1)
+        data = data.reshape(-1)
+        prod = data[:, None] * jnp.take(b, cols, axis=0)
+        out = jax.ops.segment_sum(prod, rows, num_segments=block_rows)
+        return out[None]
+
+    return jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(
+                P(row_axis, None),
+                P(row_axis, None),
+                P(row_axis, None),
+                P(None, col_axis),
+            ),
+            out_specs=P(row_axis, None, col_axis),
+        )
+    )
+
+
+def spmm_2d(pcoo, dense, mesh, row_axis="x", col_axis="y"):
+    """SpMM over a 2-D mesh: sparse rows sharded on ``row_axis`` (data
+    parallel) and the dense operand's feature columns sharded on
+    ``col_axis`` (tensor parallel). Each (i, j) device contracts its row
+    block against its feature slice — no collectives in steady state; the
+    output comes out sharded over both axes.
+
+    The secondary-axis design called out in SURVEY §2.4 ("TP-like
+    partitioning of the dense operand's feature dim")."""
+    f = _spmm_2d_fn(mesh, row_axis, col_axis, pcoo.block_rows)
+    out = f(pcoo.rows, pcoo.cols, pcoo.data, dense)
+    n_shards = pcoo.n_shards
+    return out.reshape(n_shards * pcoo.block_rows, dense.shape[1])[: pcoo.shape[0]]
+
+
+@functools.cache
 def _mttkrp_fn(mesh, axis_name, block_rows):
     def local(ci, cj, ck, v, c_, d_):
         ci, cj, ck, v = ci[0], cj[0], ck[0], v[0]

@@ -131,3 +131,24 @@ def test_checkpoint_roundtrip(tmp_path, mesh):
     b = np.random.default_rng(1).random((100, 4))
     out = spmm_replicated(restored, jnp.asarray(b), mesh)
     np.testing.assert_allclose(np.asarray(out), a.todense() @ b, rtol=1e-10)
+
+
+def test_spmm_2d_mesh():
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from sparse_tpu.parallel import spmm_2d
+
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh2 = Mesh(devs, ("x", "y"))
+    a = sparse.random((200, 100), density=0.05, random_state=0)
+    b = np.random.default_rng(1).random((100, 16))
+    # row-partition over x (2 shards), replicate over y
+    pcoo = partition_coo_rows(a, 2)
+    rows = jax.device_put(jnp.asarray(np.asarray(pcoo.rows)), NamedSharding(mesh2, P("x", None)))
+    cols = jax.device_put(jnp.asarray(np.asarray(pcoo.cols)), NamedSharding(mesh2, P("x", None)))
+    data = jax.device_put(jnp.asarray(np.asarray(pcoo.data)), NamedSharding(mesh2, P("x", None)))
+    from sparse_tpu.parallel.sharding import PartitionedCOO
+
+    pc = PartitionedCOO(rows, cols, data, pcoo.shape, pcoo.block_rows)
+    bd = jax.device_put(jnp.asarray(b), NamedSharding(mesh2, P(None, "y")))
+    out = spmm_2d(pc, bd, mesh2)
+    np.testing.assert_allclose(np.asarray(out), a.todense() @ b, rtol=1e-10)
