@@ -16,7 +16,9 @@ CI_MODE = bool(int(os.getenv("CI_MODE", default="0")))
 
 
 def use_cpu_if_requested():
-    if os.getenv("EXAMPLES_CPU", "0") == "1" or CI_MODE:
+    # examples validate against float64 oracles, so they default to the CPU
+    # backend; set EXAMPLES_TPU=1 to run the jitted kernels on an accelerator
+    if os.getenv("EXAMPLES_TPU", "0") != "1":
         jax.config.update("jax_platforms", "cpu")
 
 

@@ -151,12 +151,15 @@ class GCXS(SparseArray):
                 else np.zeros(coords.shape[1], dtype=np.int64)
             )
 
-        from ..native import argsort_i64
+        # a canonical COO is already sorted by (comp, uncomp) when the
+        # compressed axes are the leading dims — skip the re-sort
+        if comp != tuple(range(len(comp))):
+            from ..native import argsort_i64
 
-        order = argsort_i64(rows * col_size + cols)
-        rows = rows[order]
-        cols = cols[order]
-        data = data[order]
+            order = argsort_i64(rows * col_size + cols)
+            rows = rows[order]
+            cols = cols[order]
+            data = data[order]
 
         if idx_dtype is None:
             idx_dtype = index_dtype_for(max(col_size, x.nnz, row_size))
