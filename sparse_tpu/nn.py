@@ -26,8 +26,16 @@ from .kernels.bsr import BSR, bsr_spmm_pallas, bsr_spmm_xla, build_bsr
 from .kernels.dot import coo_spmm
 
 
-class BlockSparseLinearParams(NamedTuple):
-    """Parameter pytree of a block-sparse linear layer (y = x @ Wᵀ + b)."""
+import dataclasses
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class BlockSparseLinearParams:
+    """Parameter pytree of a block-sparse linear layer (y = x @ Wᵀ + b).
+
+    The feature sizes are static aux data (not leaves) so the layer keeps
+    concrete shapes under ``jit``."""
 
     blocks: jax.Array  # (n_blocks, bm, bn)
     block_rows: jax.Array
@@ -35,6 +43,17 @@ class BlockSparseLinearParams(NamedTuple):
     bias: jax.Array | None
     out_features: int
     in_features: int
+
+    def tree_flatten(self):
+        return (self.blocks, self.block_rows, self.block_cols, self.bias), (self.out_features, self.in_features)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        blocks, block_rows, block_cols, bias = children
+        return cls(blocks, block_rows, block_cols, bias, *aux)
+
+    def _replace(self, **kwargs):
+        return dataclasses.replace(self, **kwargs)
 
 
 def init_block_sparse_linear(key, in_features, out_features, block_density=0.25, block_shape=(128, 128), dtype=jnp.float32, bias=True):
