@@ -175,3 +175,32 @@ def test_tensordot_empty():
     np.testing.assert_allclose(
         got.todense() if isinstance(got, sparse.SparseArray) else got, np.zeros((3, 4))
     )
+
+
+def test_gcxs_slicing_after_dot():
+    # regression area flagged in the reference suite (test_dot.py:342-396)
+    a = sparse.random((8, 6), density=0.4, random_state=0, format="gcxs")
+    b = sparse.random((6, 7), density=0.4, random_state=1, format="gcxs")
+    res = a @ b
+    dense = a.todense() @ b.todense()
+    assert_eq(res[1:5], dense[1:5], check_nnz=False)
+    assert_eq(res[:, 2:6], dense[:, 2:6], check_nnz=False)
+    assert_eq(res.T[0], dense.T[0], check_nnz=False)
+
+
+def test_dense_times_sparse_complex():
+    rng = np.random.default_rng(0)
+    a = rng.random((4, 5)) + 1j * rng.random((4, 5))
+    bx = rng.random((5, 6)) + 1j * rng.random((5, 6))
+    bx[np.abs(bx) < 1.0] = 0
+    b = COO.from_numpy(bx)
+    got = sparse.dot(a, b)
+    np.testing.assert_allclose(np.asarray(got), a @ bx)
+
+
+def test_sparse_1d_rhs():
+    a = np.random.default_rng(1).random((4, 6))
+    v = sparse.random((6,), density=0.5, random_state=2)
+    got = sparse.dot(a, v)
+    expected = a @ v.todense()
+    np.testing.assert_allclose(np.asarray(got if isinstance(got, np.ndarray) else got.todense()), expected)
