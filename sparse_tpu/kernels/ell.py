@@ -76,9 +76,12 @@ def ell_spmm(e_rows, e_cols, e_data, dense, *, n_rows, block_rows=DEFAULT_BLOCK_
     onehot = (e_rows[:, :, None] == jnp.arange(block_rows, dtype=e_rows.dtype)[None, None, :]).astype(e_data.dtype)
     # HIGHEST keeps f32 accumulation exact-ish: the default TPU matmul
     # precision truncates operands to bf16, which loses ~1e-3 relative.
+    # bf16 inputs accumulate in f32 via preferred_element_type at DEFAULT.
+    acc_dtype = jnp.float32 if prod.dtype == jnp.bfloat16 else prod.dtype
+    precision = jax.lax.Precision.DEFAULT if prod.dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
     out = jnp.einsum(
-        "ber,ben->brn", onehot, prod, preferred_element_type=prod.dtype, precision=jax.lax.Precision.HIGHEST
-    )
+        "ber,ben->brn", onehot, prod, preferred_element_type=acc_dtype, precision=precision
+    ).astype(prod.dtype)
     return out.reshape(n_blocks * block_rows, n)[:n_rows]
 
 
@@ -89,7 +92,9 @@ def ell_spmv(e_rows, e_cols, e_data, x, *, n_rows, block_rows=DEFAULT_BLOCK_ROWS
     g = jnp.take(x, e_cols.reshape(-1)).reshape(n_blocks, cap)
     prod = e_data * g
     onehot = (e_rows[:, :, None] == jnp.arange(block_rows, dtype=e_rows.dtype)[None, None, :]).astype(e_data.dtype)
+    acc_dtype = jnp.float32 if prod.dtype == jnp.bfloat16 else prod.dtype
+    precision = jax.lax.Precision.DEFAULT if prod.dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
     out = jnp.einsum(
-        "ber,be->br", onehot, prod, preferred_element_type=prod.dtype, precision=jax.lax.Precision.HIGHEST
-    )
+        "ber,be->br", onehot, prod, preferred_element_type=acc_dtype, precision=precision
+    ).astype(prod.dtype)
     return out.reshape(n_blocks * block_rows)[:n_rows]

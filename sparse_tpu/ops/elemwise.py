@@ -131,21 +131,24 @@ def elemwise(func, *args, **kwargs):
             func, values, union_coords, full_shape, fill_value, out_dtype, dtype, kwargs, out_format, out_kwargs
         )
 
-    # merge fast path: exactly two same-shape sparse operands — one packed
-    # sort of the concatenated streams instead of expand/unique/searchsorted
+    # merge fast path: 2-4 same-shape sparse operands — one packed sort of
+    # the owner-tagged concatenated streams instead of
+    # expand/unique/searchsorted per operand
+    k_sp = len(sparse_args)
+    owner_bits = 2 if k_sp > 2 else 1
     if (
-        len(sparse_args) == 2
-        and sparse_args[0] is not sparse_args[1]
+        2 <= k_sp <= 4
+        and len({id(a) for a in sparse_args}) == k_sp
         and all(a.shape == full_shape for a in sparse_args)
-        and full_size < (1 << 62)
+        and full_size < (1 << (62 - owner_bits))
     ):
-        a0, a1 = sparse_args
-        lin0 = np.asarray(a0.linear_loc())
-        lin1 = np.asarray(a1.linear_loc())
-        packed = np.concatenate([lin0 << 1, (lin1 << 1) | 1])
+        lins = [np.asarray(a.linear_loc()) for a in sparse_args]
+        packed = np.concatenate(
+            [(lin << owner_bits) | i for i, lin in enumerate(lins)]
+        )
         packed.sort(kind="stable")
-        lin_s = packed >> 1
-        owner_s = (packed & 1).astype(bool)
+        lin_s = packed >> owner_bits
+        owner_s = packed & ((1 << owner_bits) - 1)
         is_new = np.empty(lin_s.shape, dtype=bool)
         is_new[0:1] = True
         np.not_equal(lin_s[1:], lin_s[:-1], out=is_new[1:])
@@ -155,11 +158,12 @@ def elemwise(func, *args, **kwargs):
         union = lin_s[is_new]
         union_coords = _unravel(union, full_shape)
 
+        id_to_pos = {id(a): i for i, a in enumerate(sparse_args)}
         values = []
         for a in args:
-            if a is a0 or a is a1:
-                lin_a = lin0 if a is a0 else lin1
-                sel = ~owner_s if a is a0 else owner_s
+            pos = id_to_pos.get(id(a)) if isinstance(a, COO) else None
+            if pos is not None:
+                sel = owner_s == pos
                 vals = np.full(n_union, np.asarray(a.fill_value, dtype=np.asarray(a.data).dtype))
                 vals[u_id[sel]] = np.asarray(a.data)
                 values.append(vals)
