@@ -131,6 +131,36 @@ def einsum(*operands, **kwargs):
                     res = res.transpose(perm) if not isinstance(res, np.ndarray) else np.transpose(res, perm)
                 return res
 
+    # 3+ operands: contract pairwise in a cheap greedy order, re-entering
+    # einsum for each pair (which hits the tensordot fast path when the pair
+    # is a pure contraction) — avoids materializing the full union of all
+    # operands at once
+    if len(arrays) > 2 and dtype is None and all(len(set(s)) == len(s) for s in inputs):
+        remaining = list(zip(inputs, arrays))
+        while len(remaining) > 2:
+            # pick the pair with the most shared labels (greedy)
+            best = None
+            for i in range(len(remaining)):
+                for j in range(i + 1, len(remaining)):
+                    shared = len(set(remaining[i][0]) & set(remaining[j][0]))
+                    if best is None or shared > best[0]:
+                        best = (shared, i, j)
+            _, i, j = best
+            si, ai = remaining[i]
+            sj, aj = remaining[j]
+            others = [s for k, (s, _) in enumerate(remaining) if k not in (i, j)]
+            keep = set(out_sub) | set("".join(others))
+            pair_out = "".join(
+                c for c in si + sj if (c in keep or (si + sj).count(c) == 1) and (si + sj).index(c) == (si + sj).find(c)
+            )
+            # dedup while preserving order
+            seen = set()
+            pair_out = "".join(c for c in pair_out if not (c in seen or seen.add(c)))
+            res = einsum(f"{si},{sj}->{pair_out}", ai, aj)
+            remaining = [r for k, r in enumerate(remaining) if k not in (i, j)] + [(pair_out, res)]
+        (s0, a0), (s1, a1) = remaining
+        return einsum(f"{s0},{s1}->{out_sub}", a0, a1)
+
     # resolve repeated labels within each operand via diagonals
     proc_arrays = []
     proc_inputs = []
