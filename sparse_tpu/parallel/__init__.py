@@ -3,10 +3,12 @@ see SURVEY §2.4)."""
 
 from .sharding import (  # noqa: F401
     PartitionedCOO,
+    assemble_spgemm_result,
     bucket_columns,
     make_mesh,
     mttkrp_sharded,
     partition_coo_rows,
+    spgemm_sharded,
     spmm_2d,
     spmm_replicated,
     spmm_ring,

@@ -327,6 +327,85 @@ def spmm_2d(pcoo, dense, mesh, row_axis="x", col_axis="y"):
 
 
 @functools.cache
+def _spgemm_sharded_fn(mesh, axis_name, k, n, product_capacity, out_capacity):
+    from ..kernels.spgemm import esc_spgemm
+
+    def local(ra, ca, da, rb, cb, db):
+        # A row shard (local rows); B replicated (sorted canonical triplets)
+        out = esc_spgemm(
+            ra[0], ca[0], da[0], rb, cb, db, k=k, n=n,
+            product_capacity=product_capacity, out_capacity=out_capacity,
+        )
+        rows_o, cols_o, data_o, nnz_o = out
+        return rows_o[None], cols_o[None], data_o[None], nnz_o[None]
+
+    return jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(axis_name, None),) * 3 + (P(), P(), P()),
+            out_specs=(P(axis_name, None), P(axis_name, None), P(axis_name, None), P(axis_name)),
+        )
+    )
+
+
+def spgemm_sharded(pcoo_a, b_coo, mesh, axis_name="x", product_capacity=None, out_capacity=None):
+    """Distributed SpGEMM: A row-sharded (PartitionedCOO, zero-padded), B's
+    canonical COO triplets replicated; each shard runs the traceable ESC
+    SpGEMM on its row block. Returns per-shard padded triplets with LOCAL
+    row ids plus per-shard true counts — assemble into a global COO with
+    :func:`assemble_spgemm_result`."""
+    import numpy as np_
+
+    from ..core.coo import COO
+    from ..kernels.spgemm import product_count
+
+    if not isinstance(b_coo, COO):
+        b_coo = b_coo.asformat("coo")
+    K, N = b_coo.shape
+    rb = jnp.asarray(np_.asarray(b_coo.coords[0]).astype(np_.int32))
+    cb = jnp.asarray(np_.asarray(b_coo.coords[1]).astype(np_.int32))
+    db = jnp.asarray(np_.asarray(b_coo.data))
+
+    if product_capacity is None:
+        # per-shard worst case (padding entries hit column 0 of B, so count them)
+        caps = [
+            product_count(np_.asarray(pcoo_a.cols)[s], np_.asarray(b_coo.coords[0]), K)
+            for s in range(pcoo_a.n_shards)
+        ]
+        product_capacity = max(max(caps), 1)
+    if out_capacity is None:
+        out_capacity = product_capacity
+
+    f = _spgemm_sharded_fn(mesh, axis_name, K, N, int(product_capacity), int(out_capacity))
+    return f(pcoo_a.rows, pcoo_a.cols, pcoo_a.data.astype(db.dtype), rb, cb, db)
+
+
+def assemble_spgemm_result(shard_out, pcoo_a, n_cols):
+    """Host-side: stitch per-shard padded SpGEMM outputs into a global COO."""
+    from ..core.coo import COO
+
+    rows_o, cols_o, data_o, nnz_o = (np.asarray(x) for x in shard_out)
+    parts_r, parts_c, parts_d = [], [], []
+    for s in range(rows_o.shape[0]):
+        n = int(nnz_o[s])
+        parts_r.append(rows_o[s, :n].astype(np.int64) + s * pcoo_a.block_rows)
+        parts_c.append(cols_o[s, :n].astype(np.int64))
+        parts_d.append(data_o[s, :n])
+    rows = np.concatenate(parts_r) if parts_r else np.empty(0, np.int64)
+    cols = np.concatenate(parts_c) if parts_c else np.empty(0, np.int64)
+    data = np.concatenate(parts_d) if parts_d else np.empty(0)
+    return COO(
+        np.stack([rows, cols]),
+        data,
+        shape=(pcoo_a.shape[0], n_cols),
+        has_duplicates=False,
+        sorted=True,
+        prune=True,
+    )
+
+
+@functools.cache
 def _mttkrp_fn(mesh, axis_name, block_rows):
     def local(ci, cj, ck, v, c_, d_):
         ci, cj, ck, v = ci[0], cj[0], ck[0], v[0]

@@ -152,3 +152,15 @@ def test_spmm_2d_mesh():
     bd = jax.device_put(jnp.asarray(b), NamedSharding(mesh2, P(None, "y")))
     out = spmm_2d(pc, bd, mesh2)
     np.testing.assert_allclose(np.asarray(out), a.todense() @ b, rtol=1e-10)
+
+
+def test_spgemm_sharded(mesh):
+    from sparse_tpu.parallel import assemble_spgemm_result, spgemm_sharded
+
+    a = sparse.random((240, 60), density=0.05, random_state=0)
+    b = sparse.random((60, 80), density=0.05, random_state=1)
+    pcoo = partition_coo_rows(a, N_DEV, mesh=mesh)
+    shard_out = spgemm_sharded(pcoo, b, mesh)
+    res = assemble_spgemm_result(shard_out, pcoo, 80)
+    expected = a.todense() @ b.todense()
+    np.testing.assert_allclose(res.todense(), expected, rtol=1e-10)
