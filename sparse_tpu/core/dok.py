@@ -218,11 +218,20 @@ class DOK(SparseArray):
         # value shape corresponds to non-integer dims; expand to full grid
         full_value = value.reshape(tuple(len(r) if not isinstance(k, Integral) else 1 for r, k in zip(ranges, key)))
         full_value = np.broadcast_to(full_value, grids[0].shape)
-        it = np.nditer(grids[0], flags=["multi_index"])
-        for _ in it:
-            mi = it.multi_index
-            coord = tuple(int(g[mi]) for g in grids)
-            self._setone(coord, full_value[mi])
+
+        # vectorized bulk update: one pass building keys + one dict merge
+        flat_vals = np.ascontiguousarray(full_value).reshape(-1).astype(self.dtype)
+        keys = list(zip(*[g.reshape(-1).tolist() for g in grids]))
+        keep = ~equivalent(flat_vals, np.asarray(self.fill_value, dtype=self.dtype))
+        if bool(keep.all()):
+            self.data.update(zip(keys, list(flat_vals)))
+        else:
+            vals_list = list(flat_vals)
+            for i, k_ in enumerate(keys):
+                if keep[i]:
+                    self.data[k_] = vals_list[i]
+                else:
+                    self.data.pop(k_, None)
 
     def __len__(self):
         if self.ndim == 0:
