@@ -1,0 +1,134 @@
+"""Extended benchmark suite — prints a table over all flagship workloads.
+
+(`bench.py` remains the driver's single-line contract; this suite is the
+human-facing breakdown.) On this box the default platform is the TPU
+tunnel; pass --cpu to run on the host backend.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+import jax
+
+if "--cpu" in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+
+
+def device_bench(fn, args, iters=10):
+    """Time `iters` executions inside one jit (tunnel-safe). The last
+    (float) argument is perturbed per iteration so XLA cannot hoist the
+    computation out of the loop."""
+
+    @jax.jit
+    def run(*a):
+        def body(carry, i):
+            perturbed = a[:-1] + (a[-1] + i.astype(a[-1].dtype) * 1e-6,)
+            out = fn(*perturbed)
+            return carry + jnp.asarray(out).ravel()[0].astype(jnp.float32), None
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(iters))
+        return acc
+
+    float(run(*args))
+    t = time.perf_counter()
+    float(run(*args))
+    return (time.perf_counter() - t) / iters
+
+
+def host_bench(fn, iters=5):
+    fn()
+    t = time.perf_counter()
+    for _ in range(iters):
+        fn()
+    return (time.perf_counter() - t) / iters
+
+
+def main():
+    import sparse_tpu as sparse
+    from sparse_tpu.kernels import build_block_ell, ell_spmm, mttkrp, sddmm
+    from sparse_tpu.kernels.bsr import BSR, bsr_spmm_pallas, build_bsr
+
+    rows_out = []
+    rng = np.random.default_rng(0)
+    on_tpu = jax.default_backend() != "cpu"
+
+    # 1. unstructured SpMM (the bench.py workload)
+    M = K = 1 << 16
+    lin = np.unique(rng.integers(0, M * K, size=1 << 21, dtype=np.int64))
+    r, c = (lin // K).astype(np.int32), (lin % K).astype(np.int32)
+    d = rng.random(lin.size, dtype=np.float32)
+    ell = build_block_ell(r, c, d, M, K)
+    B = jnp.asarray(rng.random((K, 128), dtype=np.float32))
+    dt = device_bench(lambda er, ec, ed, b: ell_spmm(er, ec, ed, b, n_rows=M), (ell.e_rows, ell.e_cols, ell.e_data, B))
+    rows_out.append(("SpMM 65k^2 nnz=2.1M N=128 f32 (block-ELL)", f"{dt * 1e3:.2f} ms", f"{lin.size / dt / 1e6:.0f}M nnz/s"))
+
+    # 2. SpMV
+    x = jnp.asarray(rng.random(K, dtype=np.float32))
+    from sparse_tpu.kernels import ell_spmv
+
+    dt = device_bench(lambda er, ec, ed, xx: ell_spmv(er, ec, ed, xx, n_rows=M), (ell.e_rows, ell.e_cols, ell.e_data, x))
+    rows_out.append(("SpMV same matrix", f"{dt * 1e3:.2f} ms", f"{lin.size / dt / 1e6:.0f}M nnz/s"))
+
+    # 3. SDDMM (10k^2 dense pair @ 1e-4 mask)
+    n_s = 10000
+    s = sparse.random((n_s, n_s), density=1e-4, random_state=1)
+    sr = jnp.asarray(np.asarray(s.coords[0]))
+    sc = jnp.asarray(np.asarray(s.coords[1]))
+    sd = jnp.asarray(np.asarray(s.data).astype(np.float32))
+    A1 = jnp.asarray(rng.random((n_s, 128), dtype=np.float32))
+    B1 = jnp.asarray(rng.random((128, n_s), dtype=np.float32))
+    dt = device_bench(sddmm, (sr, sc, sd, A1, B1))
+    rows_out.append(("SDDMM 10k^2 K=128 mask@1e-4", f"{dt * 1e3:.2f} ms", f"{s.nnz / dt / 1e6:.0f}M nnz/s"))
+
+    # 4. MTTKRP (reference example shape)
+    t3 = sparse.random((1000, 1000, 100), density=1e-4, random_state=2)
+    ci, cj, ck = (jnp.asarray(np.asarray(t3.coords[i])) for i in range(3))
+    tv = jnp.asarray(np.asarray(t3.data).astype(np.float32))
+    C = jnp.asarray(rng.random((1000, 25), dtype=np.float32))
+    D = jnp.asarray(rng.random((100, 25), dtype=np.float32))
+    dt = device_bench(lambda a, b, c_, v, e, f: mttkrp(a, b, c_, v, e, f, n_rows=1000), (ci, cj, ck, tv, C, D))
+    rows_out.append(("MTTKRP 1000x1000x100 J=25 @1e-4", f"{dt * 1e3:.2f} ms", f"{t3.nnz / dt / 1e6:.0f}M nnz/s"))
+
+    # 5. BSR pallas (TPU only)
+    if on_tpu:
+        nb = (8192 // 128) ** 2
+        sel = rng.random(nb) < 0.25
+        bi = (np.arange(nb) // 64)[sel].astype(np.int64) * 128
+        bj = (np.arange(nb) % 64)[sel].astype(np.int64) * 128
+        bsr = build_bsr(bi, bj, np.ones(int(sel.sum()), np.float32), (8192, 8192))
+        stored = np.asarray(bsr.blocks)
+        mask = stored.reshape(stored.shape[0], -1).sum(axis=1) > 0
+        full = np.zeros_like(stored)
+        full[mask] = rng.random((int(mask.sum()), 128, 128), dtype=np.float32)
+        bsr = BSR(jnp.asarray(full), bsr.block_rows, bsr.block_cols, bsr.shape, bsr.block_shape)
+        Bd = jnp.asarray(rng.random((8192, 512), dtype=np.float32))
+        dt = device_bench(
+            lambda br, bc, bl, b: bsr_spmm_pallas(br, bc, bl, b, n_rows=8192), (bsr.block_rows, bsr.block_cols, bsr.blocks, Bd)
+        )
+        fl = 2 * int(mask.sum()) * 128 * 128 * 512
+        rows_out.append(("BSR Pallas 8192^2 25% blocks N=512", f"{dt * 1e3:.2f} ms", f"{fl / dt / 1e12:.1f} TFLOP/s"))
+
+    # 6. host workloads
+    a = sparse.random((100000, 100000), density=1e-5, random_state=3)
+    b = sparse.random((100000, 100000), density=1e-5, random_state=4)
+    dt = host_bench(lambda: a @ b)
+    rows_out.append(("SpGEMM 100k^2 @1e-5 (eager host)", f"{dt * 1e3:.1f} ms", ""))
+    e1 = sparse.random((10000, 10000), density=1e-3, random_state=5)
+    e2 = sparse.random((10000, 10000), density=1e-3, random_state=6)
+    dt = host_bench(lambda: e1 + e2)
+    rows_out.append(("elemwise add 10k^2 @1e-3 (eager host)", f"{dt * 1e3:.1f} ms", ""))
+
+    w = max(len(r[0]) for r in rows_out)
+    print(f"\n{'workload':<{w}}  {'time':>10}  throughput")
+    for name, t, thr in rows_out:
+        print(f"{name:<{w}}  {t:>10}  {thr}")
+
+
+if __name__ == "__main__":
+    main()
