@@ -158,13 +158,14 @@ def partition_coo_rows(coo, n_shards, mesh=None, axis_name="x", balance="rows"):
 @functools.cache
 def _spmm_replicated_fn(mesh, axis_name, block_rows):
     def local(rows, cols, data, b):
-        # rows/cols/data: (1, cap) local shard (shard_map strips mesh dim partially)
-        rows = rows.reshape(-1)
-        cols = cols.reshape(-1)
-        data = data.reshape(-1)
-        prod = data[:, None] * jnp.take(b, cols, axis=0)
-        out = jax.ops.segment_sum(prod, rows, num_segments=block_rows)
-        return out[None]
+        # rows/cols/data: (k, cap) — k shards resident on this device
+        # (k > 1 when there are more shards than devices); vmap keeps each
+        # shard's row block separate
+        def one(r, c, d_):
+            prod = d_[:, None] * jnp.take(b, c, axis=0)
+            return jax.ops.segment_sum(prod, r, num_segments=block_rows)
+
+        return jax.vmap(one, in_axes=(0, 0, 0))(rows, cols, data)
 
     return jax.jit(
         jax.shard_map(
@@ -287,14 +288,13 @@ def spmm_ring(bucketed, pcoo_shape, block_rows, dense_sharded, mesh, axis_name="
 @functools.cache
 def _spmm_2d_fn(mesh, row_axis, col_axis, block_rows):
     def local(rows, cols, data, b):
-        # rows/cols/data: (1, cap) row shard (replicated over col_axis);
-        # b: (K, N/ny) feature shard (replicated over row_axis)
-        rows = rows.reshape(-1)
-        cols = cols.reshape(-1)
-        data = data.reshape(-1)
-        prod = data[:, None] * jnp.take(b, cols, axis=0)
-        out = jax.ops.segment_sum(prod, rows, num_segments=block_rows)
-        return out[None]
+        # rows/cols/data: (k, cap) row shards here (replicated over
+        # col_axis); b: (K, N/ny) feature shard (replicated over row_axis)
+        def one(r, c, d_):
+            prod = d_[:, None] * jnp.take(b, c, axis=0)
+            return jax.ops.segment_sum(prod, r, num_segments=block_rows)
+
+        return jax.vmap(one)(rows, cols, data)
 
     return jax.jit(
         jax.shard_map(
@@ -331,13 +331,15 @@ def _spgemm_sharded_fn(mesh, axis_name, k, n, product_capacity, out_capacity):
     from ..kernels.spgemm import esc_spgemm
 
     def local(ra, ca, da, rb, cb, db):
-        # A row shard (local rows); B replicated (sorted canonical triplets)
-        out = esc_spgemm(
-            ra[0], ca[0], da[0], rb, cb, db, k=k, n=n,
-            product_capacity=product_capacity, out_capacity=out_capacity,
-        )
-        rows_o, cols_o, data_o, nnz_o = out
-        return rows_o[None], cols_o[None], data_o[None], nnz_o[None]
+        # A row shards resident here (k, cap); B replicated
+        def one(r_, c_, d_):
+            return esc_spgemm(
+                r_, c_, d_, rb, cb, db, k=k, n=n,
+                product_capacity=product_capacity, out_capacity=out_capacity,
+            )
+
+        rows_o, cols_o, data_o, nnz_o = jax.vmap(one)(ra, ca, da)
+        return rows_o, cols_o, data_o, nnz_o
 
     return jax.jit(
         jax.shard_map(
@@ -408,9 +410,11 @@ def assemble_spgemm_result(shard_out, pcoo_a, n_cols):
 @functools.cache
 def _mttkrp_fn(mesh, axis_name, block_rows):
     def local(ci, cj, ck, v, c_, d_):
-        ci, cj, ck, v = ci[0], cj[0], ck[0], v[0]
-        prod = v[:, None] * jnp.take(c_, cj, axis=0) * jnp.take(d_, ck, axis=0)
-        return jax.ops.segment_sum(prod, ci, num_segments=block_rows)[None]
+        def one(i_, j_, k_, v_):
+            prod = v_[:, None] * jnp.take(c_, j_, axis=0) * jnp.take(d_, k_, axis=0)
+            return jax.ops.segment_sum(prod, i_, num_segments=block_rows)
+
+        return jax.vmap(one)(ci, cj, ck, v)
 
     return jax.jit(
         jax.shard_map(

@@ -164,3 +164,17 @@ def test_spgemm_sharded(mesh):
     res = assemble_spgemm_result(shard_out, pcoo, 80)
     expected = a.todense() @ b.todense()
     np.testing.assert_allclose(res.todense(), expected, rtol=1e-10)
+
+
+def test_checkpoint_elastic_restore(tmp_path, mesh):
+    # save on the 8-device mesh, restore onto a 4-device mesh (2 shards/device)
+    from sparse_tpu.checkpoint import load_partitioned, save_partitioned
+
+    a = sparse.random((160, 50), density=0.1, random_state=3)
+    pcoo = partition_coo_rows(a, N_DEV, mesh=mesh)
+    save_partitioned(str(tmp_path / "ck"), pcoo)
+    mesh4 = make_mesh(4)
+    restored = load_partitioned(str(tmp_path / "ck"), mesh=mesh4)
+    b = np.random.default_rng(2).random((50, 4))
+    out = spmm_replicated(restored, jnp.asarray(b), mesh4)
+    np.testing.assert_allclose(np.asarray(out), a.todense() @ b, rtol=1e-10)
