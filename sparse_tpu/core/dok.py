@@ -9,12 +9,11 @@ falls back to COO for anything but a single element.
 
 from __future__ import annotations
 
-from collections.abc import Iterable
 from numbers import Integral
 
 import numpy as np
 
-from .._utils import equivalent, normalize_axis, zero_of_dtype
+from .._utils import equivalent
 from .base import SparseArray
 from .coo import COO
 

@@ -15,8 +15,6 @@ from flax/haiku by calling them inside a module's ``__call__``).
 
 from __future__ import annotations
 
-from typing import NamedTuple
-
 import numpy as np
 
 import jax

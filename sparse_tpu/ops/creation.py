@@ -11,7 +11,6 @@ from collections.abc import Iterable
 
 import numpy as np
 
-from .._utils import normalize_axis
 from ..core.base import SparseArray
 from ..core.coo import COO
 

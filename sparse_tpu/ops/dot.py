@@ -22,7 +22,6 @@ The 2-D compute cores are TPU-native:
 from __future__ import annotations
 
 import warnings
-from collections.abc import Iterable
 
 import numpy as np
 

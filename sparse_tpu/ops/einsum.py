@@ -15,7 +15,6 @@ import string
 import numpy as np
 
 from ..core.base import SparseArray
-from ..core.coo import COO
 from .common import diagonal as _diagonal
 
 _LETTERS = string.ascii_letters
