@@ -26,6 +26,9 @@ from .base import SparseArray
 from .coo import COO
 
 
+_NATIVE_REDUCE = object()  # sentinel marking the indptr-native reduce path
+
+
 def _validate_compressed_axes(shape, compressed_axes):
     ndim = len(shape)
     if ndim == 1:
@@ -418,8 +421,28 @@ class GCXS(SparseArray):
             )
         return NotImplemented
 
-    # -- reduce plumbing (delegates to COO's segment machinery) ------------------------------
+    # -- reduce plumbing ---------------------------------------------------------------------
     def _reduce_calc(self, method, axis, keepdims=False, **kwargs):
+        # native path: reducing exactly the uncompressed axes == reducing
+        # each compressed row's segment — reduceat over indptr, no COO
+        # round-trip (the reference's GCXS reduce strategy,
+        # ``_compressed/compressed.py:354-372``)
+        uncomp = tuple(a for a in range(self.ndim) if a not in self.compressed_axes)
+        if self.ndim >= 2 and set(axis) == set(uncomp) and self.nnz:
+            indptr = np.asarray(self.indptr).astype(np.int64)
+            data = np.asarray(self.data)
+            counts_all = np.diff(indptr)
+            nonempty = np.flatnonzero(counts_all)
+            starts = indptr[nonempty]
+            result = method.reduceat(data, starts, **{k: v for k, v in kwargs.items() if k != "keepdims"})
+            if kwargs.get("dtype") is not None:
+                result = result.astype(kwargs["dtype"])
+            counts = counts_all[nonempty]
+            comp_shape = tuple(self.shape[a] for a in self.compressed_axes)
+            n_cols = int(np.prod([self.shape[a] for a in uncomp], dtype=np.float64))
+            arr_attrs = (_NATIVE_REDUCE, nonempty, comp_shape)
+            return result, counts, axis, n_cols, (arr_attrs, self.compressed_axes)
+
         out = self.tocoo()._reduce_calc(method, axis, keepdims, **kwargs)
         if len(out) == 1:
             return out
@@ -428,6 +451,21 @@ class GCXS(SparseArray):
 
     def _reduce_return(self, data, arr_attrs, result_fill_value):
         coo_attrs, compressed_axes = arr_attrs
+        if isinstance(coo_attrs, tuple) and len(coo_attrs) == 3 and coo_attrs[0] is _NATIVE_REDUCE:
+            _, nonempty, comp_shape = coo_attrs
+            out = COO(
+                nonempty[None, :],
+                data,
+                shape=(int(np.prod(comp_shape, dtype=np.float64)),),
+                has_duplicates=False,
+                sorted=True,
+                prune=True,
+                fill_value=result_fill_value,
+            ).reshape(comp_shape)
+            if out.ndim < 2:
+                return GCXS.from_coo(out)
+            return GCXS.from_coo(out)
+
         a, neg_shape, inv_idx = coo_attrs
         out = COO(
             inv_idx[None, :],

@@ -187,3 +187,31 @@ def test_fast_indexing_csc_col():
     x = s.todense()
     assert_eq(s[:, 2:6], x[:, 2:6])
     assert_eq(s[:, 3], x[:, 3])
+
+
+@pytest.mark.parametrize("reduction", ["sum", "max", "min", "prod"])
+def test_native_reduce_uncompressed_axes(reduction):
+    # CSR row reduction: reduced axes == uncompressed axes -> indptr path
+    s = sparse.random((7, 9), density=0.4, random_state=11, format="gcxs", compressed_axes=(0,))
+    x = s.todense()
+    assert_eq(getattr(s, reduction)(axis=1), getattr(x, reduction)(axis=1))
+    # CSC column reduction
+    c = sparse.random((7, 9), density=0.4, random_state=12, format="gcxs", compressed_axes=(1,))
+    xc = c.todense()
+    assert_eq(getattr(c, reduction)(axis=0), getattr(xc, reduction)(axis=0))
+    # 3-D: comp (0,1), reduce the uncompressed axis 2
+    t = sparse.random((3, 4, 5), density=0.3, random_state=13, format="gcxs", compressed_axes=(0, 1))
+    xt = t.todense()
+    assert_eq(getattr(t, reduction)(axis=2), getattr(xt, reduction)(axis=2))
+    # comp (0,2), reduce axis 1
+    u = sparse.random((3, 4, 5), density=0.3, random_state=14, format="gcxs", compressed_axes=(0, 2))
+    xu = u.todense()
+    assert_eq(getattr(u, reduction)(axis=1), getattr(xu, reduction)(axis=1))
+
+
+def test_native_reduce_fill_value():
+    x = np.random.default_rng(15).random((5, 6))
+    x[x < 0.5] = 2.0
+    g = sparse.GCXS.from_numpy(x, fill_value=2.0, compressed_axes=(0,))
+    assert_eq(g.max(axis=1), x.max(axis=1))
+    assert_eq(g.sum(axis=1), x.sum(axis=1))
