@@ -19,6 +19,20 @@ from .coo import COO
 
 
 class DOK(SparseArray):
+    """Dict-of-keys mutable sparse array.
+
+    Examples
+    --------
+    >>> import sparse_tpu as sparse
+    >>> d = sparse.DOK((2, 3))
+    >>> d[0, 1] = 4.0
+    >>> d[1, :] = 1.0
+    >>> d.nnz
+    4
+    >>> d.todense().tolist()
+    [[0.0, 4.0, 0.0], [1.0, 1.0, 1.0]]
+    """
+
     def __init__(self, shape, data=None, dtype=None, fill_value=None):
         import scipy.sparse
 

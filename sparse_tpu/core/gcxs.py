@@ -50,6 +50,19 @@ class GCXS(SparseArray):
 
     Construct from a COO/ndarray/scipy matrix, or from the raw
     ``(data, indices, indptr)`` triple.
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> import sparse_tpu as sparse
+    >>> x = np.array([[0.0, 1.0], [2.0, 0.0], [0.0, 3.0]])
+    >>> g = sparse.GCXS.from_numpy(x, compressed_axes=(0,))
+    >>> g.indptr.tolist()
+    [0, 1, 2, 3]
+    >>> g.indices.tolist()
+    [1, 0, 1]
+    >>> g.sum(axis=1).todense().tolist()
+    [1.0, 2.0, 3.0]
     """
 
     def __init__(self, arg, shape=None, compressed_axes=None, prune=False, fill_value=None, idx_dtype=None):

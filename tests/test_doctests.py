@@ -9,12 +9,14 @@ import sparse_tpu
 import sparse_tpu._utils
 import sparse_tpu.core.coo
 import sparse_tpu.ops.common
+import sparse_tpu.core.dok
+import sparse_tpu.core.gcxs
 import sparse_tpu.ops.dot
 
 
 @pytest.mark.parametrize(
     "module",
-    [sparse_tpu.core.coo, sparse_tpu.ops.dot, sparse_tpu.ops.common, sparse_tpu._utils],
+    [sparse_tpu.core.coo, sparse_tpu.core.gcxs, sparse_tpu.core.dok, sparse_tpu.ops.dot, sparse_tpu.ops.common, sparse_tpu._utils],
 )
 def test_doctests(module):
     results = doctest.testmod(module, verbose=False)
