@@ -103,3 +103,51 @@ def test_einsum_errors():
         sparse.einsum("ijk->i", a)
     with pytest.raises(ValueError):
         sparse.einsum("ij->il", a)
+
+
+MORE_CASES_1OP = [
+    ("ijk->ijk", (2, 3, 4)),
+    ("ijk->kij", (2, 3, 4)),
+    ("iij->ij", (3, 3, 4)),
+    ("iij->j", (3, 3, 4)),
+    ("iji->ij", (3, 4, 3)),
+    ("ii", (4, 4)),
+    ("ij", (3, 4)),
+    ("...jk->...kj", (2, 3, 4)),
+]
+
+MORE_CASES_2OPS = [
+    ("ij,kl->ijkl", (2, 3), (4, 2)),
+    ("ij,kl->", (2, 3), (4, 2)),
+    ("ij,kj->ikj", (3, 4), (5, 4)),
+    ("ijk,ijk->", (2, 3, 4), (2, 3, 4)),
+    ("ijk,jk->i", (2, 3, 4), (3, 4)),
+    ("ijk,jk->ij", (2, 3, 4), (3, 4)),
+    ("ijk,jk->ik", (2, 3, 4), (3, 4)),
+    ("ab,bc->ca", (3, 4), (4, 5)),
+    ("...k,...k->...", (2, 3, 4), (2, 3, 4)),
+    ("i...,i...->...", (2, 3, 4), (2, 3, 4)),
+]
+
+
+@pytest.mark.parametrize("subscript,shape", MORE_CASES_1OP)
+def test_einsum_single_more(subscript, shape):
+    a = sparse.random(shape, density=0.4, random_state=3)
+    expected = np.einsum(subscript, a.todense())
+    got = sparse.einsum(subscript, a)
+    if isinstance(got, sparse.SparseArray):
+        assert_eq(got, expected, check_nnz=False)
+    else:
+        np.testing.assert_allclose(np.asarray(got), expected)
+
+
+@pytest.mark.parametrize("subscript,a_shape,b_shape", MORE_CASES_2OPS)
+def test_einsum_two_more(subscript, a_shape, b_shape):
+    a = sparse.random(a_shape, density=0.4, random_state=4)
+    b = sparse.random(b_shape, density=0.4, random_state=5)
+    expected = np.einsum(subscript, a.todense(), b.todense())
+    got = sparse.einsum(subscript, a, b)
+    if isinstance(got, sparse.SparseArray):
+        assert_eq(got, expected, check_nnz=False)
+    else:
+        np.testing.assert_allclose(np.asarray(got), expected)
