@@ -88,3 +88,22 @@ def test_trace_context(tmp_path):
     import os
 
     assert os.path.isdir(d)
+
+
+def test_pickle_roundtrip():
+    import pickle
+
+    for fmt in ("coo", "gcxs", "dok"):
+        s = sparse.random((6, 7), density=0.3, random_state=1, format=fmt)
+        s2 = pickle.loads(pickle.dumps(s))
+        np.testing.assert_allclose(s2.todense(), s.todense())
+        assert type(s2) is type(s)
+
+
+def test_copy_deepcopy():
+    import copy
+
+    s = sparse.random((5, 5), density=0.4, random_state=2)
+    c = copy.deepcopy(s)
+    np.testing.assert_allclose(c.todense(), s.todense())
+    assert c.coords is not s.coords
