@@ -12,7 +12,7 @@ from sparse_tpu._utils import assert_eq
 N_CASES = 40
 
 
-def random_case(rng):
+def random_case(rng, formats=("coo",)):
     ndim = int(rng.integers(1, 4))
     shape = tuple(int(rng.integers(1, 8)) for _ in range(ndim))
     density = float(rng.uniform(0.05, 0.6))
@@ -20,13 +20,17 @@ def random_case(rng):
     x = rng.random(shape)
     mask = rng.random(shape) < density
     dense = np.where(mask, x, fv)
-    return dense, COO.from_numpy(dense, fill_value=fv)
+    s = COO.from_numpy(dense, fill_value=fv)
+    fmt = rng.choice(list(formats))
+    if fmt != "coo" and (ndim >= 2 or fmt == "dok"):
+        s = s.asformat(fmt)
+    return dense, s
 
 
 @pytest.mark.parametrize("seed", range(N_CASES))
 def test_fuzz_elemwise_binary(seed):
     rng = np.random.default_rng(seed)
-    dense, s = random_case(rng)
+    dense, s = random_case(rng, formats=("coo", "gcxs", "dok"))
     dense2 = np.where(rng.random(dense.shape) < 0.4, rng.random(dense.shape), np.asarray(s.fill_value))
     s2 = COO.from_numpy(dense2, fill_value=float(np.asarray(s.fill_value)))
     op = rng.choice([np.add, np.multiply, np.maximum, np.minimum, np.subtract])
@@ -36,7 +40,7 @@ def test_fuzz_elemwise_binary(seed):
 @pytest.mark.parametrize("seed", range(N_CASES))
 def test_fuzz_reduce(seed):
     rng = np.random.default_rng(seed + 1000)
-    dense, s = random_case(rng)
+    dense, s = random_case(rng, formats=("coo", "gcxs"))
     axis_opts = [None] + list(range(dense.ndim))
     axis = axis_opts[int(rng.integers(0, len(axis_opts)))]
     keepdims = bool(rng.integers(0, 2))
