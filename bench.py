@@ -51,8 +51,10 @@ def main():
 
     # time ITERS iterations inside a single jit (the axon tunnel's
     # block_until_ready is not a reliable sync point; a device-side scan
-    # with varying inputs and a scalar fetch is)
-    n_iters = 10
+    # with varying inputs and a scalar fetch is), then subtract the
+    # tunnel's fixed round-trip (calibrated with an empty fetch) — the RTT
+    # is ~35 ms here and would otherwise inflate every iteration
+    n_iters = 50
 
     @jax.jit
     def run(e_rows, e_cols, e_data, dense):
@@ -62,10 +64,23 @@ def main():
         acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(n_iters))
         return acc
 
+    @jax.jit
+    def empty(x):
+        return x + 1.0
+
+    float(empty(jnp.float32(0)))
+    rtts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(empty(jnp.float32(0)))
+        rtts.append(time.perf_counter() - t0)
+    rtt = min(rtts)
+
     float(run(ell.e_rows, ell.e_cols, ell.e_data, dense))  # compile + warm
     start = time.perf_counter()
     float(run(ell.e_rows, ell.e_cols, ell.e_data, dense))  # fetch forces sync
-    elapsed = (time.perf_counter() - start) / n_iters
+    total = time.perf_counter() - start
+    elapsed = max(total - rtt, total * 0.1) / n_iters
 
     nnz_per_s = nnz / elapsed
 
