@@ -20,10 +20,28 @@ if "--cpu" in sys.argv:
 import jax.numpy as jnp
 
 
-def device_bench(fn, args, iters=10):
-    """Time `iters` executions inside one jit (tunnel-safe). The last
-    (float) argument is perturbed per iteration so XLA cannot hoist the
-    computation out of the loop."""
+_RTT = None
+
+
+def _fetch_rtt():
+    """The tunnel's fixed cost of one jitted-fetch round trip."""
+    global _RTT
+    if _RTT is None:
+        f = jax.jit(lambda x: x + 1.0)
+        float(f(jnp.float32(0)))
+        samples = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(f(jnp.float32(0)))
+            samples.append(time.perf_counter() - t0)
+        _RTT = min(samples)
+    return _RTT
+
+
+def device_bench(fn, args, iters=50):
+    """Time `iters` executions inside one jit, minus the calibrated fetch
+    round-trip. The last (float) argument is perturbed per iteration so XLA
+    cannot hoist the computation out of the loop."""
 
     @jax.jit
     def run(*a):
@@ -35,10 +53,12 @@ def device_bench(fn, args, iters=10):
         acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(iters))
         return acc
 
+    rtt = _fetch_rtt()
     float(run(*args))
     t = time.perf_counter()
     float(run(*args))
-    return (time.perf_counter() - t) / iters
+    total = time.perf_counter() - t
+    return max(total - rtt, total * 0.05) / iters
 
 
 def host_bench(fn, iters=5):
