@@ -167,3 +167,37 @@ def test_fuzz_sort_where(seed):
     assert_eq(
         sparse.where(s > thresh, s, s * 0), np.where(dense > thresh, dense, dense * 0), check_nnz=False
     )
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_fuzz_kernels_vs_oracle(seed):
+    import jax.numpy as jnp
+
+    from sparse_tpu.kernels import coo_spmm, mttkrp, sddmm
+
+    rng = np.random.default_rng(seed + 9000)
+    m, k, n = (int(rng.integers(2, 20)) for _ in range(3))
+    a = sparse.random((m, k), density=float(rng.uniform(0.1, 0.6)), random_state=int(rng.integers(1 << 16)))
+    rows = jnp.asarray(np.asarray(a.coords[0]))
+    cols = jnp.asarray(np.asarray(a.coords[1]))
+    data = jnp.asarray(np.asarray(a.data))
+    b = rng.random((k, n))
+    np.testing.assert_allclose(
+        np.asarray(coo_spmm(rows, cols, data, jnp.asarray(b), n_rows=m)), a.todense() @ b, rtol=1e-10
+    )
+    # sddmm at a's pattern
+    lhs = rng.random((m, 5))
+    rhs = rng.random((5, k))
+    vals = sddmm(rows, cols, data, jnp.asarray(lhs), jnp.asarray(rhs))
+    expected = np.asarray(a.data) * (lhs @ rhs)[np.asarray(a.coords[0]), np.asarray(a.coords[1])]
+    np.testing.assert_allclose(np.asarray(vals), expected, rtol=1e-10)
+    # mttkrp on a random 3-D tensor
+    t = sparse.random((m, k, 4), density=0.2, random_state=int(rng.integers(1 << 16)))
+    c = rng.random((k, 3))
+    d = rng.random((4, 3))
+    out = mttkrp(
+        jnp.asarray(np.asarray(t.coords[0])), jnp.asarray(np.asarray(t.coords[1])),
+        jnp.asarray(np.asarray(t.coords[2])), jnp.asarray(np.asarray(t.data)),
+        jnp.asarray(c), jnp.asarray(d), n_rows=m,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.einsum("ijk,jr,kr->ir", t.todense(), c, d), rtol=1e-10)
