@@ -8,6 +8,7 @@ from .sharding import (  # noqa: F401
     make_mesh,
     mttkrp_sharded,
     partition_coo_rows,
+    sddmm_sharded,
     spgemm_sharded,
     spmm_2d,
     spmm_replicated,

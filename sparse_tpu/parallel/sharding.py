@@ -327,6 +327,51 @@ def spmm_2d(pcoo, dense, mesh, row_axis="x", col_axis="y"):
 
 
 @functools.cache
+def _sddmm_fn(mesh, axis_name, block_rows):
+    def local(rows, cols, data, lhs_block, rhs):
+        # rows/cols/data: (k, cap) row shards of the sample matrix; the lhs
+        # rows matching this shard's row block travel with it; rhs replicated
+        def one(r, c, d_, lhs_):
+            lg = jnp.take(lhs_, r, axis=0)
+            rg = jnp.take(rhs.T, c, axis=0)
+            return d_ * jnp.sum(lg * rg, axis=-1)
+
+        return jax.vmap(one)(rows, cols, data, lhs_block)
+
+    return jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(
+                P(axis_name, None),
+                P(axis_name, None),
+                P(axis_name, None),
+                P(axis_name, None, None),
+                P(),
+            ),
+            out_specs=P(axis_name, None),
+        )
+    )
+
+
+def sddmm_sharded(pcoo_s, lhs, rhs, mesh, axis_name="x"):
+    """Distributed SDDMM: the sample matrix is row-sharded
+    (PartitionedCOO); lhs rows are sharded to match (each shard carries its
+    own ``block_rows`` slice of lhs), rhs replicated. Returns per-shard
+    padded value arrays aligned with ``pcoo_s.data`` (padding entries carry
+    data 0, hence value 0)."""
+    n_shards = pcoo_s.n_shards
+    m = pcoo_s.shape[0]
+    block_rows = pcoo_s.block_rows
+    lhs = np.asarray(lhs)
+    lhs_pad = np.zeros((n_shards * block_rows, lhs.shape[1]), dtype=lhs.dtype)
+    lhs_pad[:m] = lhs
+    lhs_blocks = jnp.asarray(lhs_pad.reshape(n_shards, block_rows, lhs.shape[1]))
+    f = _sddmm_fn(mesh, axis_name, block_rows)
+    return f(pcoo_s.rows, pcoo_s.cols, pcoo_s.data, lhs_blocks, jnp.asarray(np.asarray(rhs)))
+
+
+@functools.cache
 def _spgemm_sharded_fn(mesh, axis_name, k, n, product_capacity, out_capacity):
     from ..kernels.spgemm import esc_spgemm
 

@@ -178,3 +178,22 @@ def test_checkpoint_elastic_restore(tmp_path, mesh):
     b = np.random.default_rng(2).random((50, 4))
     out = spmm_replicated(restored, jnp.asarray(b), mesh4)
     np.testing.assert_allclose(np.asarray(out), a.todense() @ b, rtol=1e-10)
+
+
+def test_sddmm_sharded(mesh):
+    from sparse_tpu.parallel import sddmm_sharded
+
+    s = sparse.random((200, 150), density=0.05, random_state=6)
+    lhs = np.random.default_rng(1).random((200, 8))
+    rhs = np.random.default_rng(2).random((8, 150))
+    pcoo = partition_coo_rows(s, N_DEV, mesh=mesh)
+    vals = np.asarray(sddmm_sharded(pcoo, lhs, rhs, mesh))
+    # oracle per shard: data * (lhs @ rhs) at global coords
+    full = lhs @ rhs
+    rows = np.asarray(pcoo.rows)
+    cols = np.asarray(pcoo.cols)
+    data = np.asarray(pcoo.data)
+    for sdx in range(N_DEV):
+        grow = rows[sdx] + sdx * pcoo.block_rows
+        expected = data[sdx] * full[np.minimum(grow, 199), cols[sdx]] * (data[sdx] != 0)
+        np.testing.assert_allclose(vals[sdx] * (data[sdx] != 0), expected, rtol=1e-10)
