@@ -215,6 +215,7 @@ from .ops.creation import (  # noqa: E402
 )
 from . import kernels  # noqa: E402
 from . import parallel  # noqa: E402
+from . import jitops  # noqa: E402
 from . import profiling  # noqa: E402
 from .profiling import compiled  # noqa: E402
 
