@@ -687,3 +687,32 @@ def test_auto_densify(monkeypatch):
     arr = np.asarray(s)
     assert isinstance(arr, np.ndarray)
     np.testing.assert_allclose(arr, s.todense())
+
+
+def test_5d_ops():
+    x = np.random.default_rng(20).random((3, 2, 4, 2, 3))
+    x[x < 0.7] = 0
+    s = COO.from_numpy(x)
+    assert_eq(s.sum(axis=(1, 3)), x.sum(axis=(1, 3)))
+    assert_eq(s.transpose((4, 2, 0, 3, 1)), x.transpose((4, 2, 0, 3, 1)))
+    assert_eq(s.reshape((6, 24)), x.reshape((6, 24)))
+    assert_eq(s[1, :, 2], x[1, :, 2])
+    assert_eq(s * s, x * x)
+
+
+def test_large_linearization_reshape():
+    # shape whose linearization exceeds int32 (no densify: compare triplets)
+    s = sparse.random((100000, 100000), density=2e-8, random_state=21)
+    r = s.reshape((100000 * 100000,))
+    assert r.shape == (10000000000,)
+    back = r.reshape((100000, 100000))
+    np.testing.assert_array_equal(np.asarray(back.coords), np.asarray(s.coords))
+    np.testing.assert_allclose(np.asarray(back.data), np.asarray(s.data))
+
+
+def test_mixed_dtype_promotion():
+    a = COO.from_numpy(np.array([[1, 0], [0, 2]], dtype=np.int32))
+    b = COO.from_numpy(np.array([[0.5, 0], [0, 0.25]]))
+    r = a + b
+    assert r.dtype == np.float64
+    assert_eq(r, a.todense() + b.todense())
