@@ -1,0 +1,281 @@
+// Native host-side eager-path kernels for sparse_tpu.
+//
+// The reference's eager element-wise and SpGEMM paths are Numba-JIT kernels
+// (`_umath.py:53 _match_arrays` two-pointer join; `_common.py:543-717`
+// Gustavson SpGEMM borrowed from scipy's csr.h). Here the same roles are
+// C++ single-pass kernels over the canonical sorted-COO / CSR buffers,
+// exposed through a plain C ABI for ctypes (no pybind11 in the image).
+//
+// All key arrays are int64 linearized coordinates, SORTED UNIQUE (the
+// package's canonical invariant). Value kernels are emitted for f64/f32
+// via macro; other dtypes take the generic join + numpy gather path.
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+inline bool is_pos_zero64(double v) {
+  uint64_t b;
+  std::memcpy(&b, &v, sizeof(b));
+  return b == 0;
+}
+inline bool is_pos_zero32(float v) {
+  uint32_t b;
+  std::memcpy(&b, &v, sizeof(b));
+  return b == 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Union join of two sorted unique int64 key streams. For each union key,
+// writes the source position in a (else -1) and in b (else -1).
+// Returns the union size. Output buffers must hold na+nb entries.
+int64_t st_union_join_i64(const int64_t* ka, int64_t na, const int64_t* kb, int64_t nb,
+                          int64_t* k_out, int64_t* ia_out, int64_t* ib_out) {
+  int64_t i = 0, j = 0, u = 0;
+  while (i < na && j < nb) {
+    int64_t a = ka[i], b = kb[j];
+    if (a < b) {
+      k_out[u] = a;
+      ia_out[u] = i++;
+      ib_out[u] = -1;
+    } else if (b < a) {
+      k_out[u] = b;
+      ia_out[u] = -1;
+      ib_out[u] = j++;
+    } else {
+      k_out[u] = a;
+      ia_out[u] = i++;
+      ib_out[u] = j++;
+    }
+    ++u;
+  }
+  while (i < na) {
+    k_out[u] = ka[i];
+    ia_out[u] = i++;
+    ib_out[u] = -1;
+    ++u;
+  }
+  while (j < nb) {
+    k_out[u] = kb[j];
+    ia_out[u] = -1;
+    ib_out[u] = j++;
+    ++u;
+  }
+  return u;
+}
+
+// Fused union merges for {add, sub, mul} with both fill values bitwise +0.
+// Values are computed with the exact IEEE semantics of evaluating the ufunc
+// at the union (e.g. a-only multiply is va*0.0 -> NaN survives for va=inf),
+// and results bitwise-equal to +0.0 are pruned (the package's `equivalent`
+// rule: -0.0 is kept, NaN is kept).
+#define FUSED_MERGE(NAME, T, ISZERO, COMBINE, A_ONLY, B_ONLY)                              \
+  int64_t NAME(const int64_t* ka, const T* va, int64_t na, const int64_t* kb, const T* vb, \
+               int64_t nb, int64_t* k_out, T* v_out) {                                     \
+    int64_t i = 0, j = 0, u = 0;                                                           \
+    while (i < na && j < nb) {                                                             \
+      int64_t a = ka[i], b = kb[j];                                                        \
+      T v;                                                                                 \
+      int64_t k;                                                                           \
+      if (a < b) {                                                                         \
+        v = A_ONLY(va[i]);                                                                 \
+        k = a;                                                                             \
+        ++i;                                                                               \
+      } else if (b < a) {                                                                  \
+        v = B_ONLY(vb[j]);                                                                 \
+        k = b;                                                                             \
+        ++j;                                                                               \
+      } else {                                                                             \
+        v = COMBINE(va[i], vb[j]);                                                         \
+        k = a;                                                                             \
+        ++i;                                                                               \
+        ++j;                                                                               \
+      }                                                                                    \
+      if (!ISZERO(v)) {                                                                    \
+        k_out[u] = k;                                                                      \
+        v_out[u] = v;                                                                      \
+        ++u;                                                                               \
+      }                                                                                    \
+    }                                                                                      \
+    for (; i < na; ++i) {                                                                  \
+      T v = A_ONLY(va[i]);                                                                 \
+      if (!ISZERO(v)) {                                                                    \
+        k_out[u] = ka[i];                                                                  \
+        v_out[u] = v;                                                                      \
+        ++u;                                                                               \
+      }                                                                                    \
+    }                                                                                      \
+    for (; j < nb; ++j) {                                                                  \
+      T v = B_ONLY(vb[j]);                                                                 \
+      if (!ISZERO(v)) {                                                                    \
+        k_out[u] = kb[j];                                                                  \
+        v_out[u] = v;                                                                      \
+        ++u;                                                                               \
+      }                                                                                    \
+    }                                                                                      \
+    return u;                                                                              \
+  }
+
+#define ADD_C(x, y) ((x) + (y))
+#define ADD_A(x) ((x) + 0.0)
+#define ADD_B(y) (0.0 + (y))
+#define SUB_C(x, y) ((x) - (y))
+#define SUB_A(x) ((x) - 0.0)
+#define SUB_B(y) (0.0 - (y))
+#define MUL_C(x, y) ((x) * (y))
+#define MUL_A(x) ((x) * 0.0)
+#define MUL_B(y) (0.0 * (y))
+
+FUSED_MERGE(st_add_join_f64, double, is_pos_zero64, ADD_C, ADD_A, ADD_B)
+FUSED_MERGE(st_sub_join_f64, double, is_pos_zero64, SUB_C, SUB_A, SUB_B)
+FUSED_MERGE(st_mul_join_f64, double, is_pos_zero64, MUL_C, MUL_A, MUL_B)
+
+#define ADD_Cf(x, y) ((x) + (y))
+#define ADD_Af(x) ((x) + 0.0f)
+#define ADD_Bf(y) (0.0f + (y))
+#define SUB_Cf(x, y) ((x) - (y))
+#define SUB_Af(x) ((x) - 0.0f)
+#define SUB_Bf(y) (0.0f - (y))
+#define MUL_Cf(x, y) ((x) * (y))
+#define MUL_Af(x) ((x) * 0.0f)
+#define MUL_Bf(y) (0.0f * (y))
+
+FUSED_MERGE(st_add_join_f32, float, is_pos_zero32, ADD_Cf, ADD_Af, ADD_Bf)
+FUSED_MERGE(st_sub_join_f32, float, is_pos_zero32, SUB_Cf, SUB_Af, SUB_Bf)
+FUSED_MERGE(st_mul_join_f32, float, is_pos_zero32, MUL_Cf, MUL_Af, MUL_Bf)
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// SpGEMM: CSR x CSR (Gustavson, two-phase like scipy csr.h / reference
+// `_csr_csr_count_nnz` + `_dot_csr_csr_type`), rows parallelized.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+void spgemm_symbolic_range(const int64_t* pa, const int64_t* ja, const int64_t* pb,
+                           const int64_t* jb, int64_t n_cols, int64_t r0, int64_t r1,
+                           int64_t* row_nnz) {
+  std::vector<int64_t> mark(n_cols, -1);
+  for (int64_t r = r0; r < r1; ++r) {
+    int64_t cnt = 0;
+    for (int64_t p = pa[r]; p < pa[r + 1]; ++p) {
+      int64_t k = ja[p];
+      for (int64_t q = pb[k]; q < pb[k + 1]; ++q) {
+        int64_t c = jb[q];
+        if (mark[c] != r) {
+          mark[c] = r;
+          ++cnt;
+        }
+      }
+    }
+    row_nnz[r] = cnt;
+  }
+}
+
+template <typename T>
+void spgemm_numeric_range(const int64_t* pa, const int64_t* ja, const T* va, const int64_t* pb,
+                          const int64_t* jb, const T* vb, int64_t n_cols, int64_t r0, int64_t r1,
+                          const int64_t* pc, int64_t* jc, T* vc) {
+  std::vector<T> sums(n_cols, T(0));
+  std::vector<int64_t> mark(n_cols, -1);
+  std::vector<int64_t> touched;
+  touched.reserve(256);
+  for (int64_t r = r0; r < r1; ++r) {
+    touched.clear();
+    for (int64_t p = pa[r]; p < pa[r + 1]; ++p) {
+      int64_t k = ja[p];
+      T av = va[p];
+      for (int64_t q = pb[k]; q < pb[k + 1]; ++q) {
+        int64_t c = jb[q];
+        if (mark[c] != r) {
+          mark[c] = r;
+          sums[c] = av * vb[q];
+          touched.push_back(c);
+        } else {
+          sums[c] += av * vb[q];
+        }
+      }
+    }
+    std::sort(touched.begin(), touched.end());
+    int64_t out = pc[r];
+    for (int64_t c : touched) {
+      jc[out] = c;
+      vc[out] = sums[c];
+      ++out;
+    }
+  }
+}
+
+int spgemm_threads(int64_t n_rows, int64_t nnz_a) {
+  unsigned hw = std::thread::hardware_concurrency();
+  if (hw == 0) hw = 1;
+  if (nnz_a < (1 << 15) || n_rows < 2) return 1;
+  return (int)std::min<int64_t>(hw, n_rows);
+}
+
+// nnz-balanced row split points by indptr_a
+std::vector<int64_t> row_splits(const int64_t* pa, int64_t n_rows, int t) {
+  std::vector<int64_t> s(t + 1, 0);
+  int64_t total = pa[n_rows];
+  for (int i = 1; i < t; ++i) {
+    int64_t target = total * i / t;
+    s[i] = std::upper_bound(pa, pa + n_rows + 1, target) - pa - 1;
+    if (s[i] < s[i - 1]) s[i] = s[i - 1];
+  }
+  s[t] = n_rows;
+  return s;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Phase 1: per-row output nnz into row_nnz (length n_rows); caller does the
+// prefix sum. Returns 0.
+int st_spgemm_symbolic(const int64_t* pa, const int64_t* ja, int64_t n_rows, const int64_t* pb,
+                       const int64_t* jb, int64_t n_cols, int64_t* row_nnz) {
+  int t = spgemm_threads(n_rows, pa[n_rows]);
+  if (t <= 1) {
+    spgemm_symbolic_range(pa, ja, pb, jb, n_cols, 0, n_rows, row_nnz);
+    return 0;
+  }
+  auto s = row_splits(pa, n_rows, t);
+  std::vector<std::thread> ts;
+  for (int i = 1; i < t; ++i)
+    ts.emplace_back(spgemm_symbolic_range, pa, ja, pb, jb, n_cols, s[i], s[i + 1], row_nnz);
+  spgemm_symbolic_range(pa, ja, pb, jb, n_cols, s[0], s[1], row_nnz);
+  for (auto& th : ts) th.join();
+  return 0;
+}
+
+#define SPGEMM_NUMERIC(NAME, T)                                                               \
+  int NAME(const int64_t* pa, const int64_t* ja, const T* va, int64_t n_rows,                 \
+           const int64_t* pb, const int64_t* jb, const T* vb, int64_t n_cols,                 \
+           const int64_t* pc, int64_t* jc, T* vc) {                                           \
+    int t = spgemm_threads(n_rows, pa[n_rows]);                                               \
+    if (t <= 1) {                                                                             \
+      spgemm_numeric_range<T>(pa, ja, va, pb, jb, vb, n_cols, 0, n_rows, pc, jc, vc);         \
+      return 0;                                                                               \
+    }                                                                                         \
+    auto s = row_splits(pa, n_rows, t);                                                       \
+    std::vector<std::thread> ts;                                                              \
+    for (int i = 1; i < t; ++i)                                                               \
+      ts.emplace_back(spgemm_numeric_range<T>, pa, ja, va, pb, jb, vb, n_cols, s[i],          \
+                      s[i + 1], pc, jc, vc);                                                  \
+    spgemm_numeric_range<T>(pa, ja, va, pb, jb, vb, n_cols, s[0], s[1], pc, jc, vc);          \
+    for (auto& th : ts) th.join();                                                            \
+    return 0;                                                                                 \
+  }
+
+SPGEMM_NUMERIC(st_spgemm_numeric_f64, double)
+SPGEMM_NUMERIC(st_spgemm_numeric_f32, float)
+
+}  // extern "C"

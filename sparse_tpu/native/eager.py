@@ -1,0 +1,171 @@
+"""ctypes bindings for the native eager-path kernels (eager.cpp).
+
+Role parity with the reference's Numba layer: the two-pointer elemwise join
+(`_umath.py:53 _match_arrays`) and the Gustavson SpGEMM kernels
+(`_common.py:543-717`). Everything degrades to the numpy formulations when
+the toolchain is unavailable.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "eager.cpp")
+_LIB_PATH = os.path.join(_HERE, "_eager.so")
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+# below this combined nnz the numpy paths win on call overhead
+NATIVE_MIN_NNZ = int(os.environ.get("SPARSE_TPU_EAGER_MIN_NNZ", 4096))
+
+_i64p = ctypes.POINTER(ctypes.c_int64)
+_f64p = ctypes.POINTER(ctypes.c_double)
+_f32p = ctypes.POINTER(ctypes.c_float)
+
+
+def _build():
+    subprocess.run(
+        ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread", "-o", _LIB_PATH, _SRC],
+        check=True,
+        capture_output=True,
+        timeout=120,
+    )
+
+
+def get_lib():
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        try:
+            if not os.path.exists(_LIB_PATH) or os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC):
+                _build()
+            lib = ctypes.CDLL(_LIB_PATH)
+            lib.st_union_join_i64.restype = ctypes.c_int64
+            lib.st_union_join_i64.argtypes = [_i64p, ctypes.c_int64, _i64p, ctypes.c_int64, _i64p, _i64p, _i64p]
+            for name, vp in [
+                ("st_add_join_f64", _f64p),
+                ("st_sub_join_f64", _f64p),
+                ("st_mul_join_f64", _f64p),
+                ("st_add_join_f32", _f32p),
+                ("st_sub_join_f32", _f32p),
+                ("st_mul_join_f32", _f32p),
+            ]:
+                fn = getattr(lib, name)
+                fn.restype = ctypes.c_int64
+                fn.argtypes = [_i64p, vp, ctypes.c_int64, _i64p, vp, ctypes.c_int64, _i64p, vp]
+            lib.st_spgemm_symbolic.restype = ctypes.c_int
+            lib.st_spgemm_symbolic.argtypes = [
+                _i64p, _i64p, ctypes.c_int64, _i64p, _i64p, ctypes.c_int64, _i64p,
+            ]
+            for name, vp in [("st_spgemm_numeric_f64", _f64p), ("st_spgemm_numeric_f32", _f32p)]:
+                fn = getattr(lib, name)
+                fn.restype = ctypes.c_int
+                fn.argtypes = [
+                    _i64p, _i64p, vp, ctypes.c_int64, _i64p, _i64p, vp, ctypes.c_int64, _i64p, _i64p, vp,
+                ]
+            _lib = lib
+        except Exception:
+            _lib = None
+    return _lib
+
+
+def _ip(a):
+    return a.ctypes.data_as(_i64p)
+
+
+def _vp(a):
+    return a.ctypes.data_as(_f64p if a.dtype == np.float64 else _f32p)
+
+
+def _c64(a):
+    return np.ascontiguousarray(a, dtype=np.int64)
+
+
+def union_join(ka, kb):
+    """Union of two sorted unique int64 key arrays.
+
+    Returns ``(keys, ia, ib)`` where ``ia``/``ib`` hold the source position of
+    each union key in the respective input or -1 — or None when the native
+    library is unavailable.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    ka = _c64(ka)
+    kb = _c64(kb)
+    na, nb = ka.shape[0], kb.shape[0]
+    k_out = np.empty(na + nb, dtype=np.int64)
+    ia = np.empty(na + nb, dtype=np.int64)
+    ib = np.empty(na + nb, dtype=np.int64)
+    u = lib.st_union_join_i64(_ip(ka), na, _ip(kb), nb, _ip(k_out), _ip(ia), _ip(ib))
+    return k_out[:u], ia[:u], ib[:u]
+
+
+_FUSED = {"add": "st_add_join", "subtract": "st_sub_join", "multiply": "st_mul_join"}
+
+
+def fused_join(op_name, ka, va, kb, vb):
+    """Fused sorted-union {add,subtract,multiply} for zero fill values.
+
+    Evaluates the op at every union coordinate with exact IEEE semantics and
+    prunes results bitwise-equal to +0.0 (the package's `equivalent` rule).
+    Returns ``(keys, values)`` or None when not applicable/available.
+    """
+    lib = get_lib()
+    if lib is None or op_name not in _FUSED:
+        return None
+    if va.dtype != vb.dtype or va.dtype not in (np.float64, np.float32):
+        return None
+    if not (va.flags.c_contiguous and vb.flags.c_contiguous):
+        va = np.ascontiguousarray(va)
+        vb = np.ascontiguousarray(vb)
+    ka = _c64(ka)
+    kb = _c64(kb)
+    suffix = "_f64" if va.dtype == np.float64 else "_f32"
+    fn = getattr(lib, _FUSED[op_name] + suffix)
+    na, nb = ka.shape[0], kb.shape[0]
+    k_out = np.empty(na + nb, dtype=np.int64)
+    v_out = np.empty(na + nb, dtype=va.dtype)
+    u = fn(_ip(ka), _vp(va), na, _ip(kb), _vp(vb), nb, _ip(k_out), _vp(v_out))
+    return k_out[:u].copy(), v_out[:u].copy()
+
+
+def spgemm_csr(indptr_a, cols_a, vals_a, indptr_b, cols_b, vals_b, n_rows, n_cols):
+    """CSR×CSR Gustavson SpGEMM (two-phase, nnz-balanced threaded rows).
+
+    Returns ``(indptr_c, cols_c, vals_c)`` with cols sorted within each row
+    (canonical order), keeping computed zeros — or None when unavailable.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    if vals_a.dtype != vals_b.dtype or vals_a.dtype not in (np.float64, np.float32):
+        return None
+    pa = _c64(indptr_a)
+    ja = _c64(cols_a)
+    pb = _c64(indptr_b)
+    jb = _c64(cols_b)
+    va = np.ascontiguousarray(vals_a)
+    vb = np.ascontiguousarray(vals_b)
+    row_nnz = np.empty(n_rows, dtype=np.int64)
+    lib.st_spgemm_symbolic(_ip(pa), _ip(ja), n_rows, _ip(pb), _ip(jb), n_cols, _ip(row_nnz))
+    pc = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(row_nnz, out=pc[1:])
+    nnz_c = int(pc[-1])
+    jc = np.empty(nnz_c, dtype=np.int64)
+    vc = np.empty(nnz_c, dtype=va.dtype)
+    fn = lib.st_spgemm_numeric_f64 if va.dtype == np.float64 else lib.st_spgemm_numeric_f32
+    fn(_ip(pa), _ip(ja), _vp(va), n_rows, _ip(pb), _ip(jb), _vp(vb), n_cols, _ip(pc), _ip(jc), _vp(vc))
+    return pc, jc, vc

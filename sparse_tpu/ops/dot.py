@@ -25,9 +25,10 @@ import warnings
 
 import numpy as np
 
-from .._utils import check_zero_fill_value
+from .._utils import check_zero_fill_value, index_dtype_for, zero_of_dtype
 from ..core.base import SparseArray
 from ..core.coo import COO
+from ..native import eager as _native_eager
 
 __all__ = ["tensordot", "matmul", "dot", "vecdot", "sddmm"]
 
@@ -399,6 +400,14 @@ def _spgemm(a, b):
     b_data = np.asarray(b.data)
     dt = np.promote_types(a_data.dtype, b_data.dtype)
 
+    # native Gustavson fast path (role of reference `_dot_csr_csr_type`,
+    # `_common.py:640`): two-phase threaded CSR×CSR in C++, keeping computed
+    # zeros like the numpy formulation below
+    if dt in (np.float64, np.float32) and a_data.size + b_data.size >= _native_eager.NATIVE_MIN_NNZ:
+        native = _spgemm_native(a_coords, a_data, b_coords, b_data, M, K, N, dt)
+        if native is not None:
+            return native
+
     # sort A entries by contraction index k
     order = np.argsort(a_coords[1], kind="stable")
     a_i = a_coords[0][order]
@@ -433,6 +442,37 @@ def _spgemm(a, b):
         sorted=False,
         prune=False,
     )
+
+
+def _spgemm_native(a_coords, a_data, b_coords, b_data, M, K, N, dt):
+    """CSR×CSR through the C++ two-phase Gustavson kernel; None if unavailable.
+
+    Inputs are canonical COO buffers (row-major sorted), so the CSR indptr is
+    a bincount/cumsum away and the kernel's per-row sorted output is already
+    canonical — the result is built with ``COO._make`` (no re-sort)."""
+    from ..native import build_indptr
+
+    if _native_eager.get_lib() is None:
+        return None
+    pa = build_indptr(a_coords[0], M)
+    pb = build_indptr(b_coords[0], K)
+    res = _native_eager.spgemm_csr(
+        pa,
+        a_coords[1],
+        a_data.astype(dt, copy=False),
+        pb,
+        b_coords[1],
+        b_data.astype(dt, copy=False),
+        M,
+        N,
+    )
+    if res is None:  # pragma: no cover - defensive
+        return None
+    pc, jc, vc = res
+    rows = np.repeat(np.arange(M, dtype=np.int64), np.diff(pc))
+    idx_dtype = index_dtype_for(max(M, N))
+    coords = np.stack([rows, jc]).astype(idx_dtype, copy=False)
+    return COO._make(coords, vc, (M, N), zero_of_dtype(dt))
 
 
 def sddmm(s, lhs, rhs):

@@ -34,8 +34,16 @@ import numpy as np
 from .._utils import equivalent, zero_of_dtype
 from ..core.base import SparseArray
 from ..core.coo import COO
+from ..native import eager as _native
 
 __all__ = ["elemwise", "broadcast_to"]
+
+_FUSED_UFUNCS = {np.add: "add", np.subtract: "subtract", np.multiply: "multiply"}
+
+
+def _is_pos_zero_scalar(v):
+    v = np.asarray(v)
+    return v.dtype.kind == "f" and v == 0 and not np.signbit(v)
 
 
 def elemwise(func, *args, **kwargs):
@@ -131,10 +139,74 @@ def elemwise(func, *args, **kwargs):
             func, values, union_coords, full_shape, fill_value, out_dtype, dtype, kwargs, out_format, out_kwargs
         )
 
+    k_sp = len(sparse_args)
+
+    # native merge fast path: 2 distinct same-shape sparse operands hit the
+    # C++ single-pass sorted-union join (role of the reference's Numba
+    # two-pointer `_match_arrays`, `_umath.py:53`); {+,-,*} on float data
+    # with +0.0 fills additionally fuse evaluate+prune into the same pass.
+    if (
+        k_sp == 2
+        and sparse_args[0] is not sparse_args[1]
+        and all(a.shape == full_shape for a in sparse_args)
+        and sparse_args[0].nnz + sparse_args[1].nnz >= _native.NATIVE_MIN_NNZ
+        and _native.get_lib() is not None
+    ):
+        a0, a1 = sparse_args
+        lin0 = np.asarray(a0.linear_loc()).astype(np.int64, copy=False)
+        lin1 = np.asarray(a1.linear_loc()).astype(np.int64, copy=False)
+        d0 = np.asarray(a0.data)
+        d1 = np.asarray(a1.data)
+        name = _FUSED_UFUNCS.get(func)
+        if (
+            name is not None
+            and len(args) == 2
+            and args[0] is a0
+            and args[1] is a1
+            and not kwargs
+            and dtype is None
+            and d0.dtype == d1.dtype
+            and d0.dtype in (np.float64, np.float32)
+            and out_dtype == d0.dtype
+            and _is_pos_zero_scalar(a0.fill_value)
+            and _is_pos_zero_scalar(a1.fill_value)
+            and _is_pos_zero_scalar(fill_value)
+        ):
+            fused = _native.fused_join(name, lin0, d0, lin1, d1)
+            if fused is not None:
+                keys, vals = fused
+                out = COO._make(
+                    _unravel(keys, full_shape),
+                    vals,
+                    full_shape,
+                    np.asarray(fill_value, dtype=out_dtype)[()],
+                )
+                return _to_output_format(out, out_format, out_kwargs)
+        joined = _native.union_join(lin0, lin1)
+        if joined is not None:
+            keys, ia, ib = joined
+            union_coords = _unravel(keys, full_shape)
+            values = []
+            for a in args:
+                if a is a0 or a is a1:
+                    idx, d, fv = (ia, d0, a0.fill_value) if a is a0 else (ib, d1, a1.fill_value)
+                    if d.size == 0:
+                        vals = np.full(idx.shape, np.asarray(fv, dtype=d.dtype))
+                    else:
+                        vals = d[np.maximum(idx, 0)]
+                        np.copyto(vals, np.asarray(fv, dtype=d.dtype), where=idx < 0)
+                    values.append(vals)
+                elif isinstance(a, COO):  # pragma: no cover - defensive
+                    values.append(_lookup_coo(a, union_coords, full_shape))
+                else:
+                    values.append(_gather_dense(a, union_coords, full_shape))
+            return _finish_elemwise(
+                func, values, union_coords, full_shape, fill_value, out_dtype, dtype, kwargs, out_format, out_kwargs
+            )
+
     # merge fast path: 2-4 same-shape sparse operands — one packed sort of
     # the owner-tagged concatenated streams instead of
     # expand/unique/searchsorted per operand
-    k_sp = len(sparse_args)
     owner_bits = 2 if k_sp > 2 else 1
     if (
         2 <= k_sp <= 4
@@ -304,10 +376,17 @@ def _strides(shape):
 def _unravel(linear, shape):
     ndim = len(shape)
     out = np.empty((ndim, linear.size), dtype=np.int64)
-    strides = 1
-    for d in range(ndim - 1, -1, -1):
-        out[d] = (linear // strides) % shape[d] if shape[d] else 0
-        strides *= shape[d]
+    if ndim == 0:
+        return out
+    # divmod chain (one divide per dim, reusing the running quotient) —
+    # ~2x fewer integer divides than the stride form
+    rem = np.asarray(linear, dtype=np.int64)
+    for d in range(ndim - 1, 0, -1):
+        if shape[d]:
+            rem, out[d] = np.divmod(rem, shape[d])
+        else:
+            out[d] = 0
+    out[0] = rem
     return out
 
 

@@ -1,0 +1,158 @@
+"""Native (C++) eager-path kernels: sorted-union join, fused {add,sub,mul}
+merges, and the two-phase Gustavson SpGEMM — plus their integration into
+``elemwise`` and ``_dot``.
+
+Role parity targets: reference ``_umath.py:53 _match_arrays`` (two-pointer
+join) and ``_common.py:543-717`` (CSR×CSR Numba kernels).
+"""
+
+import numpy as np
+import pytest
+
+import sparse_tpu as st
+from sparse_tpu._utils import assert_eq, is_canonical
+from sparse_tpu.native import eager
+
+
+@pytest.fixture(autouse=True)
+def _force_native(monkeypatch):
+    if eager.get_lib() is None:
+        pytest.skip("native eager lib unavailable")
+    monkeypatch.setattr(eager, "NATIVE_MIN_NNZ", 0)
+
+
+def test_union_join():
+    ka = np.array([1, 3, 5, 7], dtype=np.int64)
+    kb = np.array([2, 3, 8], dtype=np.int64)
+    keys, ia, ib = eager.union_join(ka, kb)
+    np.testing.assert_array_equal(keys, [1, 2, 3, 5, 7, 8])
+    np.testing.assert_array_equal(ia, [0, -1, 1, 2, 3, -1])
+    np.testing.assert_array_equal(ib, [-1, 0, 1, -1, -1, 2])
+
+
+def test_union_join_empty_sides():
+    ka = np.array([4, 9], dtype=np.int64)
+    kb = np.empty(0, dtype=np.int64)
+    keys, ia, ib = eager.union_join(ka, kb)
+    np.testing.assert_array_equal(keys, ka)
+    np.testing.assert_array_equal(ib, [-1, -1])
+    keys, ia, ib = eager.union_join(kb, ka)
+    np.testing.assert_array_equal(keys, ka)
+    np.testing.assert_array_equal(ia, [-1, -1])
+
+
+@pytest.mark.parametrize("dtype", [np.float64, np.float32])
+@pytest.mark.parametrize("op", ["add", "subtract", "multiply"])
+def test_fused_join_matches_numpy(op, dtype):
+    rng = np.random.default_rng(0)
+    n = 500
+    ka = np.sort(rng.choice(5000, n, replace=False)).astype(np.int64)
+    kb = np.sort(rng.choice(5000, n, replace=False)).astype(np.int64)
+    va = rng.standard_normal(n).astype(dtype)
+    vb = rng.standard_normal(n).astype(dtype)
+    keys, vals = eager.fused_join(op, ka, va, kb, vb)
+    da = np.zeros(5000, dtype=dtype)
+    db = np.zeros(5000, dtype=dtype)
+    da[ka] = va
+    db[kb] = vb
+    exp = getattr(np, op)(da, db)
+    got = np.zeros(5000, dtype=dtype)
+    got[keys] = vals
+    np.testing.assert_array_equal(got, exp)
+    # pruned: no stored +0.0 (bitwise)
+    assert not np.any((vals == 0) & ~np.signbit(vals))
+
+
+def test_fused_join_ieee_semantics():
+    # multiply: a-only inf * fill 0.0 -> NaN must survive (not be pruned)
+    ka = np.array([0], dtype=np.int64)
+    va = np.array([np.inf])
+    kb = np.array([1], dtype=np.int64)
+    vb = np.array([2.0])
+    keys, vals = eager.fused_join("multiply", ka, va, kb, vb)
+    np.testing.assert_array_equal(keys, [0])
+    assert np.isnan(vals[0])
+    # subtract: b-only 0.0 - 1.0 = -1; matched 1-1 = +0.0 pruned; -0.0 kept
+    ka = np.array([0, 1], dtype=np.int64)
+    va = np.array([1.0, -0.0])
+    kb = np.array([0, 2], dtype=np.int64)
+    vb = np.array([1.0, 1.0])
+    keys, vals = eager.fused_join("subtract", ka, va, kb, vb)
+    np.testing.assert_array_equal(keys, [1, 2])
+    assert np.signbit(vals[0]) and vals[0] == 0
+    assert vals[1] == -1.0
+
+
+@pytest.mark.parametrize("op", [np.add, np.subtract, np.multiply])
+@pytest.mark.parametrize("dtype", [np.float64, np.float32])
+def test_elemwise_native_integration(op, dtype):
+    rng = np.random.default_rng(3)
+    shape = (17, 23, 5)
+    d1 = (rng.random(shape) * (rng.random(shape) < 0.3)).astype(dtype)
+    d2 = (rng.random(shape) * (rng.random(shape) < 0.3)).astype(dtype)
+    x1, x2 = st.COO.from_numpy(d1), st.COO.from_numpy(d2)
+    res = op(x1, x2)
+    assert is_canonical(res)
+    assert_eq(res, st.COO.from_numpy(op(d1, d2)))
+
+
+def test_elemwise_generic_union_native_join():
+    # non-fused ufunc still rides the native union join
+    rng = np.random.default_rng(4)
+    d1 = rng.random((40, 40)) * (rng.random((40, 40)) < 0.2)
+    d2 = rng.random((40, 40)) * (rng.random((40, 40)) < 0.2)
+    x1, x2 = st.COO.from_numpy(d1), st.COO.from_numpy(d2)
+    assert_eq(np.maximum(x1, x2), st.COO.from_numpy(np.maximum(d1, d2)))
+    assert_eq(x1 > x2, st.COO.from_numpy(d1 > d2))
+
+
+def test_elemwise_native_nonzero_fill_uses_generic():
+    # nonzero fill values must bypass the fused kernel but stay correct
+    d1 = np.full((9, 9), 2.0)
+    d1[0, 0] = 5.0
+    d2 = np.full((9, 9), 3.0)
+    d2[1, 1] = 7.0
+    x1 = st.COO.from_numpy(d1, fill_value=2.0)
+    x2 = st.COO.from_numpy(d2, fill_value=3.0)
+    res = x1 + x2
+    assert res.fill_value == 5.0
+    np.testing.assert_array_equal(res.todense(), d1 + d2)
+
+
+@pytest.mark.parametrize("dtype", [np.float64, np.float32])
+def test_spgemm_csr_vs_scipy(dtype):
+    sp = pytest.importorskip("scipy.sparse")
+    rng = np.random.default_rng(5)
+    A = sp.random(300, 200, 0.05, format="csr", random_state=rng).astype(dtype)
+    B = sp.random(200, 250, 0.05, format="csr", random_state=rng).astype(dtype)
+    pc, jc, vc = eager.spgemm_csr(
+        A.indptr, A.indices, A.data, B.indptr, B.indices, B.data, 300, 250
+    )
+    C = sp.csr_matrix((vc, jc, pc), shape=(300, 250))
+    assert abs(C - A @ B).max() < (1e-12 if dtype == np.float64 else 1e-5)
+    # cols sorted within rows (canonical)
+    for r in range(300):
+        row = jc[pc[r] : pc[r + 1]]
+        assert np.all(np.diff(row) > 0)
+
+
+@pytest.mark.parametrize("dtype", [np.float64, np.float32])
+def test_matmul_native_integration(dtype):
+    rng = np.random.default_rng(6)
+    dA = (rng.random((50, 40)) * (rng.random((50, 40)) < 0.15)).astype(dtype)
+    dB = (rng.random((40, 60)) * (rng.random((40, 60)) < 0.15)).astype(dtype)
+    A, B = st.COO.from_numpy(dA), st.COO.from_numpy(dB)
+    C = A @ B
+    assert isinstance(C, st.COO)
+    assert is_canonical(C)
+    tol = 1e-12 if dtype == np.float64 else 1e-5
+    np.testing.assert_allclose(C.todense(), dA @ dB, atol=tol)
+
+
+def test_matmul_native_keeps_computed_zeros():
+    # cancellation zeros stay in the pattern (reference symbolic semantics)
+    dA = np.array([[1.0, -1.0]])
+    dB = np.array([[1.0], [1.0]])
+    C = st.COO.from_numpy(dA) @ st.COO.from_numpy(dB)
+    assert C.nnz == 1
+    assert C.todense()[0, 0] == 0.0
