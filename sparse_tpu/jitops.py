@@ -34,6 +34,8 @@ __all__ = [
     "map_data",
     "add_same_pattern",
     "mul_same_pattern",
+    "union_elemwise",
+    "spgemm",
 ]
 
 
@@ -89,3 +91,92 @@ def add_same_pattern(a: COO, b: COO):
 
 def mul_same_pattern(a: COO, b: COO):
     return COO._make(a.coords, jnp.asarray(a.data) * jnp.asarray(b.data), a.shape, a.fill_value)
+
+
+def _linearize(coords, shape):
+    out = jnp.zeros(coords.shape[1], dtype=jnp.int64)
+    stride = 1
+    for d in range(len(shape) - 1, -1, -1):
+        out = out + coords[d].astype(jnp.int64) * stride
+        stride *= shape[d]
+    return out
+
+
+def _unravel(lin, shape, dtype):
+    coords = []
+    rem = lin
+    for s in reversed(shape):
+        coords.append((rem % s).astype(dtype))
+        rem = rem // s
+    return jnp.stack(coords[::-1])
+
+
+def union_elemwise(func, a: COO, b: COO):
+    """Capacity-bounded traceable elemwise over two same-shape COO pytrees.
+
+    Returns ``(out, nnz)``: ``out`` is a COO with static nnz capacity
+    ``a.nnz + b.nnz`` whose entries past the traced count ``nnz`` are padding
+    (coordinate 0 with data equal to the result fill value), and whose
+    fill value is ``func(a.fill_value, b.fill_value)``. No pruning happens
+    (a data-dependent compaction; eager-only) — call ``.compact()`` host-side
+    or keep chaining pattern-preserving jitops. For zero result fill the
+    padding entries are numerically inert in matmul/reduction kernels.
+    """
+    if a.shape != b.shape:
+        raise ValueError(f"union_elemwise requires equal shapes, got {a.shape} vs {b.shape}")
+    from .kernels.elemwise import coo_elemwise_union
+
+    size = 1
+    for s in a.shape:
+        size *= s
+    lin_a = _linearize(jnp.asarray(a.coords), a.shape)
+    lin_b = _linearize(jnp.asarray(b.coords), b.shape)
+    lin_out, data_out, fill_out, nnz_out = coo_elemwise_union(
+        lin_a,
+        jnp.asarray(a.data),
+        jnp.asarray(a.fill_value),
+        lin_b,
+        jnp.asarray(b.data),
+        jnp.asarray(b.fill_value),
+        func=func,
+        size=size,
+    )
+    lin_safe = jnp.where(lin_out >= size, 0, lin_out)
+    coords = _unravel(lin_safe, a.shape, jnp.asarray(a.coords).dtype)
+    return COO._make(coords, data_out, a.shape, fill_out), nnz_out
+
+
+def spgemm(a: COO, b: COO, *, product_capacity, out_capacity=None):
+    """Capacity-bounded traceable ``a @ b`` for 2-D zero-fill COO pytrees.
+
+    ``product_capacity`` must bound the number of expanded partial products
+    (``kernels.spgemm.product_count`` computes it host-side). Returns
+    ``(out, nnz)`` where ``out`` has static capacity ``out_capacity``
+    (default ``product_capacity``) and entries past the traced count are
+    padding with coordinate 0 and zero data.
+    """
+    from .kernels.spgemm import esc_spgemm
+
+    if a.ndim != 2 or b.ndim != 2:
+        raise ValueError("traceable spgemm supports 2-D operands")
+    if out_capacity is None:
+        out_capacity = product_capacity
+    ac = jnp.asarray(a.coords)
+    bc = jnp.asarray(b.coords)
+    out_rows, out_cols, out_data, out_nnz = esc_spgemm(
+        ac[0],
+        ac[1],
+        jnp.asarray(a.data),
+        bc[0],
+        bc[1],
+        jnp.asarray(b.data),
+        k=a.shape[1],
+        n=b.shape[1],
+        product_capacity=product_capacity,
+        out_capacity=out_capacity,
+    )
+    sentinel = jnp.iinfo(jnp.int32).max
+    rows_safe = jnp.where(out_rows == sentinel, 0, out_rows)
+    coords = jnp.stack([rows_safe, out_cols]).astype(ac.dtype)
+    out = COO._make(coords, out_data, (a.shape[0], b.shape[1]), jnp.zeros((), out_data.dtype))
+    return out, out_nnz

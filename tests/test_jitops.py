@@ -62,3 +62,58 @@ def test_map_mul():
     np.testing.assert_allclose(np.asarray(sq.data), np.asarray(a.data) ** 2)
     m = jitops.mul_same_pattern(a, a)
     np.testing.assert_allclose(np.asarray(m.data), np.asarray(a.data) ** 2)
+
+
+def test_union_elemwise_under_jit():
+    rng = np.random.default_rng(4)
+    d1 = rng.random((12, 9)) * (rng.random((12, 9)) < 0.3)
+    d2 = rng.random((12, 9)) * (rng.random((12, 9)) < 0.3)
+    a, b = sparse.COO.from_numpy(d1), sparse.COO.from_numpy(d2)
+
+    @jax.jit
+    def f(a, b):
+        out, nnz = jitops.union_elemwise(jnp.add, a, b)
+        # chain: the padded COO feeds a pattern-preserving reduction
+        return jitops.sum_dense(out, (1,)), nnz
+
+    row_sums, nnz = f(a, b)
+    np.testing.assert_allclose(np.asarray(row_sums), (d1 + d2).sum(axis=1), rtol=1e-10)
+    union = np.union1d(
+        np.ravel_multi_index(tuple(np.asarray(a.coords)), a.shape),
+        np.ravel_multi_index(tuple(np.asarray(b.coords)), b.shape),
+    )
+    assert int(nnz) == union.size
+
+
+def test_union_elemwise_nonzero_fill():
+    d1 = np.full((5, 5), 2.0)
+    d1[1, 2] = 7.0
+    d2 = np.full((5, 5), 3.0)
+    d2[3, 4] = 1.0
+    a = sparse.COO.from_numpy(d1, fill_value=2.0)
+    b = sparse.COO.from_numpy(d2, fill_value=3.0)
+    out, nnz = jitops.union_elemwise(jnp.multiply, a, b)
+    assert float(out.fill_value) == 6.0
+    dense = np.full((5, 5), 6.0)
+    coords = np.asarray(out.coords)[:, : int(nnz)]
+    dense[tuple(coords)] = np.asarray(out.data)[: int(nnz)]
+    np.testing.assert_allclose(dense, d1 * d2, rtol=1e-12)
+
+
+def test_spgemm_under_jit():
+    from sparse_tpu.kernels.spgemm import product_count
+
+    rng = np.random.default_rng(5)
+    dA = rng.random((15, 12)) * (rng.random((15, 12)) < 0.3)
+    dB = rng.random((12, 10)) * (rng.random((12, 10)) < 0.3)
+    A, B = sparse.COO.from_numpy(dA), sparse.COO.from_numpy(dB)
+    cap = max(product_count(np.asarray(A.coords)[1], np.asarray(B.coords)[0], 12), 1)
+
+    @jax.jit
+    def f(A, B):
+        C, nnz = jitops.spgemm(A, B, product_capacity=cap)
+        return jitops.sum_dense(C, (1,)), nnz
+
+    row_sums, nnz = f(A, B)
+    np.testing.assert_allclose(np.asarray(row_sums), (dA @ dB).sum(axis=1), rtol=1e-10)
+    assert int(nnz) <= cap
