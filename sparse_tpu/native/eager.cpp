@@ -151,6 +151,36 @@ FUSED_MERGE(st_add_join_f32, float, is_pos_zero32, ADD_Cf, ADD_Af, ADD_Bf)
 FUSED_MERGE(st_sub_join_f32, float, is_pos_zero32, SUB_Cf, SUB_Af, SUB_Bf)
 FUSED_MERGE(st_mul_join_f32, float, is_pos_zero32, MUL_Cf, MUL_Af, MUL_Bf)
 
+// Unravel linearized row-major keys into an (ndim, n) coordinate matrix,
+// threaded over entries (role of np.unravel_index in the eager paths).
+int st_unravel_i64(const int64_t* keys, int64_t n, const int64_t* shape, int64_t ndim,
+                   int64_t* coords_out) {
+  unsigned hw = std::thread::hardware_concurrency();
+  int t = (n < (1 << 15) || hw < 2) ? 1 : (int)hw;
+  auto work = [&](int64_t i0, int64_t i1) {
+    for (int64_t i = i0; i < i1; ++i) {
+      int64_t k = keys[i];
+      for (int64_t d = ndim - 1; d > 0; --d) {
+        int64_t s = shape[d];
+        coords_out[d * n + i] = k % s;
+        k /= s;
+      }
+      coords_out[i] = k;
+    }
+  };
+  if (t <= 1) {
+    work(0, n);
+    return 0;
+  }
+  std::vector<std::thread> ts;
+  int64_t chunk = (n + t - 1) / t;
+  for (int i = 1; i < t; ++i)
+    ts.emplace_back(work, i * chunk, std::min<int64_t>(n, (i + 1) * chunk));
+  work(0, std::min<int64_t>(n, chunk));
+  for (auto& th : ts) th.join();
+  return 0;
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------

@@ -65,6 +65,8 @@ def get_lib():
                 fn = getattr(lib, name)
                 fn.restype = ctypes.c_int64
                 fn.argtypes = [_i64p, vp, ctypes.c_int64, _i64p, vp, ctypes.c_int64, _i64p, vp]
+            lib.st_unravel_i64.restype = ctypes.c_int
+            lib.st_unravel_i64.argtypes = [_i64p, ctypes.c_int64, _i64p, ctypes.c_int64, _i64p]
             lib.st_spgemm_symbolic.restype = ctypes.c_int
             lib.st_spgemm_symbolic.argtypes = [
                 _i64p, _i64p, ctypes.c_int64, _i64p, _i64p, ctypes.c_int64, _i64p,
@@ -140,6 +142,21 @@ def fused_join(op_name, ka, va, kb, vb):
     v_out = np.empty(na + nb, dtype=va.dtype)
     u = fn(_ip(ka), _vp(va), na, _ip(kb), _vp(vb), nb, _ip(k_out), _vp(v_out))
     return k_out[:u].copy(), v_out[:u].copy()
+
+
+def unravel(keys, shape):
+    """Row-major unravel of int64 keys into an (ndim, n) int64 coordinate
+    matrix (threaded). Returns None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    keys = _c64(keys)
+    shape_arr = np.asarray(shape, dtype=np.int64)
+    n = keys.shape[0]
+    ndim = shape_arr.shape[0]
+    coords = np.empty((ndim, n), dtype=np.int64)
+    lib.st_unravel_i64(_ip(keys), n, _ip(shape_arr), ndim, _ip(coords))
+    return coords
 
 
 def spgemm_csr(indptr_a, cols_a, vals_a, indptr_b, cols_b, vals_b, n_rows, n_cols):

@@ -378,6 +378,10 @@ def _unravel(linear, shape):
     out = np.empty((ndim, linear.size), dtype=np.int64)
     if ndim == 0:
         return out
+    if linear.size >= _native.NATIVE_MIN_NNZ and all(shape):
+        native = _native.unravel(linear, shape)
+        if native is not None:
+            return native
     # divmod chain (one divide per dim, reusing the running quotient) —
     # ~2x fewer integer divides than the stride form
     rem = np.asarray(linear, dtype=np.int64)
