@@ -30,11 +30,26 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(n_devices=None, axis_name="x", devices=None):
-    """1-D device mesh over the first ``n_devices`` devices."""
+    """1-D device mesh over the first ``n_devices`` devices.
+
+    When the default platform has fewer than ``n_devices`` (e.g. one real
+    TPU chip behind a tunnel that overrides ``JAX_PLATFORMS``), falls back
+    to the host CPU platform, whose device count is controlled by
+    ``--xla_force_host_platform_device_count`` — the simulated-pod testing
+    path (SURVEY §4)."""
     if devices is None:
         devices = jax.devices()
+        if n_devices is not None and len(devices) < n_devices:
+            try:
+                cpu = jax.devices("cpu")
+            except RuntimeError:
+                cpu = []
+            if len(cpu) >= n_devices:
+                devices = cpu
     if n_devices is None:
         n_devices = len(devices)
+    if len(devices) < n_devices:
+        raise ValueError(f"requested {n_devices} devices, only {len(devices)} available on any platform")
     return Mesh(np.array(devices[:n_devices]), (axis_name,))
 
 
