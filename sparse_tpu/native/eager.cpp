@@ -156,7 +156,9 @@ FUSED_MERGE(st_mul_join_f32, float, is_pos_zero32, MUL_Cf, MUL_Af, MUL_Bf)
 int st_unravel_i64(const int64_t* keys, int64_t n, const int64_t* shape, int64_t ndim,
                    int64_t* coords_out) {
   unsigned hw = std::thread::hardware_concurrency();
-  int t = (n < (1 << 15) || hw < 2) ? 1 : (int)hw;
+  // thread spawn costs ~100µs; only fan out when each thread gets real work
+  int t = (int)std::min<int64_t>(hw ? hw : 1, n >> 18);
+  if (t < 2) t = 1;
   auto work = [&](int64_t i0, int64_t i1) {
     for (int64_t i = i0; i < i1; ++i) {
       int64_t k = keys[i];
