@@ -310,4 +310,129 @@ int st_spgemm_symbolic(const int64_t* pa, const int64_t* ja, int64_t n_rows, con
 SPGEMM_NUMERIC(st_spgemm_numeric_f64, double)
 SPGEMM_NUMERIC(st_spgemm_numeric_f32, float)
 
+// ---------------------------------------------------------------------------
+// Sparse x dense (SpMV / SpMM) — the role of the reference's
+// `_dot_csr_ndarray_type` / `_dot_csc_ndarray_type` Numba kernels
+// (`_common.py:720-905`). CSR kernels thread over nnz-balanced row ranges;
+// CSC kernels are a single scatter pass (output-race-free only serially).
+// Dense operands are row-major contiguous.
+// ---------------------------------------------------------------------------
+
+}  // extern "C"
+
+namespace {
+
+// generic row-threaded runner over an [r0, r1) range function, splits
+// nnz-balanced by indptr
+template <typename P, typename F>
+void run_rows(const P* pa, int64_t n_rows, int64_t min_per_thread_shift, int64_t work_scale,
+              F&& body) {
+  unsigned hw = std::thread::hardware_concurrency();
+  int t = (int)std::min<int64_t>(hw ? hw : 1, ((int64_t)pa[n_rows] * work_scale) >> min_per_thread_shift);
+  if (t < 2 || n_rows < 2) {
+    body(0, n_rows);
+    return;
+  }
+  std::vector<int64_t> s(t + 1, 0);
+  int64_t total = pa[n_rows];
+  for (int i = 1; i < t; ++i) {
+    int64_t target = total * i / t;
+    s[i] = std::upper_bound(pa, pa + n_rows + 1, (P)target) - pa - 1;
+    if (s[i] < s[i - 1]) s[i] = s[i - 1];
+  }
+  s[t] = n_rows;
+  std::vector<std::thread> ts;
+  for (int i = 1; i < t; ++i) ts.emplace_back(body, s[i], s[i + 1]);
+  body(s[0], s[1]);
+  for (auto& th : ts) th.join();
+}
+
+template <typename T, typename I>
+void csr_spmv(const I* pa, const I* ja, const T* va, int64_t n_rows, const T* x, T* out) {
+  run_rows(pa, n_rows, 19, 1, [&](int64_t r0, int64_t r1) {
+    for (int64_t r = r0; r < r1; ++r) {
+      T acc = T(0);
+      for (int64_t p = pa[r]; p < pa[r + 1]; ++p) acc += va[p] * x[ja[p]];
+      out[r] = acc;
+    }
+  });
+}
+
+template <typename T, typename I>
+void csr_spmm(const I* pa, const I* ja, const T* va, int64_t n_rows, const T* b,
+              int64_t n_cols_out, T* out) {
+  run_rows(pa, n_rows, 19, n_cols_out, [&](int64_t r0, int64_t r1) {
+    for (int64_t r = r0; r < r1; ++r) {
+      T* orow = out + r * n_cols_out;
+      for (int64_t c = 0; c < n_cols_out; ++c) orow[c] = T(0);
+      for (int64_t p = pa[r]; p < pa[r + 1]; ++p) {
+        T v = va[p];
+        const T* brow = b + (int64_t)ja[p] * n_cols_out;
+        for (int64_t c = 0; c < n_cols_out; ++c) orow[c] += v * brow[c];
+      }
+    }
+  });
+}
+
+template <typename T, typename I>
+void csc_spmv(const I* pc, const I* ia, const T* va, int64_t n_cols, int64_t n_rows, const T* x,
+              T* out) {
+  for (int64_t r = 0; r < n_rows; ++r) out[r] = T(0);
+  for (int64_t j = 0; j < n_cols; ++j) {
+    T xv = x[j];
+    for (int64_t p = pc[j]; p < pc[j + 1]; ++p) out[ia[p]] += va[p] * xv;
+  }
+}
+
+template <typename T, typename I>
+void csc_spmm(const I* pc, const I* ia, const T* va, int64_t n_cols, int64_t n_rows, const T* b,
+              int64_t n_cols_out, T* out) {
+  for (int64_t i = 0; i < n_rows * n_cols_out; ++i) out[i] = T(0);
+  for (int64_t j = 0; j < n_cols; ++j) {
+    const T* brow = b + j * n_cols_out;
+    for (int64_t p = pc[j]; p < pc[j + 1]; ++p) {
+      T v = va[p];
+      T* orow = out + (int64_t)ia[p] * n_cols_out;
+      for (int64_t c = 0; c < n_cols_out; ++c) orow[c] += v * brow[c];
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Sparse x dense (SpMV / SpMM) — the role of the reference's
+// `_dot_csr_ndarray_type` / `_dot_csc_ndarray_type` Numba kernels
+// (`_common.py:720-905`). CSR kernels thread over nnz-balanced row ranges;
+// CSC kernels are one scatter pass. Index buffers may be int32 or int64
+// (GCXS minimizes its index dtype); dense operands row-major contiguous.
+
+#define CSR_DENSE_ABI(TS, T, IS, I)                                                            \
+  int st_csr_spmv_##TS##_##IS(const I* pa, const I* ja, const T* va, int64_t n_rows,           \
+                              const T* x, T* out) {                                            \
+    csr_spmv<T, I>(pa, ja, va, n_rows, x, out);                                                \
+    return 0;                                                                                  \
+  }                                                                                            \
+  int st_csr_spmm_##TS##_##IS(const I* pa, const I* ja, const T* va, int64_t n_rows,           \
+                              const T* b, int64_t n_cols_out, T* out) {                        \
+    csr_spmm<T, I>(pa, ja, va, n_rows, b, n_cols_out, out);                                    \
+    return 0;                                                                                  \
+  }                                                                                            \
+  int st_csc_spmv_##TS##_##IS(const I* pc, const I* ia, const T* va, int64_t n_cols,           \
+                              int64_t n_rows, const T* x, T* out) {                            \
+    csc_spmv<T, I>(pc, ia, va, n_cols, n_rows, x, out);                                        \
+    return 0;                                                                                  \
+  }                                                                                            \
+  int st_csc_spmm_##TS##_##IS(const I* pc, const I* ia, const T* va, int64_t n_cols,           \
+                              int64_t n_rows, const T* b, int64_t n_cols_out, T* out) {        \
+    csc_spmm<T, I>(pc, ia, va, n_cols, n_rows, b, n_cols_out, out);                            \
+    return 0;                                                                                  \
+  }
+
+CSR_DENSE_ABI(f64, double, i64, int64_t)
+CSR_DENSE_ABI(f64, double, i32, int32_t)
+CSR_DENSE_ABI(f32, float, i64, int64_t)
+CSR_DENSE_ABI(f32, float, i32, int32_t)
+
 }  // extern "C"

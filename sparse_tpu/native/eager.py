@@ -77,6 +77,22 @@ def get_lib():
                 fn.argtypes = [
                     _i64p, _i64p, vp, ctypes.c_int64, _i64p, _i64p, vp, ctypes.c_int64, _i64p, _i64p, vp,
                 ]
+            vpp = ctypes.c_void_p
+            for ts in ("f64", "f32"):
+                vp = _f64p if ts == "f64" else _f32p
+                for isuf in ("i64", "i32"):
+                    fn = getattr(lib, f"st_csr_spmv_{ts}_{isuf}")
+                    fn.restype = ctypes.c_int
+                    fn.argtypes = [vpp, vpp, vp, ctypes.c_int64, vp, vp]
+                    fn = getattr(lib, f"st_csr_spmm_{ts}_{isuf}")
+                    fn.restype = ctypes.c_int
+                    fn.argtypes = [vpp, vpp, vp, ctypes.c_int64, vp, ctypes.c_int64, vp]
+                    fn = getattr(lib, f"st_csc_spmv_{ts}_{isuf}")
+                    fn.restype = ctypes.c_int
+                    fn.argtypes = [vpp, vpp, vp, ctypes.c_int64, ctypes.c_int64, vp, vp]
+                    fn = getattr(lib, f"st_csc_spmm_{ts}_{isuf}")
+                    fn.restype = ctypes.c_int
+                    fn.argtypes = [vpp, vpp, vp, ctypes.c_int64, ctypes.c_int64, vp, ctypes.c_int64, vp]
             _lib = lib
         except Exception:
             _lib = None
@@ -157,6 +173,70 @@ def unravel(keys, shape):
     coords = np.empty((ndim, n), dtype=np.int64)
     lib.st_unravel_i64(_ip(keys), n, _ip(shape_arr), ndim, _ip(coords))
     return coords
+
+
+def _suffix(dtype):
+    return "f64" if dtype == np.float64 else "f32"
+
+
+def _index_pair(indptr, idx):
+    """(indptr, idx, isuffix) with ONE common index dtype, converting only
+    the (small) indptr when the (large) index array is int32."""
+    indptr = np.ascontiguousarray(indptr)
+    idx = np.ascontiguousarray(idx)
+    if idx.dtype == np.int32 and indptr[-1] <= np.iinfo(np.int32).max:
+        return indptr.astype(np.int32, copy=False), idx, "i32"
+    return indptr.astype(np.int64, copy=False), idx.astype(np.int64, copy=False), "i64"
+
+
+def _ivp(a):
+    return a.ctypes.data_as(ctypes.c_void_p)
+
+
+def csr_spmm_dense(indptr, cols, vals, b, n_rows):
+    """CSR × dense → dense (threaded rows). ``b`` is ``(K,)`` or ``(K, N)``
+    matching vals' dtype (f32/f64). Returns the dense result or None."""
+    lib = get_lib()
+    if lib is None or vals.dtype not in (np.float64, np.float32):
+        return None
+    pa, ja, isuf = _index_pair(indptr, cols)
+    va = np.ascontiguousarray(vals)
+    b = np.ascontiguousarray(b, dtype=va.dtype)
+    if b.ndim == 2 and b.shape[1] == 1:
+        return csr_spmm_dense(pa, ja, va, b[:, 0], n_rows)[:, None]
+    if b.ndim == 1:
+        out = np.empty(n_rows, dtype=va.dtype)
+        getattr(lib, f"st_csr_spmv_{_suffix(va.dtype)}_{isuf}")(_ivp(pa), _ivp(ja), _vp(va), n_rows, _vp(b), _vp(out))
+        return out
+    n = b.shape[1]
+    out = np.empty((n_rows, n), dtype=va.dtype)
+    getattr(lib, f"st_csr_spmm_{_suffix(va.dtype)}_{isuf}")(_ivp(pa), _ivp(ja), _vp(va), n_rows, _vp(b), n, _vp(out))
+    return out
+
+
+def csc_spmm_dense(indptr, rows, vals, b, n_rows, n_cols):
+    """CSC × dense → dense (single scatter pass). ``indptr`` over columns,
+    ``rows`` the row ids. Returns the dense result or None."""
+    lib = get_lib()
+    if lib is None or vals.dtype not in (np.float64, np.float32):
+        return None
+    pc, ia, isuf = _index_pair(indptr, rows)
+    va = np.ascontiguousarray(vals)
+    b = np.ascontiguousarray(b, dtype=va.dtype)
+    if b.ndim == 2 and b.shape[1] == 1:
+        return csc_spmm_dense(pc, ia, va, b[:, 0], n_rows, n_cols)[:, None]
+    if b.ndim == 1:
+        out = np.empty(n_rows, dtype=va.dtype)
+        getattr(lib, f"st_csc_spmv_{_suffix(va.dtype)}_{isuf}")(
+            _ivp(pc), _ivp(ia), _vp(va), n_cols, n_rows, _vp(b), _vp(out)
+        )
+        return out
+    n = b.shape[1]
+    out = np.empty((n_rows, n), dtype=va.dtype)
+    getattr(lib, f"st_csc_spmm_{_suffix(va.dtype)}_{isuf}")(
+        _ivp(pc), _ivp(ia), _vp(va), n_cols, n_rows, _vp(b), n, _vp(out)
+    )
+    return out
 
 
 def spgemm_csr(indptr_a, cols_a, vals_a, indptr_b, cols_b, vals_b, n_rows, n_cols):

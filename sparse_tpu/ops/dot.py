@@ -296,13 +296,19 @@ def _dot(a, b, return_type=None):
 
 
 def _spmm_dense(a, b):
-    """sparse (M, K) × dense (K,) or (K, N) → dense, via XLA kernel.
+    """sparse (M, K) × dense (K,) or (K, N) → dense.
 
-    2-D GCXS inputs use their compressed buffers directly (CSR: rows from
-    indptr; CSC: indices are the row ids) — no COO materialization, the
-    path of reference ``_dot_csr_ndarray_type`` / ``_dot_csc_ndarray_type``."""
+    Fast path: the native C++ CSR/CSC kernels (threaded rows; role of
+    reference ``_dot_csr_ndarray_type`` / ``_dot_csc_ndarray_type``,
+    ``_common.py:720-905``) straight off the compressed buffers (GCXS) or
+    a bincount-built indptr (canonical COO). Falls back to the XLA
+    segment-sum kernel for other dtypes / missing toolchain."""
     from ..core.gcxs import GCXS
     from ..kernels import dot as kdot
+
+    native = _spmm_dense_native(a, np.asarray(b))
+    if native is not None:
+        return native
 
     if isinstance(a, GCXS) and a.ndim == 2 and a.compressed_axes in ((0,), (1,)):
         from ..core.gcxs import _uncompress_indptr_np
@@ -334,6 +340,29 @@ def _spmm_dense(a, b):
         else:
             out = kdot.coo_spmm(coords[0], coords[1], data, b, n_rows=a.shape[0], rows_sorted=rows_sorted)
     return np.asarray(out).astype(dt, copy=False)
+
+
+def _spmm_dense_native(a, b):
+    """C++ CSR/CSC × dense, or None when not applicable."""
+    from ..core.gcxs import GCXS
+    from ..native import build_indptr
+
+    dt = np.promote_types(a.dtype, b.dtype)
+    if dt not in (np.float64, np.float32) or _native_eager.get_lib() is None:
+        return None
+    if isinstance(a, GCXS) and a.ndim == 2 and a.compressed_axes in ((0,), (1,)):
+        data = np.asarray(a.data).astype(dt, copy=False)
+        if a.compressed_axes == (0,):  # CSR
+            return _native_eager.csr_spmm_dense(np.asarray(a.indptr), np.asarray(a.indices), data, b, a.shape[0])
+        return _native_eager.csc_spmm_dense(
+            np.asarray(a.indptr), np.asarray(a.indices), data, b, a.shape[0], a.shape[1]
+        )
+    if isinstance(a, COO) and a.ndim == 2:
+        coords = np.asarray(a.coords)
+        data = np.asarray(a.data).astype(dt, copy=False)
+        indptr = build_indptr(coords[0], a.shape[0])
+        return _native_eager.csr_spmm_dense(indptr, coords[1], data, b, a.shape[0])
+    return None
 
 
 def _spmm_dense_np(coords, data, b, n_rows):
