@@ -387,15 +387,37 @@ void csc_spmv(const I* pc, const I* ia, const T* va, int64_t n_cols, int64_t n_r
 template <typename T, typename I>
 void csc_spmm(const I* pc, const I* ia, const T* va, int64_t n_cols, int64_t n_rows, const T* b,
               int64_t n_cols_out, T* out) {
-  for (int64_t i = 0; i < n_rows * n_cols_out; ++i) out[i] = T(0);
-  for (int64_t j = 0; j < n_cols; ++j) {
-    const T* brow = b + j * n_cols_out;
-    for (int64_t p = pc[j]; p < pc[j + 1]; ++p) {
-      T v = va[p];
-      T* orow = out + (int64_t)ia[p] * n_cols_out;
-      for (int64_t c = 0; c < n_cols_out; ++c) orow[c] += v * brow[c];
+  // scatter into out rows: races only across the sparse loop, so thread
+  // over disjoint slices of the dense columns instead
+  auto work = [&](int64_t c0, int64_t c1) {
+    for (int64_t i = 0; i < n_rows; ++i)
+      for (int64_t c = c0; c < c1; ++c) out[i * n_cols_out + c] = T(0);
+    for (int64_t j = 0; j < n_cols; ++j) {
+      const T* brow = b + j * n_cols_out;
+      for (int64_t p = pc[j]; p < pc[j + 1]; ++p) {
+        T v = va[p];
+        T* orow = out + (int64_t)ia[p] * n_cols_out;
+        for (int64_t c = c0; c < c1; ++c) orow[c] += v * brow[c];
+      }
     }
+  };
+  unsigned hw = std::thread::hardware_concurrency();
+  int64_t nnz = pc[n_cols];
+  // chunks span whole 64-byte cache lines of the output rows, else threads
+  // false-share every accumulation
+  int64_t min_chunk = 64 / (int64_t)sizeof(T);
+  int t = (int)std::min<int64_t>(std::min<int64_t>(hw ? hw : 1, n_cols_out / min_chunk),
+                                 (nnz * n_cols_out) >> 19);
+  if (t < 2) {
+    work(0, n_cols_out);
+    return;
   }
+  int64_t chunk = ((n_cols_out + t - 1) / t + min_chunk - 1) / min_chunk * min_chunk;
+  std::vector<std::thread> ts;
+  for (int i = 1; i < t; ++i)
+    ts.emplace_back(work, i * chunk, std::min<int64_t>(n_cols_out, (i + 1) * chunk));
+  work(0, chunk);
+  for (auto& th : ts) th.join();
 }
 
 }  // namespace

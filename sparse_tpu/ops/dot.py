@@ -377,7 +377,11 @@ def _spmm_dense_np(coords, data, b, n_rows):
 
 
 def _dense_spmm(a, b):
-    """dense (M, K) × sparse (K, N) → dense."""
+    """dense (M, K) × sparse (K, N) → dense.
+
+    Native path: ``(a @ b)ᵀ = bᵀ @ aᵀ`` — b's canonical row-sorted COO (or
+    GCXS buffers) double as a column-compressed layout of bᵀ, so the C++
+    CSR/CSC kernels apply with two dense transposes and no index copies."""
     from ..kernels import dot as kdot
 
     b_coo = b.tocoo() if not isinstance(b, COO) else b
@@ -390,6 +394,15 @@ def _dense_spmm(a, b):
         out = np.zeros((a.shape[0],), dtype=dt)
         contrib = a[:, rows] * data[None, :].astype(dt)
         return contrib.sum(axis=1)
+    if dt in (np.float64, np.float32) and _native_eager.get_lib() is not None:
+        from ..native import build_indptr
+
+        K, N = b.shape
+        at = np.ascontiguousarray(np.asarray(a).T, dtype=dt)  # (K, M)
+        indptr = build_indptr(coords[0], K)
+        out_t = _native_eager.csc_spmm_dense(indptr, coords[1], data.astype(dt, copy=False), at, N, K)
+        if out_t is not None:
+            return np.ascontiguousarray(out_t.T)
     if np.issubdtype(dt, np.complexfloating) or dt.itemsize > 8 or dt == np.float16:
         rows, cols = coords[0], coords[1]
         out = np.zeros((a.shape[0], b.shape[1]), dtype=dt)

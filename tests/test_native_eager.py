@@ -156,3 +156,56 @@ def test_matmul_native_keeps_computed_zeros():
     C = st.COO.from_numpy(dA) @ st.COO.from_numpy(dB)
     assert C.nnz == 1
     assert C.todense()[0, 0] == 0.0
+
+
+@pytest.mark.parametrize("dtype", [np.float64, np.float32])
+@pytest.mark.parametrize("fmt", ["coo", "gcxs", "csr", "csc"])
+def test_spmm_dense_native_integration(fmt, dtype):
+    rng = np.random.default_rng(11)
+    dA = (rng.random((37, 29)) * (rng.random((37, 29)) < 0.25)).astype(dtype)
+    A = st.asarray(st.COO.from_numpy(dA), format=fmt)
+    D = rng.random((29, 5)).astype(dtype)
+    v = rng.random(29).astype(dtype)
+    tol = 1e-12 if dtype == np.float64 else 1e-5
+    np.testing.assert_allclose(A @ D, dA @ D, atol=tol)
+    np.testing.assert_allclose(A @ v, dA @ v, atol=tol)
+    L = rng.random((6, 37)).astype(dtype)
+    np.testing.assert_allclose(L @ A, L @ dA, atol=tol)
+
+
+def test_csr_spmm_dense_kernel_direct():
+    sp = pytest.importorskip("scipy.sparse")
+    rng = np.random.default_rng(12)
+    A = sp.random(200, 150, 0.1, format="csr", random_state=rng)
+    D = rng.random((150, 17))
+    out = eager.csr_spmm_dense(A.indptr, A.indices, A.data, D, 200)
+    np.testing.assert_allclose(out, A @ D, atol=1e-12)
+    v = rng.random(150)
+    np.testing.assert_allclose(eager.csr_spmm_dense(A.indptr, A.indices, A.data, v, 200), A @ v, atol=1e-12)
+    # N=1 column routes through the spmv kernel
+    np.testing.assert_allclose(
+        eager.csr_spmm_dense(A.indptr, A.indices, A.data, v[:, None], 200), (A @ v)[:, None], atol=1e-12
+    )
+
+
+def test_csc_spmm_dense_kernel_direct():
+    sp = pytest.importorskip("scipy.sparse")
+    rng = np.random.default_rng(13)
+    A = sp.random(120, 90, 0.1, format="csc", random_state=rng)
+    D = rng.random((90, 33))
+    out = eager.csc_spmm_dense(A.indptr, A.indices, A.data, D, 120, 90)
+    np.testing.assert_allclose(out, A @ D, atol=1e-12)
+    v = rng.random(90)
+    np.testing.assert_allclose(eager.csc_spmm_dense(A.indptr, A.indices, A.data, v, 120, 90), A @ v, atol=1e-12)
+
+
+def test_spmm_dense_nan_inf_semantics():
+    # NaN/inf propagate exactly like the dense oracle (no zero-skip shortcuts)
+    dA = np.array([[np.inf, 0.0], [1.0, np.nan]])
+    A = st.COO.from_numpy(dA)
+    D = np.array([[0.0, 1.0], [2.0, 3.0]])
+    with np.errstate(invalid="ignore"):
+        expected = dA @ D
+    got = A @ D
+    np.testing.assert_array_equal(np.isnan(got), np.isnan(expected))
+    np.testing.assert_allclose(got[~np.isnan(got)], expected[~np.isnan(expected)])
