@@ -71,6 +71,46 @@ int64_t st_union_join_i64(const int64_t* ka, int64_t na, const int64_t* kb, int6
   return u;
 }
 
+// Union join that also materializes both operands' value streams at the
+// union coordinates (stored value or the operand's fill) in the same pass —
+// feeds the generic eager elemwise path for arbitrary ufuncs.
+#define UNION_JOIN_VALS(NAME, T)                                                            \
+  int64_t NAME(const int64_t* ka, const T* va, int64_t na, T fa, const int64_t* kb,        \
+               const T* vb, int64_t nb, T fb, int64_t* k_out, T* va_out, T* vb_out) {      \
+    int64_t i = 0, j = 0, u = 0;                                                           \
+    while (i < na && j < nb) {                                                             \
+      int64_t a = ka[i], b = kb[j];                                                        \
+      if (a < b) {                                                                         \
+        k_out[u] = a;                                                                      \
+        va_out[u] = va[i++];                                                               \
+        vb_out[u] = fb;                                                                    \
+      } else if (b < a) {                                                                  \
+        k_out[u] = b;                                                                      \
+        va_out[u] = fa;                                                                    \
+        vb_out[u] = vb[j++];                                                               \
+      } else {                                                                             \
+        k_out[u] = a;                                                                      \
+        va_out[u] = va[i++];                                                               \
+        vb_out[u] = vb[j++];                                                               \
+      }                                                                                    \
+      ++u;                                                                                 \
+    }                                                                                      \
+    for (; i < na; ++i, ++u) {                                                             \
+      k_out[u] = ka[i];                                                                    \
+      va_out[u] = va[i];                                                                   \
+      vb_out[u] = fb;                                                                      \
+    }                                                                                      \
+    for (; j < nb; ++j, ++u) {                                                             \
+      k_out[u] = kb[j];                                                                    \
+      va_out[u] = fa;                                                                      \
+      vb_out[u] = vb[j];                                                                   \
+    }                                                                                      \
+    return u;                                                                              \
+  }
+
+UNION_JOIN_VALS(st_union_join_vals_f64, double)
+UNION_JOIN_VALS(st_union_join_vals_f32, float)
+
 // Fused union merges for {add, sub, mul} with both fill values bitwise +0.
 // Values are computed with the exact IEEE semantics of evaluating the ufunc
 // at the union (e.g. a-only multiply is va*0.0 -> NaN survives for va=inf),

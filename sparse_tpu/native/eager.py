@@ -54,6 +54,13 @@ def get_lib():
             lib = ctypes.CDLL(_LIB_PATH)
             lib.st_union_join_i64.restype = ctypes.c_int64
             lib.st_union_join_i64.argtypes = [_i64p, ctypes.c_int64, _i64p, ctypes.c_int64, _i64p, _i64p, _i64p]
+            for name, vp, ct in [
+                ("st_union_join_vals_f64", _f64p, ctypes.c_double),
+                ("st_union_join_vals_f32", _f32p, ctypes.c_float),
+            ]:
+                fn = getattr(lib, name)
+                fn.restype = ctypes.c_int64
+                fn.argtypes = [_i64p, vp, ctypes.c_int64, ct, _i64p, vp, ctypes.c_int64, ct, _i64p, vp, vp]
             for name, vp in [
                 ("st_add_join_f64", _f64p),
                 ("st_sub_join_f64", _f64p),
@@ -129,6 +136,28 @@ def union_join(ka, kb):
     ib = np.empty(na + nb, dtype=np.int64)
     u = lib.st_union_join_i64(_ip(ka), na, _ip(kb), nb, _ip(k_out), _ip(ia), _ip(ib))
     return k_out[:u], ia[:u], ib[:u]
+
+
+def union_join_values(ka, va, fa, kb, vb, fb):
+    """Union of two sorted unique key streams with both value streams
+    materialized at the union (stored value or the operand's fill), one pass.
+
+    Returns ``(keys, va_out, vb_out)`` or None when unavailable or the value
+    dtypes differ / aren't f32/f64."""
+    lib = get_lib()
+    if lib is None or va.dtype != vb.dtype or va.dtype not in (np.float64, np.float32):
+        return None
+    ka = _c64(ka)
+    kb = _c64(kb)
+    va = np.ascontiguousarray(va)
+    vb = np.ascontiguousarray(vb)
+    na, nb = ka.shape[0], kb.shape[0]
+    k_out = np.empty(na + nb, dtype=np.int64)
+    va_out = np.empty(na + nb, dtype=va.dtype)
+    vb_out = np.empty(na + nb, dtype=va.dtype)
+    fn = lib.st_union_join_vals_f64 if va.dtype == np.float64 else lib.st_union_join_vals_f32
+    u = fn(_ip(ka), _vp(va), na, va.dtype.type(fa), _ip(kb), _vp(vb), nb, va.dtype.type(fb), _ip(k_out), _vp(va_out), _vp(vb_out))
+    return k_out[:u], va_out[:u], vb_out[:u]
 
 
 _FUSED = {"add": "st_add_join", "subtract": "st_sub_join", "multiply": "st_mul_join"}

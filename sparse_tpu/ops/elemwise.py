@@ -182,13 +182,26 @@ def elemwise(func, *args, **kwargs):
                     np.asarray(fill_value, dtype=out_dtype)[()],
                 )
                 return _to_output_format(out, out_format, out_kwargs)
-        joined = _native.union_join(lin0, lin1)
-        if joined is not None:
-            keys, ia, ib = joined
+        # one-pass variant: values materialized during the merge itself
+        v0 = v1 = None
+        if d0.dtype == d1.dtype and d0.dtype in (np.float64, np.float32):
+            jv = _native.union_join_values(lin0, d0, a0.fill_value, lin1, d1, a1.fill_value)
+            if jv is not None:
+                keys, v0, v1 = jv
+        if v0 is None:
+            joined = _native.union_join(lin0, lin1)
+            if joined is None:
+                keys = None
+            else:
+                keys, ia, ib = joined
+        if keys is not None:
             union_coords = _unravel(keys, full_shape)
             values = []
             for a in args:
                 if a is a0 or a is a1:
+                    if v0 is not None:
+                        values.append(v0 if a is a0 else v1)
+                        continue
                     idx, d, fv = (ia, d0, a0.fill_value) if a is a0 else (ib, d1, a1.fill_value)
                     if d.size == 0:
                         vals = np.full(idx.shape, np.asarray(fv, dtype=d.dtype))
