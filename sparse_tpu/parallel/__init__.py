@@ -5,6 +5,7 @@ from .sharding import (  # noqa: F401
     PartitionedCOO,
     assemble_spgemm_result,
     bucket_columns,
+    elemwise_partitioned,
     make_mesh,
     mttkrp_sharded,
     partition_coo_rows,
@@ -13,4 +14,5 @@ from .sharding import (  # noqa: F401
     spmm_2d,
     spmm_replicated,
     spmm_ring,
+    sum_partitioned,
 )

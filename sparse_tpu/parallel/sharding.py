@@ -494,3 +494,123 @@ def mttkrp_sharded(coords_i, coords_j, coords_k, data, c, d, n_rows, mesh, axis_
     f = _mttkrp_fn(mesh, axis_name, block_rows)
     out = f(coords_i, coords_j, coords_k, data, c, d)
     return out.reshape(-1, c.shape[1])[:n_rows]
+
+
+# ---------------------------------------------------------------------------
+# Distributed elemwise + reductions over identically-partitioned operands
+# ---------------------------------------------------------------------------
+
+
+@functools.cache
+def _elemwise_fn(mesh, axis_name, func, k_cols, block_rows):
+    from ..kernels.elemwise import coo_elemwise_union
+
+    size = block_rows * k_cols
+
+    def local(ra, ca, da, rb, cb, db):
+        def one(ra_, ca_, da_, rb_, cb_, db_):
+            # padding entries carry local coordinate 0 with data 0; they
+            # merge into one union slot that contributes func(0, 0) == 0
+            lin_a = ra_.astype(jnp.int64) * k_cols + ca_
+            lin_b = rb_.astype(jnp.int64) * k_cols + cb_
+            lin, vals, _, nnz = coo_elemwise_union(
+                lin_a, da_, jnp.zeros((), da_.dtype), lin_b, db_, jnp.zeros((), db_.dtype), func=func, size=size
+            )
+            lin = jnp.where(lin >= size, 0, lin)
+            r = (lin // k_cols).astype(jnp.int32)
+            c = (lin % k_cols).astype(jnp.int32)
+            return r, c, vals, nnz
+
+        return jax.vmap(one)(ra, ca, da, rb, cb, db)
+
+    return jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(axis_name, None),) * 6,
+            out_specs=(P(axis_name, None), P(axis_name, None), P(axis_name, None), P(axis_name)),
+        )
+    )
+
+
+def elemwise_partitioned(func, pa: PartitionedCOO, pb: PartitionedCOO, mesh, axis_name="x"):
+    """Shard-local elementwise ``func`` over two identically-partitioned
+    zero-fill operands (no communication: the row partition aligns).
+
+    ``func`` must map (0, 0) -> 0 (e.g. add/subtract/multiply/minimum/
+    maximum of zero-fill operands), because padding survives as zeros.
+    Returns ``(out, nnz_per_shard)``: a PartitionedCOO of capacity
+    ``cap_a + cap_b`` (entries past each shard's count are zero padding) and
+    the per-shard union counts.
+    """
+    if pa.shape != pb.shape or pa.block_rows != pb.block_rows or pa.n_shards != pb.n_shards:
+        raise ValueError("operands must share shape and partitioning")
+    sa = getattr(pa, "row_starts", None)
+    sb = getattr(pb, "row_starts", None)
+    if (sa is None) != (sb is None) or (sa is not None and not np.array_equal(sa, sb)):
+        raise ValueError("operands must share row_starts (nnz-balanced partitions)")
+    probe = func(np.zeros(1, np.asarray(pa.data).dtype), np.zeros(1, np.asarray(pb.data).dtype))
+    if probe[0] != 0:
+        raise ValueError(f"elemwise_partitioned requires func(0, 0) == 0, got {probe[0]!r}")
+    f = _elemwise_fn(mesh, axis_name, func, pa.shape[1], pa.block_rows)
+    r, c, v, nnz = f(pa.rows, pa.cols, pa.data, pb.rows, pb.cols, pb.data)
+    out = PartitionedCOO(r, c, v, pa.shape, pa.block_rows)
+    if sa is not None:
+        out.row_starts = sa
+    return out, nnz
+
+
+@functools.cache
+def _sum_fn(mesh, axis_name, axis, k_cols, block_rows):
+    def local(rows, cols, data):
+        if axis == 1:
+            def one(r, c, d_):
+                return jax.ops.segment_sum(d_, r, num_segments=block_rows)
+
+            return jax.vmap(one)(rows, cols, data)
+        if axis == 0:
+            def one(r, c, d_):
+                return jax.ops.segment_sum(d_, c, num_segments=k_cols)
+
+            part = jax.vmap(one)(rows, cols, data).sum(axis=0)
+            return jax.lax.psum(part, axis_name)[None]
+        total = data.sum()
+        return jax.lax.psum(total, axis_name)[None]
+
+    out_specs = P(axis_name, None) if axis == 1 else P(axis_name, None) if axis == 0 else P(axis_name)
+    # axis=0 / None results are replicated: emit one copy per device and
+    # read the first
+    return jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(axis_name, None),) * 3,
+            out_specs=out_specs,
+        )
+    )
+
+
+def sum_partitioned(pcoo: PartitionedCOO, mesh, axis=None, axis_name="x"):
+    """Distributed ``sum`` of a zero-fill PartitionedCOO → dense.
+
+    ``axis=1`` reduces within rows (no communication; returns ``(M,)``),
+    ``axis=0`` reduces across the row partition with a ``psum`` (returns
+    ``(K,)``), ``axis=None`` returns the scalar total (psum epilogue).
+    """
+    M, K = pcoo.shape
+    f = _sum_fn(mesh, axis_name, axis, K, pcoo.block_rows)
+    out = f(pcoo.rows, pcoo.cols, pcoo.data)
+    if axis == 1:
+        starts = getattr(pcoo, "row_starts", None)
+        if starts is not None:
+            res = np.zeros(M, dtype=np.asarray(out).dtype)
+            arr = np.asarray(out)
+            bounds = np.concatenate([starts, [M]])
+            for s in range(pcoo.n_shards):
+                n = int(bounds[s + 1] - bounds[s])
+                res[bounds[s] : bounds[s + 1]] = arr[s, :n]
+            return res
+        return np.asarray(out).reshape(-1)[:M]
+    if axis == 0:
+        return np.asarray(out)[0]
+    return np.asarray(out)[0]

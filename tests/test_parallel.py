@@ -197,3 +197,51 @@ def test_sddmm_sharded(mesh):
         grow = rows[sdx] + sdx * pcoo.block_rows
         expected = data[sdx] * full[np.minimum(grow, 199), cols[sdx]] * (data[sdx] != 0)
         np.testing.assert_allclose(vals[sdx] * (data[sdx] != 0), expected, rtol=1e-10)
+
+
+def test_elemwise_partitioned():
+    import jax.numpy as jnp
+    from sparse_tpu.parallel import elemwise_partitioned, make_mesh, partition_coo_rows
+
+    mesh = make_mesh(8)
+    a = sparse.random((70, 40), density=0.15, random_state=1)
+    b = sparse.random((70, 40), density=0.15, random_state=2)
+    pa = partition_coo_rows(a, 8, mesh=mesh)
+    pb = partition_coo_rows(b, 8, mesh=mesh)
+    for func, ref in ((jnp.add, np.add), (jnp.multiply, np.multiply), (jnp.maximum, np.maximum)):
+        out, nnz = elemwise_partitioned(func, pa, pb, mesh)
+        dense = np.zeros(a.shape)
+        r, c, d = np.asarray(out.rows), np.asarray(out.cols), np.asarray(out.data)
+        n = np.asarray(nnz)
+        for s in range(8):
+            k = int(n[s])
+            np.add.at(dense, (r[s][:k] + s * out.block_rows, c[s][:k]), d[s][:k])
+        np.testing.assert_allclose(dense, ref(a.todense(), b.todense()), rtol=1e-12)
+
+
+def test_elemwise_partitioned_rejects_bad_funcs_and_partitions():
+    import jax.numpy as jnp
+    from sparse_tpu.parallel import elemwise_partitioned, make_mesh, partition_coo_rows
+
+    mesh = make_mesh(8)
+    a = sparse.random((70, 40), density=0.15, random_state=1)
+    b = sparse.random((70, 40), density=0.15, random_state=2)
+    pa = partition_coo_rows(a, 8, mesh=mesh)
+    pb = partition_coo_rows(b, 8, mesh=mesh)
+    with pytest.raises(ValueError, match="func"):
+        elemwise_partitioned(jnp.logaddexp, pa, pb, mesh)
+    pb_nnz = partition_coo_rows(b, 8, mesh=mesh, balance="nnz")
+    with pytest.raises(ValueError, match="partition"):
+        elemwise_partitioned(jnp.add, pa, pb_nnz, mesh)
+
+
+@pytest.mark.parametrize("balance", ["rows", "nnz"])
+def test_sum_partitioned(balance):
+    from sparse_tpu.parallel import make_mesh, partition_coo_rows, sum_partitioned
+
+    mesh = make_mesh(8)
+    a = sparse.random((70, 40), density=0.15, random_state=5)
+    pa = partition_coo_rows(a, 8, mesh=mesh, balance=balance)
+    np.testing.assert_allclose(sum_partitioned(pa, mesh, axis=1), a.todense().sum(axis=1), rtol=1e-12)
+    np.testing.assert_allclose(sum_partitioned(pa, mesh, axis=0), a.todense().sum(axis=0), rtol=1e-12)
+    np.testing.assert_allclose(sum_partitioned(pa, mesh), a.todense().sum(), rtol=1e-12)
