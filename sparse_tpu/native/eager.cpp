@@ -498,3 +498,121 @@ CSR_DENSE_ABI(f32, float, i64, int64_t)
 CSR_DENSE_ABI(f32, float, i32, int32_t)
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// 2-D COO canonicalization: counting-sort by row, per-row stable sort by
+// column, duplicate summation — the scipy coo->csr strategy, beating a
+// global O(n log n) sort of 64-bit linear keys (role of reference
+// `_sort_indices` + `_sum_duplicates`, `_coo/core.py:1294-1353`).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+template <typename T, typename I>
+int64_t canonicalize2d(const I* rows, const I* cols, const T* vals, int64_t n, int64_t n_rows,
+                       I* rows_out, I* cols_out, T* vals_out) {
+  std::vector<int64_t> starts(n_rows + 1, 0);
+  for (int64_t i = 0; i < n; ++i) ++starts[rows[i] + 1];
+  for (int64_t r = 0; r < n_rows; ++r) starts[r + 1] += starts[r];
+
+  // bucket scatter preserving input order within each row (stable)
+  std::vector<I> cols_tmp(n);
+  std::vector<T> vals_tmp(n);
+  {
+    std::vector<int64_t> cursor(starts.begin(), starts.end() - 1);
+    for (int64_t i = 0; i < n; ++i) {
+      int64_t p = cursor[rows[i]]++;
+      cols_tmp[p] = cols[i];
+      vals_tmp[p] = vals[i];
+    }
+  }
+
+  // per-row stable sort + in-place duplicate summation
+  std::vector<int64_t> row_nnz(n_rows, 0);
+  auto work = [&](int64_t r0, int64_t r1) {
+    std::vector<int64_t> perm;
+    std::vector<I> csc;
+    std::vector<T> vsc;
+    for (int64_t r = r0; r < r1; ++r) {
+      int64_t lo = starts[r], hi = starts[r + 1];
+      int64_t len = hi - lo;
+      if (!len) continue;
+      perm.resize(len);
+      for (int64_t i = 0; i < len; ++i) perm[i] = i;
+      const I* c = cols_tmp.data() + lo;
+      bool sorted_already = true;
+      for (int64_t i = 1; i < len; ++i)
+        if (c[i - 1] >= c[i]) { sorted_already = false; break; }
+      int64_t out = lo;
+      if (sorted_already) {
+        row_nnz[r] = len;
+        continue;
+      }
+      std::stable_sort(perm.begin(), perm.end(),
+                       [&](int64_t x, int64_t y) { return c[x] < c[y]; });
+      csc.resize(len);
+      vsc.resize(len);
+      for (int64_t i = 0; i < len; ++i) {
+        csc[i] = c[perm[i]];
+        vsc[i] = vals_tmp[lo + perm[i]];
+      }
+      for (int64_t i = 0; i < len; ++i) {
+        if (out > lo && csc[i] == cols_tmp[out - 1]) {
+          vals_tmp[out - 1] += vsc[i];
+        } else {
+          cols_tmp[out] = csc[i];
+          vals_tmp[out] = vsc[i];
+          ++out;
+        }
+      }
+      row_nnz[r] = out - lo;
+    }
+  };
+  unsigned hw = std::thread::hardware_concurrency();
+  int t = (int)std::min<int64_t>(hw ? hw : 1, n >> 18);
+  if (t < 2) {
+    work(0, n_rows);
+  } else {
+    std::vector<int64_t> s(t + 1, 0);
+    for (int i = 1; i < t; ++i) {
+      int64_t target = n * i / t;
+      s[i] = std::upper_bound(starts.begin(), starts.end(), target) - starts.begin() - 1;
+      if (s[i] < s[i - 1]) s[i] = s[i - 1];
+    }
+    s[t] = n_rows;
+    std::vector<std::thread> ts;
+    for (int i = 1; i < t; ++i) ts.emplace_back(work, s[i], s[i + 1]);
+    work(s[0], s[1]);
+    for (auto& th : ts) th.join();
+  }
+
+  // compaction
+  int64_t out = 0;
+  for (int64_t r = 0; r < n_rows; ++r) {
+    int64_t lo = starts[r];
+    for (int64_t i = 0; i < row_nnz[r]; ++i, ++out) {
+      rows_out[out] = (I)r;
+      cols_out[out] = cols_tmp[lo + i];
+      vals_out[out] = vals_tmp[lo + i];
+    }
+  }
+  return out;
+}
+
+}  // namespace
+
+extern "C" {
+
+#define CANON2D_ABI(TS, T, IS, I)                                                             \
+  int64_t st_canonicalize2d_##TS##_##IS(const I* rows, const I* cols, const T* vals,          \
+                                        int64_t n, int64_t n_rows, I* rows_out, I* cols_out,  \
+                                        T* vals_out) {                                        \
+    return canonicalize2d<T, I>(rows, cols, vals, n, n_rows, rows_out, cols_out, vals_out);   \
+  }
+
+CANON2D_ABI(f64, double, i64, int64_t)
+CANON2D_ABI(f64, double, i32, int32_t)
+CANON2D_ABI(f32, float, i64, int64_t)
+CANON2D_ABI(f32, float, i32, int32_t)
+
+}  // extern "C"

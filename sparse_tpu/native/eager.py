@@ -74,6 +74,15 @@ def get_lib():
                 fn.argtypes = [_i64p, vp, ctypes.c_int64, _i64p, vp, ctypes.c_int64, _i64p, vp]
             lib.st_unravel_i64.restype = ctypes.c_int
             lib.st_unravel_i64.argtypes = [_i64p, ctypes.c_int64, _i64p, ctypes.c_int64, _i64p]
+            for ts in ("f64", "f32"):
+                vp = _f64p if ts == "f64" else _f32p
+                for isuf in ("i64", "i32"):
+                    fn = getattr(lib, f"st_canonicalize2d_{ts}_{isuf}")
+                    fn.restype = ctypes.c_int64
+                    fn.argtypes = [
+                        ctypes.c_void_p, ctypes.c_void_p, vp, ctypes.c_int64, ctypes.c_int64,
+                        ctypes.c_void_p, ctypes.c_void_p, vp,
+                    ]
             lib.st_spgemm_symbolic.restype = ctypes.c_int
             lib.st_spgemm_symbolic.argtypes = [
                 _i64p, _i64p, ctypes.c_int64, _i64p, _i64p, ctypes.c_int64, _i64p,
@@ -187,6 +196,33 @@ def fused_join(op_name, ka, va, kb, vb):
     v_out = np.empty(na + nb, dtype=va.dtype)
     u = fn(_ip(ka), _vp(va), na, _ip(kb), _vp(vb), nb, _ip(k_out), _vp(v_out))
     return k_out[:u].copy(), v_out[:u].copy()
+
+
+def canonicalize2d(rows, cols, vals, n_rows):
+    """Sort a 2-D COO triplet row-major and sum duplicates (counting-sort by
+    row + threaded per-row stable sort — the scipy coo→csr strategy).
+
+    Returns ``(rows, cols, vals)`` canonical int64 triplets, or None when the
+    native library is unavailable or vals isn't f32/f64."""
+    lib = get_lib()
+    if lib is None or vals.dtype not in (np.float64, np.float32):
+        return None
+    rows = np.ascontiguousarray(rows)
+    cols = np.ascontiguousarray(cols)
+    if rows.dtype == cols.dtype and rows.dtype == np.int32:
+        isuf = "i32"
+    else:
+        rows = rows.astype(np.int64, copy=False)
+        cols = cols.astype(np.int64, copy=False)
+        isuf = "i64"
+    vals = np.ascontiguousarray(vals)
+    n = rows.shape[0]
+    rows_out = np.empty(n, dtype=rows.dtype)
+    cols_out = np.empty(n, dtype=rows.dtype)
+    vals_out = np.empty(n, dtype=vals.dtype)
+    fn = getattr(lib, f"st_canonicalize2d_{_suffix(vals.dtype)}_{isuf}")
+    u = fn(_ivp(rows), _ivp(cols), _vp(vals), n, n_rows, _ivp(rows_out), _ivp(cols_out), _vp(vals_out))
+    return rows_out[:u], cols_out[:u], vals_out[:u]
 
 
 def unravel(keys, shape):
