@@ -209,3 +209,37 @@ def test_spmm_dense_nan_inf_semantics():
     got = A @ D
     np.testing.assert_array_equal(np.isnan(got), np.isnan(expected))
     np.testing.assert_allclose(got[~np.isnan(got)], expected[~np.isnan(expected)])
+
+
+@pytest.mark.parametrize("idx_dtype", [np.int32, np.int64])
+def test_canonicalize2d_kernel(idx_dtype):
+    rng = np.random.default_rng(21)
+    M, K, n = 40, 30, 500
+    rows = rng.integers(0, M, n).astype(idx_dtype)
+    cols = rng.integers(0, K, n).astype(idx_dtype)
+    vals = rng.standard_normal(n)
+    ro, co, vo = eager.canonicalize2d(rows, cols, vals, M)
+    assert ro.dtype == idx_dtype
+    dense = np.zeros((M, K))
+    np.add.at(dense, (rows, cols), vals)
+    got = np.zeros((M, K))
+    got[ro, co] = vo
+    np.testing.assert_allclose(got, dense, rtol=1e-12)
+    lin = ro.astype(np.int64) * K + co
+    assert (np.diff(lin) > 0).all()
+
+
+def test_canonicalize2d_ctor_integration(monkeypatch):
+    from sparse_tpu import native as native_mod
+
+    monkeypatch.setattr(native_mod, "NATIVE_MIN_SIZE", 0)
+    rng = np.random.default_rng(22)
+    n = 1000
+    rows = rng.integers(0, 50, n)
+    cols = rng.integers(0, 60, n)
+    vals = rng.standard_normal(n)
+    A = st.COO(np.stack([rows, cols]), vals, shape=(50, 60))
+    assert is_canonical(A)
+    dense = np.zeros((50, 60))
+    np.add.at(dense, (rows, cols), vals)
+    np.testing.assert_allclose(A.todense(), dense, rtol=1e-12)
