@@ -32,6 +32,14 @@ from .._utils import can_store, equivalent, index_dtype_for, normalize_axis, zer
 from .base import SparseArray
 
 
+class _ShapeOnly:
+    """Stand-in for the transposed 2-D array in ``_reduce_calc``'s fast path
+    (``_reduce_return`` only reads ``.shape``)."""
+
+    def __init__(self, shape):
+        self.shape = shape
+
+
 class COO(SparseArray):
     """N-dimensional coordinate-format sparse array.
 
@@ -567,10 +575,44 @@ class COO(SparseArray):
             return (np.asarray(result)[()],)
 
         neg_axis = tuple(ax for ax in range(self.ndim) if ax not in set(axis))
-        a = self.transpose(neg_axis + tuple(axis))
-        neg_shape = a.shape[: len(neg_axis)]
+        neg_shape = tuple(self.shape[ax] for ax in neg_axis)
         keep = int(np.prod(neg_shape, dtype=np.float64))
-        red = int(np.prod(a.shape[len(neg_axis) :], dtype=np.float64))
+        red = int(np.prod([self.shape[ax] for ax in axis], dtype=np.float64))
+
+        # add-reduction needs no grouping order: accumulate over the kept-axes
+        # key directly (bincount/add.at) instead of re-sorting via transpose —
+        # ~15x on sum(axis=0) at 20k^2 (scipy does the same)
+        if (
+            method is np.add
+            and all(k == "dtype" and v is None for k, v in kwargs.items())
+            and self.nnz
+            and keep <= max(16 * self.nnz, 1 << 22)
+            and self.data.dtype.kind in "fiu"
+            # leading kept axes mean the transpose below is a no-op and the
+            # (cheaper, exactly-ordered) reduceat path wins
+            and neg_axis != tuple(range(len(neg_axis)))
+        ):
+            keys = np.zeros(self.nnz, dtype=np.int64)
+            stride = 1
+            for ax in reversed(neg_axis):
+                keys += np.asarray(self.coords[ax]).astype(np.int64) * stride
+                stride *= self.shape[ax]
+            data_np = np.asarray(self.data)
+            # np.add.reduce promotes small ints (uint8 sums to uint64 etc.)
+            acc_dtype = np.add.reduce(np.empty(0, dtype=data_np.dtype)).dtype
+            counts_full = np.bincount(keys, minlength=keep)
+            if data_np.dtype == np.float64:
+                sums = np.bincount(keys, weights=data_np, minlength=keep)
+            else:
+                sums = np.zeros(keep, dtype=acc_dtype)
+                np.add.at(sums, keys, data_np)
+            inv_idx = np.flatnonzero(counts_full)
+            result = sums[inv_idx].astype(acc_dtype, copy=False)
+            counts = counts_full[inv_idx]
+            arr_attrs = (_ShapeOnly((keep, red)), neg_shape, inv_idx)
+            return result, counts, axis, red, arr_attrs
+
+        a = self.transpose(neg_axis + tuple(axis))
         a = a.reshape((keep, red))
 
         rows = np.asarray(a.coords[0])
