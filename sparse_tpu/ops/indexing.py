@@ -25,6 +25,60 @@ from .slicing import normalize_index
 __all__ = ["getitem"]
 
 
+def _getitem_leading_fast(x, index, coords, data):
+    """O(log nnz + output) selection on the leading axis of a canonical COO
+    (rows sorted): single row, step-1 row range, or 1-D integer row list,
+    with all trailing dims taken whole — the role of the reference's
+    binary-search "pairs" kernels (``_coo/indexing.py:494``)."""
+    from ..core.coo import COO
+
+    if x.ndim == 0 or len(index) != x.ndim or any(k is None for k in index):
+        return NotImplemented
+    for k, dim in zip(index[1:], x.shape[1:]):
+        if not (isinstance(k, slice) and k == slice(0, dim, 1)):
+            return NotImplemented
+    k0 = index[0]
+    rows = coords[0]
+
+    if isinstance(k0, Integral):
+        k0 = int(k0)
+        lo, hi = np.searchsorted(rows, [k0, k0 + 1])
+        if x.ndim == 1:
+            return data[lo][()] if hi > lo else np.asarray(x.fill_value, dtype=x.dtype)[()]
+        return COO._make(coords[1:, lo:hi], data[lo:hi], x.shape[1:], x.fill_value)
+
+    if isinstance(k0, slice):
+        start, stop, step = k0.start, k0.stop, k0.step
+        if step != 1 or stop <= start:
+            return NotImplemented
+        lo, hi = np.searchsorted(rows, [start, stop])
+        out_coords = coords[:, lo:hi].copy()
+        out_coords[0] -= start
+        return COO._make(out_coords, data[lo:hi], (stop - start,) + x.shape[1:], x.fill_value)
+
+    k0 = np.asarray(k0)
+    if k0.ndim != 1 or k0.dtype.kind not in "iu":
+        return NotImplemented
+    # join the query rows against the sorted row stream
+    lo = np.searchsorted(rows, k0, side="left")
+    hi = np.searchsorted(rows, k0, side="right")
+    counts = hi - lo
+    total = int(counts.sum())
+    if total:
+        ends = np.cumsum(counts)
+        within = np.arange(total, dtype=np.int64) - np.repeat(ends - counts, counts)
+        src = np.repeat(lo, counts) + within
+        new_rows = np.repeat(np.arange(k0.size, dtype=coords.dtype), counts)
+        out_coords = np.concatenate([new_rows[None, :], coords[1:, src]], axis=0)
+        out_data = data[src]
+    else:
+        out_coords = np.empty((x.ndim, 0), dtype=coords.dtype)
+        out_data = data[:0]
+    # output is canonical: query order is the new row order; within each
+    # query the source range is ascending in the remaining dims
+    return COO._make(out_coords, out_data, (k0.size,) + x.shape[1:], x.fill_value)
+
+
 def getitem(x, index):
     from ..core.coo import COO
 
@@ -42,6 +96,10 @@ def getitem(x, index):
     coords = np.asarray(x.coords)
     data = np.asarray(x.data)
     nnz = data.shape[0]
+
+    fast = _getitem_leading_fast(x, index, coords, data)
+    if fast is not NotImplemented:
+        return fast
 
     mask = np.ones(nnz, dtype=bool)
     dim_entries = []  # aligned with `index`: dicts describing each output axis
