@@ -492,13 +492,23 @@ class COO(SparseArray):
             raise ValueError(f"cannot reshape array of size {self.size} into shape {shape}")
 
         def compute():
+            from ..native import eager as _eager
+
             lin = self.linear_loc()
             idx_dtype = index_dtype_for(max(shape) if shape else 0)
-            coords = np.empty((len(shape), self.nnz), dtype=idx_dtype)
-            strides = 1
-            for d in range(len(shape) - 1, -1, -1):
-                coords[d] = (lin // strides) % shape[d]
-                strides *= shape[d]
+            native = (
+                _eager.unravel(lin, shape)
+                if self.nnz >= _eager.NATIVE_MIN_NNZ and all(shape)
+                else None
+            )
+            if native is not None:
+                coords = native.astype(idx_dtype, copy=False)
+            else:
+                coords = np.empty((len(shape), self.nnz), dtype=idx_dtype)
+                strides = 1
+                for d in range(len(shape) - 1, -1, -1):
+                    coords[d] = (lin // strides) % shape[d]
+                    strides *= shape[d]
             return COO(
                 coords,
                 self.data,

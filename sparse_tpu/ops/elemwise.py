@@ -131,7 +131,7 @@ def elemwise(func, *args, **kwargs):
             )
         )
     ):
-        union_coords = np.asarray(sparse_args[0].coords).astype(np.int64, copy=False)
+        union_coords = np.asarray(sparse_args[0].coords)
         values = [
             np.asarray(a.data) if isinstance(a, COO) else _gather_dense(a, union_coords, full_shape) for a in args
         ]
