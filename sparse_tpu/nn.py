@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from .kernels.bsr import BSR, bsr_spmm_pallas, bsr_spmm_xla, build_bsr
-from .kernels.dot import coo_spmm
+from .kernels.dot import coo_spmm, sddmm
 
 
 import dataclasses
@@ -97,3 +97,66 @@ def graph_conv(rows, cols, vals, x, w, *, n_nodes):
     """GCN propagation: ``Â (x @ w)`` with Â a normalized sparse adjacency
     given as canonical COO triplets. Fully differentiable and jittable."""
     return coo_spmm(rows, cols, vals, x @ w, n_rows=n_nodes)
+
+
+def segment_softmax(scores, rows, *, n_rows, mask=None):
+    """Numerically-stable softmax over row segments of a sorted COO pattern.
+
+    ``scores``: (nnz,) logits at the stored coordinates; rows sorted
+    (canonical). ``mask``: optional (nnz,) bool, False entries get weight 0
+    (padding slots of capacity-bounded patterns). Traceable/differentiable."""
+    neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
+    if mask is not None:
+        scores = jnp.where(mask, scores, neg_inf)
+    row_max = jax.ops.segment_max(scores, rows, num_segments=n_rows, indices_are_sorted=True)
+    shifted = scores - jnp.where(jnp.isfinite(row_max), row_max, 0)[rows]
+    expd = jnp.exp(shifted)
+    if mask is not None:
+        expd = jnp.where(mask, expd, 0)
+    denom = jax.ops.segment_sum(expd, rows, num_segments=n_rows, indices_are_sorted=True)
+    return expd / jnp.where(denom == 0, 1, denom)[rows]
+
+
+def sparse_attention(q, k, v, rows, cols, *, scale=None, mask=None):
+    """Attention restricted to a sparse (query, key) pattern.
+
+    ``rows``/``cols``: canonical COO pattern (rows sorted) of allowed
+    attention edges — e.g. sliding-window + global tokens. Computes, purely
+    with the library's kernels and only at the stored edges:
+
+        scores = (q @ kᵀ) / sqrt(d)   (SDDMM — never materializes L×L)
+        attn   = softmax_row(scores)   (segment softmax)
+        out    = attn @ v              (SpMM)
+
+    q: (Lq, d), k: (Lk, d), v: (Lk, dv) → (Lq, dv). Differentiable and
+    jittable; O(nnz·d) compute and memory. ``mask`` marks valid entries of a
+    capacity-padded pattern."""
+    d = q.shape[-1]
+    if scale is None:
+        scale = 1.0 / np.sqrt(d)
+    scores = sddmm(rows, cols, jnp.ones((rows.shape[0],), q.dtype), q, k.T) * jnp.asarray(scale, q.dtype)
+    attn = segment_softmax(scores, rows, n_rows=q.shape[0], mask=mask)
+    return coo_spmm(rows, cols, attn, v, n_rows=q.shape[0])
+
+
+def local_attention_pattern(length, window, n_global=0):
+    """Canonical COO pattern for sliding-window attention with optional
+    global tokens (the Longformer-style mask): each query attends to keys
+    within ``window`` positions, plus the first ``n_global`` keys attend/are
+    attended everywhere. Host-side, returns (rows, cols) int32."""
+    i = np.arange(length)
+    lo = np.maximum(i - window, 0)
+    hi = np.minimum(i + window + 1, length)
+    counts = hi - lo
+    rows = np.repeat(i, counts)
+    cols = np.concatenate([np.arange(l, h) for l, h in zip(lo, hi)]) if length else np.empty(0, np.int64)
+    if n_global:
+        gi = np.arange(n_global)
+        extra_rows = np.concatenate([np.repeat(gi, length), np.tile(i, n_global)])
+        extra_cols = np.concatenate([np.tile(i, n_global), np.repeat(gi, length)])
+        rows = np.concatenate([rows, extra_rows])
+        cols = np.concatenate([cols, extra_cols])
+        lin = rows * length + cols
+        lin = np.unique(lin)
+        rows, cols = lin // length, lin % length
+    return rows.astype(np.int32), cols.astype(np.int32)

@@ -47,3 +47,60 @@ def test_graph_conv_matches_dense():
     vals = jnp.asarray(np.asarray(a.data))
     out = graph_conv(rows, cols, vals, jnp.asarray(x), jnp.asarray(w), n_nodes=30)
     np.testing.assert_allclose(np.asarray(out), a.todense() @ (x @ w), rtol=1e-10)
+
+
+def test_segment_softmax_matches_dense():
+    from sparse_tpu.nn import segment_softmax
+
+    rng = np.random.default_rng(5)
+    rows = jnp.asarray(np.sort(rng.integers(0, 10, 40)).astype(np.int32))
+    scores = jnp.asarray(rng.standard_normal(40).astype(np.float32))
+    out = segment_softmax(scores, rows, n_rows=10)
+    s = np.asarray(scores)
+    r = np.asarray(rows)
+    for g in range(10):
+        sel = r == g
+        if sel.any():
+            e = np.exp(s[sel] - s[sel].max())
+            np.testing.assert_allclose(np.asarray(out)[sel], e / e.sum(), rtol=1e-5)
+
+
+@pytest.mark.parametrize("window,n_global", [(4, 0), (3, 2)])
+def test_sparse_attention_matches_masked_dense(window, n_global):
+    from sparse_tpu.nn import local_attention_pattern, sparse_attention
+
+    rng = np.random.default_rng(6)
+    L, d, dv = 48, 8, 12
+    rows, cols = local_attention_pattern(L, window, n_global)
+    q = jnp.asarray(rng.standard_normal((L, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((L, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((L, dv)).astype(np.float32))
+    out = jax.jit(sparse_attention)(q, k, v, jnp.asarray(rows), jnp.asarray(cols))
+    mask = np.full((L, L), -np.inf, np.float32)
+    mask[rows, cols] = 0
+    scores = np.asarray(q) @ np.asarray(k).T / np.sqrt(d) + mask
+    attn = np.exp(scores - scores.max(axis=1, keepdims=True))
+    attn /= attn.sum(axis=1, keepdims=True)
+    np.testing.assert_allclose(np.asarray(out), attn @ np.asarray(v), atol=2e-5)
+
+
+def test_sparse_attention_full_window_equals_dense():
+    from sparse_tpu.nn import local_attention_pattern, sparse_attention
+
+    rng = np.random.default_rng(7)
+    L, d = 24, 6
+    rows, cols = local_attention_pattern(L, L)
+    q = jnp.asarray(rng.standard_normal((L, d)).astype(np.float32))
+    out = sparse_attention(q, q, q, jnp.asarray(rows), jnp.asarray(cols))
+    expected = jax.nn.softmax(np.asarray(q) @ np.asarray(q).T / np.sqrt(d), axis=-1) @ np.asarray(q)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected), atol=2e-5)
+
+
+def test_sparse_attention_grad():
+    from sparse_tpu.nn import local_attention_pattern, sparse_attention
+
+    rows, cols = local_attention_pattern(16, 3)
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.standard_normal((16, 4)).astype(np.float32))
+    g = jax.grad(lambda q: sparse_attention(q, q, q, jnp.asarray(rows), jnp.asarray(cols)).sum())(x)
+    assert np.isfinite(np.asarray(g)).all()
