@@ -8,12 +8,19 @@ sparse structures that drop into jitted training/serving stacks.
   Pallas kernel. The natural fit for block-pruned MLPs / MoE-style experts.
 - :func:`graph_conv` — symmetric-normalized sparse propagation (the GCN
   primitive), differentiable through ``jax.grad``.
+- :func:`sparse_attention` — attention restricted to a stored edge pattern
+  (sliding window + global tokens via :func:`local_attention_pattern`):
+  SDDMM scores → segment softmax → SpMM, O(nnz·d), never materializing L².
+  :func:`sparse_attention_sharded` runs it sequence-parallel over a mesh
+  (query rows partitioned, shard-local compute).
 
 These are framework-agnostic pure functions + parameter pytrees (usable
 from flax/haiku by calling them inside a module's ``__call__``).
 """
 
 from __future__ import annotations
+
+import functools
 
 import numpy as np
 
@@ -137,6 +144,79 @@ def sparse_attention(q, k, v, rows, cols, *, scale=None, mask=None):
     scores = sddmm(rows, cols, jnp.ones((rows.shape[0],), q.dtype), q, k.T) * jnp.asarray(scale, q.dtype)
     attn = segment_softmax(scores, rows, n_rows=q.shape[0], mask=mask)
     return coo_spmm(rows, cols, attn, v, n_rows=q.shape[0])
+
+
+def partition_attention_pattern(rows, cols, length, n_shards):
+    """Partition an attention edge pattern by query-row blocks for
+    :func:`sparse_attention_sharded`. Host-side. Returns
+    ``(local_rows, cols, valid, block_rows)`` with leading shard dims and a
+    common per-shard edge capacity (``valid`` flags real edges)."""
+    rows = np.asarray(rows)
+    cols = np.asarray(cols)
+    block_rows = -(-length // n_shards)
+    shard_of = rows // block_rows
+    counts = np.bincount(shard_of, minlength=n_shards)
+    cap = max(int(counts.max()), 1)
+    lr = np.zeros((n_shards, cap), dtype=np.int32)
+    lc = np.zeros((n_shards, cap), dtype=np.int32)
+    valid = np.zeros((n_shards, cap), dtype=bool)
+    for s in range(n_shards):
+        sel = shard_of == s
+        c = int(counts[s])
+        lr[s, :c] = rows[sel] - s * block_rows
+        lc[s, :c] = cols[sel]
+        valid[s, :c] = True
+    return lr, lc, valid, block_rows
+
+
+def sparse_attention_sharded(q, k, v, local_rows, cols, valid, block_rows, mesh, axis_name="x"):
+    """Sequence-sharded sparse attention over a 1-D mesh: query rows (and
+    their pattern edges) are block-partitioned across devices, k/v are
+    replicated, and every step is shard-local (no collectives — the row
+    partition aligns queries with their edges). Inputs from
+    :func:`partition_attention_pattern`."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n_shards = local_rows.shape[0]
+    L = q.shape[0]
+    d_pad = n_shards * block_rows - L
+    q_pad = jnp.pad(q, ((0, d_pad), (0, 0))) if d_pad else q
+    q_blocks = q_pad.reshape(n_shards, block_rows, q.shape[1])
+
+    f = _sharded_attention_fn(mesh, axis_name, block_rows)
+    out = f(
+        jax.device_put(q_blocks, NamedSharding(mesh, P(axis_name, None, None))),
+        jnp.asarray(k),
+        jnp.asarray(v),
+        jax.device_put(jnp.asarray(local_rows), NamedSharding(mesh, P(axis_name, None))),
+        jax.device_put(jnp.asarray(cols), NamedSharding(mesh, P(axis_name, None))),
+        jax.device_put(jnp.asarray(valid), NamedSharding(mesh, P(axis_name, None))),
+    )
+    return out.reshape(n_shards * block_rows, -1)[:L]
+
+
+@functools.cache
+def _sharded_attention_fn(mesh, axis_name, block_rows):
+    from jax.sharding import PartitionSpec as P
+
+    def local(qb, k, v, lr, lc, valid):
+        def one(q_, r_, c_, m_):
+            scale = 1.0 / np.sqrt(q_.shape[-1])
+            scores = sddmm(r_, c_, jnp.ones(r_.shape, q_.dtype), q_, k.T) * jnp.asarray(scale, q_.dtype)
+            attn = segment_softmax(scores, r_, n_rows=block_rows, mask=m_)
+            attn = jnp.where(m_, attn, 0)
+            return coo_spmm(r_, c_, attn, v, n_rows=block_rows, rows_sorted=True)
+
+        return jax.vmap(one)(qb, lr, lc, valid)
+
+    return jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(axis_name, None, None), P(), P(), P(axis_name, None), P(axis_name, None), P(axis_name, None)),
+            out_specs=P(axis_name, None, None),
+        )
+    )
 
 
 def local_attention_pattern(length, window, n_global=0):

@@ -104,3 +104,25 @@ def test_sparse_attention_grad():
     x = jnp.asarray(rng.standard_normal((16, 4)).astype(np.float32))
     g = jax.grad(lambda q: sparse_attention(q, q, q, jnp.asarray(rows), jnp.asarray(cols)).sum())(x)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_sparse_attention_sharded_matches_single():
+    from sparse_tpu.nn import (
+        local_attention_pattern,
+        partition_attention_pattern,
+        sparse_attention,
+        sparse_attention_sharded,
+    )
+    from sparse_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(9)
+    L, d = 70, 8  # not divisible by the shard count
+    rows, cols = local_attention_pattern(L, 5, 2)
+    q = jnp.asarray(rng.standard_normal((L, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((L, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((L, d)).astype(np.float32))
+    single = sparse_attention(q, k, v, jnp.asarray(rows), jnp.asarray(cols))
+    mesh = make_mesh(8)
+    lr, lc, valid, br = partition_attention_pattern(rows, cols, L, 8)
+    out = sparse_attention_sharded(q, k, v, lr, lc, valid, br, mesh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(single), atol=1e-5)
