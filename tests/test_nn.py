@@ -126,3 +126,48 @@ def test_sparse_attention_sharded_matches_single():
     lr, lc, valid, br = partition_attention_pattern(rows, cols, L, 8)
     out = sparse_attention_sharded(q, k, v, lr, lc, valid, br, mesh)
     np.testing.assert_allclose(np.asarray(out), np.asarray(single), atol=1e-5)
+
+
+@pytest.mark.parametrize("window,n_global", [(5, 0), (3, 2)])
+def test_sparse_attention_ell_matches_coo(window, n_global):
+    from sparse_tpu.nn import (
+        build_attention_ell,
+        local_attention_pattern,
+        sparse_attention,
+        sparse_attention_ell,
+    )
+
+    rng = np.random.default_rng(10)
+    L, d, dv = 48, 8, 12
+    rows, cols = local_attention_pattern(L, window, n_global)
+    q = jnp.asarray(rng.standard_normal((L, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((L, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((L, dv)).astype(np.float32))
+    coo = sparse_attention(q, k, v, jnp.asarray(rows), jnp.asarray(cols))
+    e_cols, valid = build_attention_ell(rows, cols, L)
+    ell = jax.jit(sparse_attention_ell)(q, k, v, jnp.asarray(e_cols), jnp.asarray(valid))
+    np.testing.assert_allclose(np.asarray(ell), np.asarray(coo), atol=1e-5)
+
+
+def test_sparse_attention_ell_empty_rows():
+    from sparse_tpu.nn import build_attention_ell, sparse_attention_ell
+
+    e_cols, valid = build_attention_ell(np.array([0, 2]), np.array([1, 0]), 3)
+    out = sparse_attention_ell(
+        jnp.ones((3, 4)), jnp.ones((3, 4)), jnp.ones((3, 2)), jnp.asarray(e_cols), jnp.asarray(valid)
+    )
+    assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.mark.parametrize("L,window,block", [(100, 7, 16), (47, 3, 16), (64, 64, 16)])
+def test_banded_attention_matches_coo(L, window, block):
+    from sparse_tpu.nn import banded_attention, local_attention_pattern, sparse_attention
+
+    rng = np.random.default_rng(11)
+    rows, cols = local_attention_pattern(L, window)
+    q = jnp.asarray(rng.standard_normal((L, 8)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((L, 8)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((L, 12)).astype(np.float32))
+    coo = sparse_attention(q, k, v, jnp.asarray(rows), jnp.asarray(cols))
+    band = jax.jit(lambda *a: banded_attention(*a, window=window, block=block))(q, k, v)
+    np.testing.assert_allclose(np.asarray(band), np.asarray(coo), atol=2e-5)
