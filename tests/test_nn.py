@@ -171,3 +171,42 @@ def test_banded_attention_matches_coo(L, window, block):
     coo = sparse_attention(q, k, v, jnp.asarray(rows), jnp.asarray(cols))
     band = jax.jit(lambda *a: banded_attention(*a, window=window, block=block))(q, k, v)
     np.testing.assert_allclose(np.asarray(band), np.asarray(coo), atol=2e-5)
+
+
+def test_banded_attention_causal():
+    from sparse_tpu.nn import banded_attention
+
+    rng = np.random.default_rng(12)
+    L, w = 60, 9
+    q = jnp.asarray(rng.standard_normal((L, 8)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((L, 8)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((L, 4)).astype(np.float32))
+    out = banded_attention(q, k, v, window=w, block=16, causal=True)
+    # dense causal-banded oracle
+    pos = np.arange(L)
+    allowed = (pos[None, :] <= pos[:, None]) & (pos[:, None] - pos[None, :] <= w)
+    s = np.asarray(q) @ np.asarray(k).T / np.sqrt(8)
+    s[~allowed] = -np.inf
+    a = np.exp(s - s.max(1, keepdims=True))
+    a /= a.sum(1, keepdims=True)
+    np.testing.assert_allclose(np.asarray(out), a @ np.asarray(v), atol=2e-5)
+
+
+def test_banded_attention_bf16_and_multihead():
+    from sparse_tpu.nn import banded_attention
+
+    rng = np.random.default_rng(13)
+    H, L, d = 3, 64, 8
+    q = jnp.asarray(rng.standard_normal((H, L, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((H, L, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((H, L, d)).astype(np.float32))
+    f = jax.vmap(lambda q_, k_, v_: banded_attention(q_, k_, v_, window=5, block=16))
+    out = f(q, k, v)
+    for h in range(H):
+        single = banded_attention(q[h], k[h], v[h], window=5, block=16)
+        np.testing.assert_allclose(np.asarray(out[h]), np.asarray(single), atol=1e-6)
+    # bf16 path accumulates in f32 and returns bf16
+    out16 = banded_attention(q[0].astype(jnp.bfloat16), k[0].astype(jnp.bfloat16),
+                             v[0].astype(jnp.bfloat16), window=5, block=16)
+    assert out16.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(out16, np.float32), np.asarray(out[0]), atol=0.05)
