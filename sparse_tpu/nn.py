@@ -240,6 +240,85 @@ def banded_attention(q, k, v, *, window, scale=None, block=128, causal=False):
     return out.reshape(Lp, v.shape[1])[:L].astype(q.dtype)
 
 
+@functools.cache
+def _banded_sharded_fn(mesh, axis_name, window, block, causal, seg_len):
+    from jax.sharding import PartitionSpec as P
+
+    def local(qs, ks, vs):
+        # qs/ks/vs: (seg_len, d) local sequence segment
+        n_dev = jax.lax.axis_size(axis_name)
+        idx = jax.lax.axis_index(axis_name)
+        fwd = [(j, (j + 1) % n_dev) for j in range(n_dev)]
+        bwd = [(j, (j - 1) % n_dev) for j in range(n_dev)]
+        # halo exchange: last `window` rows go right, first `window` go left
+        left_k = jax.lax.ppermute(ks[-window:], axis_name, fwd)
+        left_v = jax.lax.ppermute(vs[-window:], axis_name, fwd)
+        right_k = jax.lax.ppermute(ks[:window], axis_name, bwd)
+        right_v = jax.lax.ppermute(vs[:window], axis_name, bwd)
+        k_ext = jnp.concatenate([left_k, ks, right_k])
+        v_ext = jnp.concatenate([left_v, vs, right_v])
+
+        d = qs.shape[-1]
+        scale = 1.0 / np.sqrt(d)
+        acc_dtype = jnp.float32 if qs.dtype == jnp.bfloat16 else qs.dtype
+        nb = seg_len // block
+        qb = qs.reshape(nb, block, d)
+        S = block + 2 * window
+        # stripe s for query block b covers ext positions [b*block, b*block+S)
+        stripe = jnp.arange(S)[None, :] + (jnp.arange(nb) * block)[:, None]
+        ks_b = jnp.take(k_ext, stripe.reshape(-1), axis=0).reshape(nb, S, d)
+        vs_b = jnp.take(v_ext, stripe.reshape(-1), axis=0).reshape(nb, S, v_ext.shape[-1])
+        scores = jnp.einsum("bqd,bsd->bqs", qb, ks_b, preferred_element_type=acc_dtype) * jnp.asarray(
+            scale, acc_dtype
+        )
+        offset = idx * seg_len
+        qpos = offset + (jnp.arange(nb) * block)[:, None, None] + jnp.arange(block)[None, :, None]
+        kpos = offset + stripe[:, None, :] - window
+        total = n_dev * seg_len
+        in_band = (jnp.abs(qpos - kpos) <= window) & (kpos >= 0) & (kpos < total)
+        if causal:
+            in_band &= kpos <= qpos
+        neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
+        scores = jnp.where(in_band, scores, neg_inf)
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - jnp.where(jnp.isfinite(m), m, 0))
+        e = jnp.where(in_band, e, 0)
+        denom = e.sum(axis=-1, keepdims=True)
+        attn = (e / jnp.where(denom == 0, 1, denom)).astype(acc_dtype)
+        out = jnp.einsum("bqs,bsd->bqd", attn, vs_b, preferred_element_type=acc_dtype)
+        return out.reshape(seg_len, -1).astype(qs.dtype)
+
+    return jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(axis_name, None), P(axis_name, None), P(axis_name, None)),
+            out_specs=P(axis_name, None),
+        )
+    )
+
+
+def banded_attention_sharded(q, k, v, *, window, mesh, axis_name="x", block=128, causal=False):
+    """Sequence-parallel :func:`banded_attention`: q/k/v sharded along the
+    sequence over a 1-D mesh; each device exchanges only ``window``-sized
+    k/v halos with its ring neighbors (``ppermute`` over ICI) — O(window·d)
+    communication instead of replicating k/v. The sequence length must be
+    divisible by ``n_devices`` and the per-device segment by ``block``, with
+    ``window ≤`` the segment length."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n_dev = mesh.devices.size
+    L = q.shape[0]
+    if L % n_dev:
+        raise ValueError(f"sequence length {L} must divide over {n_dev} devices")
+    seg_len = L // n_dev
+    if seg_len % block or window > seg_len:
+        raise ValueError(f"segment {seg_len} must be a multiple of block={block} and >= window={window}")
+    sh = NamedSharding(mesh, P(axis_name, None))
+    f = _banded_sharded_fn(mesh, axis_name, window, block, causal, seg_len)
+    return f(jax.device_put(q, sh), jax.device_put(k, sh), jax.device_put(v, sh))
+
+
 def partition_attention_pattern(rows, cols, length, n_shards):
     """Partition an attention edge pattern by query-row blocks for
     :func:`sparse_attention_sharded`. Host-side. Returns

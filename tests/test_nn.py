@@ -210,3 +210,29 @@ def test_banded_attention_bf16_and_multihead():
                              v[0].astype(jnp.bfloat16), window=5, block=16)
     assert out16.dtype == jnp.bfloat16
     np.testing.assert_allclose(np.asarray(out16, np.float32), np.asarray(out[0]), atol=0.05)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_banded_attention_sharded_matches_single(causal):
+    from sparse_tpu.nn import banded_attention, banded_attention_sharded
+    from sparse_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(14)
+    mesh = make_mesh(8)
+    L, W, blk = 256, 16, 16
+    q = jnp.asarray(rng.standard_normal((L, 8)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((L, 8)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((L, 12)).astype(np.float32))
+    single = banded_attention(q, k, v, window=W, block=blk, causal=causal)
+    shard = banded_attention_sharded(q, k, v, window=W, mesh=mesh, block=blk, causal=causal)
+    np.testing.assert_allclose(np.asarray(shard), np.asarray(single), atol=2e-5)
+
+
+def test_banded_attention_sharded_validates():
+    from sparse_tpu.nn import banded_attention_sharded
+    from sparse_tpu.parallel import make_mesh
+
+    mesh = make_mesh(8)
+    q = jnp.ones((100, 4))
+    with pytest.raises(ValueError, match="divide"):
+        banded_attention_sharded(q, q, q, window=4, mesh=mesh)
