@@ -240,6 +240,69 @@ def banded_attention(q, k, v, *, window, scale=None, block=128, causal=False):
     return out.reshape(Lp, v.shape[1])[:L].astype(q.dtype)
 
 
+def longformer_attention(q, k, v, *, window, n_global=0, scale=None, block=128):
+    """Sliding-window + global-token attention (the Longformer pattern),
+    MXU-tiled throughout — the fast composite of :func:`banded_attention`:
+
+    - every query attends its ``window`` band **and** the first ``n_global``
+      keys (global columns appended to each block's key stripe);
+    - the first ``n_global`` queries attend **all** keys (computed as a
+      dense (n_global × L) strip and overwriting those rows).
+
+    Matches :func:`sparse_attention` on
+    ``local_attention_pattern(L, window, n_global)``. q (L, d) → (L, dv)."""
+    L, d = q.shape
+    if scale is None:
+        scale = 1.0 / np.sqrt(d)
+    acc_dtype = jnp.float32 if q.dtype == jnp.bfloat16 else q.dtype
+    nb = -(-L // block)
+    Lp = nb * block
+    S = block + 2 * window
+    G = n_global
+    qb = jnp.pad(q, ((0, Lp - L), (0, 0))).reshape(nb, block, d)
+
+    starts = jnp.arange(nb) * block - window
+    stripe_pos = starts[:, None] + jnp.arange(S)[None, :]
+    if G:
+        stripe_pos = jnp.concatenate(
+            [stripe_pos, jnp.broadcast_to(jnp.arange(G)[None, :], (nb, G))], axis=1
+        )
+    stripe_idx = jnp.clip(stripe_pos, 0, k.shape[0] - 1)
+    ks = jnp.take(k, stripe_idx.reshape(-1), axis=0).reshape(nb, S + G, d)
+    vs = jnp.take(v, stripe_idx.reshape(-1), axis=0).reshape(nb, S + G, v.shape[1])
+
+    scores = jnp.einsum("bqd,bsd->bqs", qb, ks, preferred_element_type=acc_dtype) * jnp.asarray(scale, acc_dtype)
+    qpos = (jnp.arange(nb) * block)[:, None, None] + jnp.arange(block)[None, :, None]
+    kpos = stripe_pos[:, None, :]
+    in_band = (jnp.abs(qpos - kpos) <= window) & (kpos >= 0) & (kpos < k.shape[0])
+    if G:
+        is_global_col = jnp.concatenate(
+            [jnp.zeros((nb, 1, S), bool), jnp.ones((nb, 1, G), bool)], axis=2
+        )
+        # global columns allowed everywhere, but a band stripe may ALSO
+        # cover a global position — keep exactly one copy (the band one)
+        dup = (kpos < G) & is_global_col & (jnp.abs(qpos - kpos) <= window)
+        allowed = (in_band | is_global_col) & ~dup
+    else:
+        allowed = in_band
+    neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
+    scores = jnp.where(allowed, scores, neg_inf)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - jnp.where(jnp.isfinite(m), m, 0))
+    e = jnp.where(allowed, e, 0)
+    denom = e.sum(axis=-1, keepdims=True)
+    attn = (e / jnp.where(denom == 0, 1, denom)).astype(acc_dtype)
+    out = jnp.einsum("bqs,bsd->bqd", attn, vs, preferred_element_type=acc_dtype)
+    out = out.reshape(Lp, v.shape[1])[:L].astype(q.dtype)
+
+    if G:
+        # global rows: dense attention over all keys
+        gs = (q[:G].astype(acc_dtype) @ k.astype(acc_dtype).T) * jnp.asarray(scale, acc_dtype)
+        ga = jax.nn.softmax(gs, axis=-1)
+        out = out.at[:G].set((ga @ v.astype(acc_dtype)).astype(q.dtype))
+    return out
+
+
 @functools.cache
 def _banded_sharded_fn(mesh, axis_name, window, block, causal, seg_len):
     from jax.sharding import PartitionSpec as P

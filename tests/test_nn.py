@@ -236,3 +236,17 @@ def test_banded_attention_sharded_validates():
     q = jnp.ones((100, 4))
     with pytest.raises(ValueError, match="divide"):
         banded_attention_sharded(q, q, q, window=4, mesh=mesh)
+
+
+@pytest.mark.parametrize("L,window,n_global", [(100, 7, 3), (64, 5, 0), (48, 3, 8)])
+def test_longformer_attention_matches_coo(L, window, n_global):
+    from sparse_tpu.nn import local_attention_pattern, longformer_attention, sparse_attention
+
+    rng = np.random.default_rng(15)
+    rows, cols = local_attention_pattern(L, window, n_global)
+    q = jnp.asarray(rng.standard_normal((L, 8)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((L, 8)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((L, 12)).astype(np.float32))
+    coo = sparse_attention(q, k, v, jnp.asarray(rows), jnp.asarray(cols))
+    fast = jax.jit(lambda *a: longformer_attention(*a, window=window, n_global=n_global, block=16))(q, k, v)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(coo), atol=3e-5)
