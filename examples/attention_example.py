@@ -15,7 +15,7 @@ from utils import CI_MODE, benchmark, use_cpu_if_requested
 
 use_cpu_if_requested()
 
-from sparse_tpu.nn import banded_attention, local_attention_pattern, sparse_attention
+from sparse_tpu.nn import banded_attention, local_attention_pattern, longformer_attention, sparse_attention
 
 L = 512 if CI_MODE else 8192
 WINDOW = 32 if CI_MODE else 256
@@ -45,17 +45,17 @@ def main():
     print(f"sparse attention OK: L={L} window={WINDOW} global={N_GLOBAL} edges={rows.size} "
           f"({rows.size / (L * L):.2%} of dense)")
 
-    # banded fast form (window-only pattern, dense MXU block tiles)
-    rows_w, cols_w = local_attention_pattern(L, WINDOW)
-    oracle = np.asarray(jax.jit(sparse_attention)(q, k, v, jnp.asarray(rows_w), jnp.asarray(cols_w)))
-    band_fn = jax.jit(lambda q_, k_, v_: banded_attention(q_, k_, v_, window=WINDOW))
-    band = np.asarray(band_fn(q, k, v))
-    np.testing.assert_allclose(band, oracle, atol=3e-5)
-    print("banded fast form matches the COO/segment form")
+    # MXU-tiled fast form of the SAME window+global pattern
+    lf_fn = jax.jit(lambda q_, k_, v_: longformer_attention(q_, k_, v_, window=WINDOW, n_global=N_GLOBAL))
+    fast = np.asarray(lf_fn(q, k, v))
+    np.testing.assert_allclose(fast, expected, atol=3e-5)
+    print("longformer fast form matches the dense oracle")
 
     if not CI_MODE:
         benchmark(fn, (q, k, v, rows_j, cols_j), "sparse attention (COO general)", 10)
-        benchmark(band_fn, (q, k, v), "banded attention (MXU block tiles)", 10)
+        band_fn = jax.jit(lambda q_, k_, v_: banded_attention(q_, k_, v_, window=WINDOW))
+        benchmark(band_fn, (q, k, v), "banded attention (window only)", 10)
+        benchmark(lf_fn, (q, k, v), "longformer attention (window+global)", 10)
 
 
 if __name__ == "__main__":
