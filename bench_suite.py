@@ -134,7 +134,29 @@ def main():
         fl = 2 * int(mask.sum()) * 128 * 128 * 512
         rows_out.append(("BSR Pallas 8192^2 25% blocks N=512", f"{dt * 1e3:.2f} ms", f"{fl / dt / 1e12:.1f} TFLOP/s"))
 
-    # 6. host workloads
+    # 6. banded / longformer attention (TPU flagship for serving)
+    if on_tpu:
+        from sparse_tpu.nn import banded_attention, longformer_attention
+
+        La, Wa, Da = 8192, 256, 64
+        qa = jnp.asarray(rng.standard_normal((La, Da)).astype(np.float32))
+        # self-attention on the perturbed tensor: every gather input varies
+        # per iteration (hoist-proof; see the LICM note in CLAUDE.md)
+        dt = device_bench(lambda x: banded_attention(x, x, x, window=Wa), (qa,), iters=30)
+        edges = La * (2 * Wa + 1) - Wa * (Wa + 1)
+        rows_out.append(
+            (f"banded attention L={La} W={Wa} d={Da}", f"{dt * 1e3:.2f} ms", f"{edges / dt / 1e9:.1f}G edges/s")
+        )
+        dt = device_bench(
+            lambda x: longformer_attention(x, x, x, window=Wa, n_global=8), (qa,), iters=30
+        )
+        rows_out.append(("longformer attention (+8 global)", f"{dt * 1e3:.2f} ms", ""))
+        dt = device_bench(
+            lambda x: jax.nn.softmax((x @ x.T) / np.sqrt(Da), axis=-1) @ x, (qa,), iters=30
+        )
+        rows_out.append(("dense attention (same shapes)", f"{dt * 1e3:.2f} ms", ""))
+
+    # 7. host workloads
     a = sparse.random((100000, 100000), density=1e-5, random_state=3)
     b = sparse.random((100000, 100000), density=1e-5, random_state=4)
     dt = host_bench(lambda: a @ b)
