@@ -164,8 +164,6 @@ class SparseArray(np.lib.mixins.NDArrayOperatorsMixin):
             result = elemwise(ufunc, *inputs, **kwargs)
         elif method == "outer":
             # a.outer(b) == f(a[..., None, ...], b[None, ...]) via expand-dims
-            from ..ops import common as _c
-
             if len(inputs) != 2:
                 return NotImplemented
             a, b = inputs

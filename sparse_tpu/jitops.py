@@ -18,7 +18,6 @@ Capacity-bounded (padded outputs + traced counts):
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from .core.coo import COO
