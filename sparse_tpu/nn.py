@@ -240,6 +240,77 @@ def banded_attention(q, k, v, *, window, scale=None, block=128, causal=False):
     return out.reshape(Lp, v.shape[1])[:L].astype(q.dtype)
 
 
+def block_sparse_attention(q, k, v, block_ids, block_valid, *, scale=None, block=128, causal=False):
+    """Attention over a block-granular sparsity pattern: query block ``b``
+    attends exactly the key blocks listed in ``block_ids[b]`` — the unified
+    form of window / random / global block patterns (BigBird-style), all
+    dense MXU tiles.
+
+    ``block_ids``: (n_blocks, nsel) int32 key-block indices per query block
+    (padded; ``block_valid`` flags real entries). q (L, d), k/v (Lk, ·) with
+    ``L`` and ``Lk`` multiples of ``block`` → (L, dv). ``causal`` masks
+    future positions inside selected blocks. See
+    :func:`bigbird_block_pattern` for a pattern builder."""
+    L, d = q.shape
+    Lk = k.shape[0]
+    if L % block or Lk % block:
+        raise ValueError(f"sequence lengths ({L}, {Lk}) must be multiples of block={block}")
+    if scale is None:
+        scale = 1.0 / np.sqrt(d)
+    acc_dtype = jnp.float32 if q.dtype == jnp.bfloat16 else q.dtype
+    nb, nsel = block_ids.shape
+    if nb != L // block:
+        raise ValueError(f"block_ids rows {nb} != L/block {L // block}")
+    qb = q.reshape(nb, block, d)
+
+    # gather the selected key/value blocks: (nb, nsel*block, ·)
+    flat = (block_ids[:, :, None] * block + jnp.arange(block)[None, None, :]).reshape(nb, nsel * block)
+    flat = jnp.clip(flat, 0, Lk - 1)
+    ks = jnp.take(k, flat.reshape(-1), axis=0).reshape(nb, nsel * block, d)
+    vs = jnp.take(v, flat.reshape(-1), axis=0).reshape(nb, nsel * block, v.shape[1])
+
+    scores = jnp.einsum("bqd,bsd->bqs", qb, ks, preferred_element_type=acc_dtype) * jnp.asarray(scale, acc_dtype)
+    allowed = jnp.repeat(block_valid, block, axis=1)[:, None, :]  # (nb, 1, nsel*block)
+    if causal:
+        qpos = (jnp.arange(nb) * block)[:, None, None] + jnp.arange(block)[None, :, None]
+        kpos = flat[:, None, :]
+        allowed = allowed & (kpos <= qpos)
+    neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
+    scores = jnp.where(allowed, scores, neg_inf)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - jnp.where(jnp.isfinite(m), m, 0))
+    e = jnp.where(allowed, e, 0)
+    denom = e.sum(axis=-1, keepdims=True)
+    attn = (e / jnp.where(denom == 0, 1, denom)).astype(acc_dtype)
+    out = jnp.einsum("bqs,bsd->bqd", attn, vs, preferred_element_type=acc_dtype)
+    return out.reshape(L, v.shape[1]).astype(q.dtype)
+
+
+def bigbird_block_pattern(length, *, block=128, n_window=1, n_random=2, n_global=1, seed=0):
+    """Block pattern for :func:`block_sparse_attention` in the BigBird
+    style: each query block attends its ``n_window`` neighbor blocks each
+    side (plus itself), ``n_random`` random blocks, and the first
+    ``n_global`` blocks. Host-side; deduplicated per row. Returns
+    ``(block_ids, block_valid)``."""
+    nb = -(-length // block)
+    rng = np.random.default_rng(seed)
+    rows = []
+    for b in range(nb):
+        sel = set(range(n_global))
+        sel.update(range(max(b - n_window, 0), min(b + n_window + 1, nb)))
+        pool = [x for x in range(nb) if x not in sel]
+        if pool and n_random:
+            sel.update(rng.choice(pool, size=min(n_random, len(pool)), replace=False).tolist())
+        rows.append(sorted(sel))
+    nsel = max(len(r) for r in rows)
+    ids = np.zeros((nb, nsel), dtype=np.int32)
+    valid = np.zeros((nb, nsel), dtype=bool)
+    for b, r in enumerate(rows):
+        ids[b, : len(r)] = r
+        valid[b, : len(r)] = True
+    return ids, valid
+
+
 def longformer_attention(q, k, v, *, window, n_global=0, scale=None, block=128):
     """Sliding-window + global-token attention (the Longformer pattern),
     MXU-tiled throughout — the fast composite of :func:`banded_attention`:

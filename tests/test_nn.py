@@ -250,3 +250,35 @@ def test_longformer_attention_matches_coo(L, window, n_global):
     coo = sparse_attention(q, k, v, jnp.asarray(rows), jnp.asarray(cols))
     fast = jax.jit(lambda *a: longformer_attention(*a, window=window, n_global=n_global, block=16))(q, k, v)
     np.testing.assert_allclose(np.asarray(fast), np.asarray(coo), atol=3e-5)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_block_sparse_attention_matches_coo(causal):
+    from sparse_tpu.nn import bigbird_block_pattern, block_sparse_attention, sparse_attention
+
+    rng = np.random.default_rng(16)
+    L, blk = 64, 8
+    ids, valid = bigbird_block_pattern(L, block=blk, n_window=1, n_random=2, n_global=1, seed=3)
+    q = jnp.asarray(rng.standard_normal((L, 8)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((L, 8)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((L, 12)).astype(np.float32))
+    out = jax.jit(lambda *a: block_sparse_attention(*a, block=blk, causal=causal))(
+        q, k, v, jnp.asarray(ids), jnp.asarray(valid)
+    )
+    rows_l, cols_l = [], []
+    for b in range(L // blk):
+        for j, ok in zip(ids[b], valid[b]):
+            if not ok:
+                continue
+            for r in range(blk):
+                for c in range(blk):
+                    qq, kk = b * blk + r, j * blk + c
+                    if causal and kk > qq:
+                        continue
+                    rows_l.append(qq)
+                    cols_l.append(kk)
+    order = np.lexsort((cols_l, rows_l))
+    oracle = sparse_attention(
+        q, k, v, jnp.asarray(np.asarray(rows_l)[order]), jnp.asarray(np.asarray(cols_l)[order])
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(oracle), atol=3e-5)
