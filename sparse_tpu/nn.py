@@ -14,7 +14,10 @@ sparse structures that drop into jitted training/serving stacks.
   :func:`sparse_attention_sharded` runs it sequence-parallel over a mesh
   (query rows partitioned, shard-local compute).
 - Regular-pattern fast forms: :func:`sparse_attention_ell` (row-ELL, no
-  segment ops) and :func:`banded_attention` (dense block×stripe MXU tiles —
+  segment ops), :func:`block_sparse_attention` (arbitrary per-block key
+  lists — the BigBird window+random+global family, via
+  :func:`bigbird_block_pattern`), :func:`longformer_attention`, and
+  :func:`banded_attention` (dense block×stripe MXU tiles —
   0.14 ms at L=8192/W=256 on v5e vs 54 ms dense attention; 1.74 ms at
   L=65536 where dense scores would need 17 GB).
 
