@@ -782,3 +782,19 @@ def _interpret_single_arg(coords, shape, fill_value):
 jax.tree_util.register_pytree_node(
     COO, lambda x: x.tree_flatten(), lambda aux, children: COO.tree_unflatten(aux, children)
 )
+
+# jax.export serving artifacts: make exported functions over COO pytrees
+# serializable (aux data = the static shape tuple)
+try:
+    import json
+
+    from jax import export as _jax_export
+
+    _jax_export.register_pytree_node_serialization(
+        COO,
+        serialized_name="sparse_tpu.COO",
+        serialize_auxdata=lambda aux: json.dumps(list(aux)).encode(),
+        deserialize_auxdata=lambda b: tuple(json.loads(b.decode())),
+    )
+except (ImportError, AttributeError):  # pragma: no cover - older jax
+    pass

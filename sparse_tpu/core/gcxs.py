@@ -618,4 +618,20 @@ for _cls in (GCXS, CSR, CSC):
         lambda x: x.tree_flatten(),
         (lambda c: (lambda aux, children: c.tree_unflatten(aux, children)))(_cls),
     )
+
+# jax.export serialization (aux = (shape, compressed_axes))
+try:
+    import json as _json
+
+    from jax import export as _jax_export
+
+    for _cls in (GCXS, CSR, CSC):
+        _jax_export.register_pytree_node_serialization(
+            _cls,
+            serialized_name=f"sparse_tpu.{_cls.__name__}",
+            serialize_auxdata=lambda aux: _json.dumps([list(aux[0]), list(aux[1])]).encode(),
+            deserialize_auxdata=lambda b: tuple(tuple(x) for x in _json.loads(b.decode())),
+        )
+except (ImportError, AttributeError):  # pragma: no cover - older jax
+    pass
 del _cls

@@ -107,3 +107,32 @@ def test_copy_deepcopy():
     c = copy.deepcopy(s)
     np.testing.assert_allclose(c.todense(), s.todense())
     assert c.coords is not s.coords
+
+
+def test_jax_export_serving_roundtrip():
+    # serving artifact: export a sparse-attention step to a portable
+    # StableHLO blob and run the deserialized function
+    import jax.numpy as jnp
+    from jax import export
+
+    from sparse_tpu.nn import banded_attention
+
+    q = jnp.asarray(np.random.default_rng(0).standard_normal((64, 16)).astype(np.float32))
+    fn = lambda q, k, v: banded_attention(q, k, v, window=8, block=16, causal=True)
+    exp = export.export(jax.jit(fn))(q, q, q)
+    re = export.deserialize(exp.serialize())
+    np.testing.assert_allclose(np.asarray(re.call(q, q, q)), np.asarray(fn(q, q, q)), atol=1e-6)
+
+
+def test_jax_export_spmm_pytree():
+    import jax.numpy as jnp
+    from jax import export
+
+    from sparse_tpu import jitops
+
+    a = sparse.random((40, 30), density=0.2, random_state=0)
+    b = jnp.asarray(np.random.default_rng(1).random((30, 4)))
+    fn = jax.jit(jitops.spmm)
+    exp = export.export(fn)(a, b)
+    re = export.deserialize(exp.serialize())
+    np.testing.assert_allclose(np.asarray(re.call(a, b)), a.todense() @ np.asarray(b), rtol=1e-10)
