@@ -292,3 +292,30 @@ def bsr_spmm_xla(block_rows, block_cols, blocks, dense, *, n_rows, block_shape=(
     )
     out = jax.ops.segment_sum(prods, block_rows, num_segments=n_block_rows, indices_are_sorted=True)
     return out.reshape(n_block_rows * bm, n)[:n_rows]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def bsr_spmm(block_rows, block_cols, blocks, dense, n_rows, use_pallas=True):
+    """Differentiable BSR SpMM: Pallas forward (MXU), XLA-derived backward.
+
+    ``pl.pallas_call`` has no autodiff rule, so the VJP is taken through the
+    mathematically identical :func:`bsr_spmm_xla` formulation."""
+    impl = bsr_spmm_pallas if use_pallas else bsr_spmm_xla
+    return impl(block_rows, block_cols, blocks, dense, n_rows=n_rows)
+
+
+def _bsr_spmm_fwd(block_rows, block_cols, blocks, dense, n_rows, use_pallas):
+    out = bsr_spmm(block_rows, block_cols, blocks, dense, n_rows, use_pallas)
+    return out, (block_rows, block_cols, blocks, dense)
+
+
+def _bsr_spmm_bwd(n_rows, use_pallas, res, g):
+    block_rows, block_cols, blocks, dense = res
+    _, vjp = jax.vjp(
+        lambda bl, d: bsr_spmm_xla(block_rows, block_cols, bl, d, n_rows=n_rows), blocks, dense
+    )
+    d_blocks, d_dense = vjp(g)
+    return None, None, d_blocks, d_dense
+
+
+bsr_spmm.defvjp(_bsr_spmm_fwd, _bsr_spmm_bwd)

@@ -34,7 +34,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .kernels.bsr import bsr_spmm_pallas, bsr_spmm_xla, build_bsr
+from .kernels.bsr import bsr_spmm, build_bsr
 from .kernels.dot import coo_spmm, sddmm
 
 
@@ -99,8 +99,9 @@ def block_sparse_linear(params: BlockSparseLinearParams, x, *, use_pallas=None):
     expressed as ``W @ xᵀ`` so the BSR SpMM kernel applies directly."""
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
-    spmm = bsr_spmm_pallas if use_pallas else bsr_spmm_xla
-    out_t = spmm(params.block_rows, params.block_cols, params.blocks, x.T, n_rows=params.out_features)
+    # differentiable wrapper: Pallas forward, XLA-derived VJP (pallas_call
+    # itself has no autodiff rule)
+    out_t = bsr_spmm(params.block_rows, params.block_cols, params.blocks, x.T, params.out_features, use_pallas)
     y = out_t.T
     if params.bias is not None:
         y = y + params.bias[None, :]

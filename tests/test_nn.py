@@ -282,3 +282,23 @@ def test_block_sparse_attention_matches_coo(causal):
         q, k, v, jnp.asarray(np.asarray(rows_l)[order]), jnp.asarray(np.asarray(cols_l)[order])
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(oracle), atol=3e-5)
+
+
+def test_block_sparse_linear_grad_values_match_xla():
+    # the custom-VJP wrapper's gradients must equal the pure-XLA autodiff
+    from sparse_tpu.nn import block_sparse_linear, init_block_sparse_linear
+    from sparse_tpu.kernels.bsr import bsr_spmm_xla
+
+    key = jax.random.PRNGKey(0)
+    params = init_block_sparse_linear(key, 256, 256, block_density=0.5)
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((16, 256)).astype(np.float32))
+
+    g_wrapper = jax.grad(
+        lambda blocks: block_sparse_linear(params._replace(blocks=blocks), x, use_pallas=False).sum()
+    )(params.blocks)
+    g_xla = jax.grad(
+        lambda blocks: bsr_spmm_xla(
+            params.block_rows, params.block_cols, blocks, x.T, n_rows=256
+        ).T.sum()
+    )(params.blocks)
+    np.testing.assert_allclose(np.asarray(g_wrapper), np.asarray(g_xla), rtol=1e-6)
