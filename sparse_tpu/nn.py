@@ -198,7 +198,7 @@ def sparse_attention_ell(q, k, v, e_cols, valid, *, scale=None):
     return jnp.einsum("lc,lcd->ld", attn, gv, preferred_element_type=q.dtype)
 
 
-def banded_attention(q, k, v, *, window, scale=None, block=128, causal=False):
+def banded_attention(q, k, v, *, window, scale=None, block=128, causal=False, precision=None):
     """Sliding-window attention as dense block compute — the TPU-idiomatic
     form: queries in blocks of ``block`` share one contiguous key stripe of
     ``block + 2·window`` positions, so the score and value contractions are
@@ -227,7 +227,7 @@ def banded_attention(q, k, v, *, window, scale=None, block=128, causal=False):
     ks = jnp.take(k, stripe_idx.reshape(-1), axis=0).reshape(nb, S, d)
     vs = jnp.take(v, stripe_idx.reshape(-1), axis=0).reshape(nb, S, v.shape[1])
 
-    scores = jnp.einsum("bqd,bsd->bqs", qb, ks, preferred_element_type=acc_dtype) * jnp.asarray(scale, acc_dtype)
+    scores = jnp.einsum("bqd,bsd->bqs", qb, ks, preferred_element_type=acc_dtype, precision=precision) * jnp.asarray(scale, acc_dtype)
     qpos = (jnp.arange(nb) * block)[:, None, None] + jnp.arange(block)[None, :, None]  # (nb, block, 1)
     kpos = stripe_pos[:, None, :]  # (nb, 1, S)
     in_band = (jnp.abs(qpos - kpos) <= window) & (kpos >= 0) & (kpos < k.shape[0])
@@ -240,11 +240,11 @@ def banded_attention(q, k, v, *, window, scale=None, block=128, causal=False):
     e = jnp.where(in_band, e, 0)
     denom = e.sum(axis=-1, keepdims=True)
     attn = (e / jnp.where(denom == 0, 1, denom)).astype(acc_dtype)
-    out = jnp.einsum("bqs,bsd->bqd", attn, vs, preferred_element_type=acc_dtype)
+    out = jnp.einsum("bqs,bsd->bqd", attn, vs, preferred_element_type=acc_dtype, precision=precision)
     return out.reshape(Lp, v.shape[1])[:L].astype(q.dtype)
 
 
-def block_sparse_attention(q, k, v, block_ids, block_valid, *, scale=None, block=128, causal=False):
+def block_sparse_attention(q, k, v, block_ids, block_valid, *, scale=None, block=128, causal=False, precision=None):
     """Attention over a block-granular sparsity pattern: query block ``b``
     attends exactly the key blocks listed in ``block_ids[b]`` — the unified
     form of window / random / global block patterns (BigBird-style), all
@@ -273,7 +273,7 @@ def block_sparse_attention(q, k, v, block_ids, block_valid, *, scale=None, block
     ks = jnp.take(k, flat.reshape(-1), axis=0).reshape(nb, nsel * block, d)
     vs = jnp.take(v, flat.reshape(-1), axis=0).reshape(nb, nsel * block, v.shape[1])
 
-    scores = jnp.einsum("bqd,bsd->bqs", qb, ks, preferred_element_type=acc_dtype) * jnp.asarray(scale, acc_dtype)
+    scores = jnp.einsum("bqd,bsd->bqs", qb, ks, preferred_element_type=acc_dtype, precision=precision) * jnp.asarray(scale, acc_dtype)
     allowed = jnp.repeat(block_valid, block, axis=1)[:, None, :]  # (nb, 1, nsel*block)
     if causal:
         qpos = (jnp.arange(nb) * block)[:, None, None] + jnp.arange(block)[None, :, None]
@@ -286,7 +286,7 @@ def block_sparse_attention(q, k, v, block_ids, block_valid, *, scale=None, block
     e = jnp.where(allowed, e, 0)
     denom = e.sum(axis=-1, keepdims=True)
     attn = (e / jnp.where(denom == 0, 1, denom)).astype(acc_dtype)
-    out = jnp.einsum("bqs,bsd->bqd", attn, vs, preferred_element_type=acc_dtype)
+    out = jnp.einsum("bqs,bsd->bqd", attn, vs, preferred_element_type=acc_dtype, precision=precision)
     return out.reshape(L, v.shape[1]).astype(q.dtype)
 
 
@@ -315,7 +315,7 @@ def bigbird_block_pattern(length, *, block=128, n_window=1, n_random=2, n_global
     return ids, valid
 
 
-def longformer_attention(q, k, v, *, window, n_global=0, scale=None, block=128):
+def longformer_attention(q, k, v, *, window, n_global=0, scale=None, block=128, precision=None):
     """Sliding-window + global-token attention (the Longformer pattern),
     MXU-tiled throughout — the fast composite of :func:`banded_attention`:
 
@@ -346,7 +346,7 @@ def longformer_attention(q, k, v, *, window, n_global=0, scale=None, block=128):
     ks = jnp.take(k, stripe_idx.reshape(-1), axis=0).reshape(nb, S + G, d)
     vs = jnp.take(v, stripe_idx.reshape(-1), axis=0).reshape(nb, S + G, v.shape[1])
 
-    scores = jnp.einsum("bqd,bsd->bqs", qb, ks, preferred_element_type=acc_dtype) * jnp.asarray(scale, acc_dtype)
+    scores = jnp.einsum("bqd,bsd->bqs", qb, ks, preferred_element_type=acc_dtype, precision=precision) * jnp.asarray(scale, acc_dtype)
     qpos = (jnp.arange(nb) * block)[:, None, None] + jnp.arange(block)[None, :, None]
     kpos = stripe_pos[:, None, :]
     in_band = (jnp.abs(qpos - kpos) <= window) & (kpos >= 0) & (kpos < k.shape[0])
@@ -367,7 +367,7 @@ def longformer_attention(q, k, v, *, window, n_global=0, scale=None, block=128):
     e = jnp.where(allowed, e, 0)
     denom = e.sum(axis=-1, keepdims=True)
     attn = (e / jnp.where(denom == 0, 1, denom)).astype(acc_dtype)
-    out = jnp.einsum("bqs,bsd->bqd", attn, vs, preferred_element_type=acc_dtype)
+    out = jnp.einsum("bqs,bsd->bqd", attn, vs, preferred_element_type=acc_dtype, precision=precision)
     out = out.reshape(Lp, v.shape[1])[:L].astype(q.dtype)
 
     if G:
