@@ -461,9 +461,26 @@ class COO(SparseArray):
             return self
 
         def compute():
+            from ..native import eager as _eager
+
             shape = tuple(self.shape[ax] for ax in axes)
+            coords = np.asarray(self.coords)[list(axes), :]
+            # coords are known in-bounds and dedup'd; only the re-sort is
+            # needed — skip the ctor's validation passes via the native
+            # two-phase kernel when available
+            if (
+                len(shape) == 2
+                and self.data.dtype in (np.float64, np.float32)
+                and coords.shape[1] >= 4096
+                and shape[0] <= max(4 * coords.shape[1], 1 << 22)
+            ):
+                res = _eager.canonicalize2d(coords[0], coords[1], np.asarray(self.data), shape[0])
+                if res is not None:
+                    rows, cols_, vals = res
+                    new_coords = np.stack([rows, cols_]).astype(coords.dtype, copy=False)
+                    return COO._make(new_coords, vals, shape, self.fill_value)
             return COO(
-                np.asarray(self.coords)[list(axes), :],
+                coords,
                 self.data,
                 shape=shape,
                 has_duplicates=False,
