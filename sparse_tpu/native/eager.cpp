@@ -225,6 +225,84 @@ int st_unravel_i64(const int64_t* keys, int64_t n, const int64_t* shape, int64_t
 
 }  // extern "C"
 
+extern "C" {
+
+// 2-D variants of the fused merges: consume (row, col) coordinate pairs
+// directly (keys formed on the fly) and emit output coordinates in the same
+// pass — no separate linearize/unravel passes.
+#define FUSED_MERGE_2D(NAME, T, I, ISZERO, COMBINE, A_ONLY, B_ONLY)                         \
+  int64_t NAME(const I* ra, const I* ca, const T* va, int64_t na, const I* rb, const I* cb, \
+               const T* vb, int64_t nb, int64_t k_cols, I* r_out, I* c_out, T* v_out) {     \
+    int64_t i = 0, j = 0, u = 0;                                                            \
+    int64_t ka = (i < na) ? (int64_t)ra[0] * k_cols + ca[0] : 0;                            \
+    int64_t kb = (j < nb) ? (int64_t)rb[0] * k_cols + cb[0] : 0;                            \
+    while (i < na && j < nb) {                                                              \
+      T v;                                                                                  \
+      I ro, co;                                                                             \
+      if (ka < kb) {                                                                        \
+        v = A_ONLY(va[i]);                                                                  \
+        ro = ra[i];                                                                         \
+        co = ca[i];                                                                         \
+        ++i;                                                                                \
+        if (i < na) ka = (int64_t)ra[i] * k_cols + ca[i];                                   \
+      } else if (kb < ka) {                                                                 \
+        v = B_ONLY(vb[j]);                                                                  \
+        ro = rb[j];                                                                         \
+        co = cb[j];                                                                         \
+        ++j;                                                                                \
+        if (j < nb) kb = (int64_t)rb[j] * k_cols + cb[j];                                   \
+      } else {                                                                              \
+        v = COMBINE(va[i], vb[j]);                                                          \
+        ro = ra[i];                                                                         \
+        co = ca[i];                                                                         \
+        ++i;                                                                                \
+        ++j;                                                                                \
+        if (i < na) ka = (int64_t)ra[i] * k_cols + ca[i];                                   \
+        if (j < nb) kb = (int64_t)rb[j] * k_cols + cb[j];                                   \
+      }                                                                                     \
+      if (!ISZERO(v)) {                                                                     \
+        r_out[u] = ro;                                                                      \
+        c_out[u] = co;                                                                      \
+        v_out[u] = v;                                                                       \
+        ++u;                                                                                \
+      }                                                                                     \
+    }                                                                                       \
+    for (; i < na; ++i) {                                                                   \
+      T v = A_ONLY(va[i]);                                                                  \
+      if (!ISZERO(v)) {                                                                     \
+        r_out[u] = ra[i];                                                                   \
+        c_out[u] = ca[i];                                                                   \
+        v_out[u] = v;                                                                       \
+        ++u;                                                                                \
+      }                                                                                     \
+    }                                                                                       \
+    for (; j < nb; ++j) {                                                                   \
+      T v = B_ONLY(vb[j]);                                                                  \
+      if (!ISZERO(v)) {                                                                     \
+        r_out[u] = rb[j];                                                                   \
+        c_out[u] = cb[j];                                                                   \
+        v_out[u] = v;                                                                       \
+        ++u;                                                                                \
+      }                                                                                     \
+    }                                                                                       \
+    return u;                                                                               \
+  }
+
+FUSED_MERGE_2D(st_add_join2d_f64_i32, double, int32_t, is_pos_zero64, ADD_C, ADD_A, ADD_B)
+FUSED_MERGE_2D(st_sub_join2d_f64_i32, double, int32_t, is_pos_zero64, SUB_C, SUB_A, SUB_B)
+FUSED_MERGE_2D(st_mul_join2d_f64_i32, double, int32_t, is_pos_zero64, MUL_C, MUL_A, MUL_B)
+FUSED_MERGE_2D(st_add_join2d_f64_i64, double, int64_t, is_pos_zero64, ADD_C, ADD_A, ADD_B)
+FUSED_MERGE_2D(st_sub_join2d_f64_i64, double, int64_t, is_pos_zero64, SUB_C, SUB_A, SUB_B)
+FUSED_MERGE_2D(st_mul_join2d_f64_i64, double, int64_t, is_pos_zero64, MUL_C, MUL_A, MUL_B)
+FUSED_MERGE_2D(st_add_join2d_f32_i32, float, int32_t, is_pos_zero32, ADD_Cf, ADD_Af, ADD_Bf)
+FUSED_MERGE_2D(st_sub_join2d_f32_i32, float, int32_t, is_pos_zero32, SUB_Cf, SUB_Af, SUB_Bf)
+FUSED_MERGE_2D(st_mul_join2d_f32_i32, float, int32_t, is_pos_zero32, MUL_Cf, MUL_Af, MUL_Bf)
+FUSED_MERGE_2D(st_add_join2d_f32_i64, float, int64_t, is_pos_zero32, ADD_Cf, ADD_Af, ADD_Bf)
+FUSED_MERGE_2D(st_sub_join2d_f32_i64, float, int64_t, is_pos_zero32, SUB_Cf, SUB_Af, SUB_Bf)
+FUSED_MERGE_2D(st_mul_join2d_f32_i64, float, int64_t, is_pos_zero32, MUL_Cf, MUL_Af, MUL_Bf)
+
+}  // extern "C"
+
 // ---------------------------------------------------------------------------
 // SpGEMM: CSR x CSR (Gustavson, two-phase like scipy csr.h / reference
 // `_csr_csr_count_nnz` + `_dot_csr_csr_type`), rows parallelized.

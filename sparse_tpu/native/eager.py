@@ -83,6 +83,16 @@ def get_lib():
                         ctypes.c_void_p, ctypes.c_void_p, vp, ctypes.c_int64, ctypes.c_int64,
                         ctypes.c_void_p, ctypes.c_void_p, vp,
                     ]
+            for op in ("add", "sub", "mul"):
+                for ts, vp in (("f64", _f64p), ("f32", _f32p)):
+                    for isuf in ("i32", "i64"):
+                        fn = getattr(lib, f"st_{op}_join2d_{ts}_{isuf}")
+                        fn.restype = ctypes.c_int64
+                        fn.argtypes = [
+                            ctypes.c_void_p, ctypes.c_void_p, vp, ctypes.c_int64,
+                            ctypes.c_void_p, ctypes.c_void_p, vp, ctypes.c_int64,
+                            ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p, vp,
+                        ]
             lib.st_spgemm_symbolic.restype = ctypes.c_int
             lib.st_spgemm_symbolic.argtypes = [
                 _i64p, _i64p, ctypes.c_int64, _i64p, _i64p, ctypes.c_int64, _i64p,
@@ -170,6 +180,35 @@ def union_join_values(ka, va, fa, kb, vb, fb):
 
 
 _FUSED = {"add": "st_add_join", "subtract": "st_sub_join", "multiply": "st_mul_join"}
+_FUSED2D = {"add": "st_add_join2d", "subtract": "st_sub_join2d", "multiply": "st_mul_join2d"}
+
+
+def fused_join_2d(op_name, ra, ca, va, rb, cb, vb, k_cols):
+    """2-D fused {add,subtract,multiply} for zero fills: merges canonical
+    (row, col) coordinate streams directly, emitting output coordinates in
+    the same pass — no linearize/unravel. Returns ``(rows, cols, values)``
+    or None."""
+    lib = get_lib()
+    if lib is None or op_name not in _FUSED2D:
+        return None
+    if va.dtype != vb.dtype or va.dtype not in (np.float64, np.float32):
+        return None
+    ra = np.ascontiguousarray(ra)
+    ca = np.ascontiguousarray(ca)
+    rb = np.ascontiguousarray(rb)
+    cb = np.ascontiguousarray(cb)
+    if not (ra.dtype == ca.dtype == rb.dtype == cb.dtype) or ra.dtype not in (np.int32, np.int64):
+        return None
+    va = np.ascontiguousarray(va)
+    vb = np.ascontiguousarray(vb)
+    isuf = "i32" if ra.dtype == np.int32 else "i64"
+    fn = getattr(lib, f"{_FUSED2D[op_name]}_{_suffix(va.dtype)}_{isuf}")
+    na, nb = ra.shape[0], rb.shape[0]
+    r_out = np.empty(na + nb, dtype=ra.dtype)
+    c_out = np.empty(na + nb, dtype=ra.dtype)
+    v_out = np.empty(na + nb, dtype=va.dtype)
+    u = fn(_ivp(ra), _ivp(ca), _vp(va), na, _ivp(rb), _ivp(cb), _vp(vb), nb, k_cols, _ivp(r_out), _ivp(c_out), _vp(v_out))
+    return r_out[:u], c_out[:u], v_out[:u]
 
 
 def fused_join(op_name, ka, va, kb, vb):

@@ -153,12 +153,10 @@ def elemwise(func, *args, **kwargs):
         and _native.get_lib() is not None
     ):
         a0, a1 = sparse_args
-        lin0 = np.asarray(a0.linear_loc()).astype(np.int64, copy=False)
-        lin1 = np.asarray(a1.linear_loc()).astype(np.int64, copy=False)
         d0 = np.asarray(a0.data)
         d1 = np.asarray(a1.data)
         name = _FUSED_UFUNCS.get(func)
-        if (
+        fusable = (
             name is not None
             and len(args) == 2
             and args[0] is a0
@@ -171,7 +169,24 @@ def elemwise(func, *args, **kwargs):
             and _is_pos_zero_scalar(a0.fill_value)
             and _is_pos_zero_scalar(a1.fill_value)
             and _is_pos_zero_scalar(fill_value)
-        ):
+        )
+        if fusable and a0.ndim == 2:
+            # 2-D: merge the coordinate pairs directly (no linearize/unravel)
+            c0 = np.asarray(a0.coords)
+            c1 = np.asarray(a1.coords)
+            fused2 = _native.fused_join_2d(name, c0[0], c0[1], d0, c1[0], c1[1], d1, full_shape[1])
+            if fused2 is not None:
+                r_out, c_out, vals = fused2
+                out = COO._make(
+                    np.stack([r_out, c_out]),
+                    vals,
+                    full_shape,
+                    np.asarray(fill_value, dtype=out_dtype)[()],
+                )
+                return _to_output_format(out, out_format, out_kwargs)
+        lin0 = np.asarray(a0.linear_loc()).astype(np.int64, copy=False)
+        lin1 = np.asarray(a1.linear_loc()).astype(np.int64, copy=False)
+        if fusable:
             fused = _native.fused_join(name, lin0, d0, lin1, d1)
             if fused is not None:
                 keys, vals = fused
