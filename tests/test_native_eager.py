@@ -243,3 +243,29 @@ def test_canonicalize2d_ctor_integration(monkeypatch):
     dense = np.zeros((50, 60))
     np.add.at(dense, (rows, cols), vals)
     np.testing.assert_allclose(A.todense(), dense, rtol=1e-12)
+
+
+@pytest.mark.parametrize("op", ["add", "subtract", "multiply"])
+@pytest.mark.parametrize("idx_dtype", [np.int32, np.int64])
+def test_fused_join_2d_kernel(op, idx_dtype):
+    rng = np.random.default_rng(31)
+    M, K = 40, 30
+    lin_a = np.sort(rng.choice(M * K, 200, replace=False))
+    lin_b = np.sort(rng.choice(M * K, 180, replace=False))
+    ra, ca = (lin_a // K).astype(idx_dtype), (lin_a % K).astype(idx_dtype)
+    rb, cb = (lin_b // K).astype(idx_dtype), (lin_b % K).astype(idx_dtype)
+    va = rng.standard_normal(200)
+    vb = rng.standard_normal(180)
+    res = eager.fused_join_2d(op, ra, ca, va, rb, cb, vb, K)
+    ro, co, vo = res
+    assert ro.dtype == idx_dtype
+    da = np.zeros((M, K))
+    db = np.zeros((M, K))
+    da[ra, ca] = va
+    db[rb, cb] = vb
+    exp = getattr(np, op)(da, db)
+    got = np.zeros((M, K))
+    got[ro, co] = vo
+    np.testing.assert_array_equal(got, exp)
+    lin_out = ro.astype(np.int64) * K + co
+    assert (np.diff(lin_out) > 0).all()
