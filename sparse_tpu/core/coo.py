@@ -627,12 +627,20 @@ class COO(SparseArray):
             data_np = np.asarray(self.data)
             # np.add.reduce promotes small ints (uint8 sums to uint64 etc.)
             acc_dtype = np.add.reduce(np.empty(0, dtype=data_np.dtype)).dtype
-            counts_full = np.bincount(keys, minlength=keep)
-            if data_np.dtype == np.float64:
-                sums = np.bincount(keys, weights=data_np, minlength=keep)
+            native = None
+            if data_np.dtype in (np.float64, np.float32):
+                from ..native import eager as _eager
+
+                native = _eager.bincount_sum(keys, data_np, keep)
+            if native is not None:
+                sums, counts_full = native
             else:
-                sums = np.zeros(keep, dtype=acc_dtype)
-                np.add.at(sums, keys, data_np)
+                counts_full = np.bincount(keys, minlength=keep)
+                if data_np.dtype == np.float64:
+                    sums = np.bincount(keys, weights=data_np, minlength=keep)
+                else:
+                    sums = np.zeros(keep, dtype=acc_dtype)
+                    np.add.at(sums, keys, data_np)
             inv_idx = np.flatnonzero(counts_full)
             result = sums[inv_idx].astype(acc_dtype, copy=False)
             counts = counts_full[inv_idx]

@@ -191,6 +191,25 @@ FUSED_MERGE(st_add_join_f32, float, is_pos_zero32, ADD_Cf, ADD_Af, ADD_Bf)
 FUSED_MERGE(st_sub_join_f32, float, is_pos_zero32, SUB_Cf, SUB_Af, SUB_Bf)
 FUSED_MERGE(st_mul_join_f32, float, is_pos_zero32, MUL_Cf, MUL_Af, MUL_Bf)
 
+// Fused weighted bincount: sums[key] += w and counts[key] += 1 in one pass
+// (role of the two np.bincount calls in the add-reduction fast path).
+#define BINCOUNT_SUM(NAME, T)                                                                \
+  int NAME(const int64_t* keys, const T* w, int64_t n, int64_t n_bins, T* sums,              \
+           int64_t* counts) {                                                                \
+    for (int64_t b = 0; b < n_bins; ++b) {                                                   \
+      sums[b] = T(0);                                                                        \
+      counts[b] = 0;                                                                         \
+    }                                                                                        \
+    for (int64_t i = 0; i < n; ++i) {                                                        \
+      sums[keys[i]] += w[i];                                                                 \
+      ++counts[keys[i]];                                                                     \
+    }                                                                                        \
+    return 0;                                                                                \
+  }
+
+BINCOUNT_SUM(st_bincount_sum_f64, double)
+BINCOUNT_SUM(st_bincount_sum_f32, float)
+
 // Unravel linearized row-major keys into an (ndim, n) coordinate matrix,
 // threaded over entries (role of np.unravel_index in the eager paths).
 int st_unravel_i64(const int64_t* keys, int64_t n, const int64_t* shape, int64_t ndim,

@@ -93,6 +93,10 @@ def get_lib():
                             ctypes.c_void_p, ctypes.c_void_p, vp, ctypes.c_int64,
                             ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p, vp,
                         ]
+            for name, vp in [("st_bincount_sum_f64", _f64p), ("st_bincount_sum_f32", _f32p)]:
+                fn = getattr(lib, name)
+                fn.restype = ctypes.c_int
+                fn.argtypes = [_i64p, vp, ctypes.c_int64, ctypes.c_int64, vp, _i64p]
             lib.st_spgemm_symbolic.restype = ctypes.c_int
             lib.st_spgemm_symbolic.argtypes = [
                 _i64p, _i64p, ctypes.c_int64, _i64p, _i64p, ctypes.c_int64, _i64p,
@@ -262,6 +266,21 @@ def canonicalize2d(rows, cols, vals, n_rows):
     fn = getattr(lib, f"st_canonicalize2d_{_suffix(vals.dtype)}_{isuf}")
     u = fn(_ivp(rows), _ivp(cols), _vp(vals), n, n_rows, _ivp(rows_out), _ivp(cols_out), _vp(vals_out))
     return rows_out[:u], cols_out[:u], vals_out[:u]
+
+
+def bincount_sum(keys, weights, n_bins):
+    """Fused ``(bincount(keys, weights), bincount(keys))`` in one pass.
+    Returns ``(sums, counts)`` (sums in the weights' dtype) or None."""
+    lib = get_lib()
+    if lib is None or weights.dtype not in (np.float64, np.float32):
+        return None
+    keys = _c64(keys)
+    weights = np.ascontiguousarray(weights)
+    sums = np.empty(n_bins, dtype=weights.dtype)
+    counts = np.empty(n_bins, dtype=np.int64)
+    fn = lib.st_bincount_sum_f64 if weights.dtype == np.float64 else lib.st_bincount_sum_f32
+    fn(_ip(keys), _vp(weights), keys.shape[0], n_bins, _vp(sums), _ip(counts))
+    return sums, counts
 
 
 def unravel(keys, shape):
