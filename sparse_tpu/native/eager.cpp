@@ -320,6 +320,18 @@ FUSED_MERGE_2D(st_add_join2d_f32_i64, float, int64_t, is_pos_zero32, ADD_Cf, ADD
 FUSED_MERGE_2D(st_sub_join2d_f32_i64, float, int64_t, is_pos_zero32, SUB_Cf, SUB_Af, SUB_Bf)
 FUSED_MERGE_2D(st_mul_join2d_f32_i64, float, int64_t, is_pos_zero32, MUL_Cf, MUL_Af, MUL_Bf)
 
+// integer data (exact; prune is plain == 0; identities stay integral)
+#define IS_ZERO_INT(v) ((v) == 0)
+#define IDENT(x) (x)
+#define NEG(y) (-(y))
+#define ZERO_OF(x) ((x) * 0)
+FUSED_MERGE_2D(st_add_join2d_s64_i32, int64_t, int32_t, IS_ZERO_INT, ADD_C, IDENT, IDENT)
+FUSED_MERGE_2D(st_sub_join2d_s64_i32, int64_t, int32_t, IS_ZERO_INT, SUB_C, IDENT, NEG)
+FUSED_MERGE_2D(st_mul_join2d_s64_i32, int64_t, int32_t, IS_ZERO_INT, MUL_C, ZERO_OF, ZERO_OF)
+FUSED_MERGE_2D(st_add_join2d_s64_i64, int64_t, int64_t, IS_ZERO_INT, ADD_C, IDENT, IDENT)
+FUSED_MERGE_2D(st_sub_join2d_s64_i64, int64_t, int64_t, IS_ZERO_INT, SUB_C, IDENT, NEG)
+FUSED_MERGE_2D(st_mul_join2d_s64_i64, int64_t, int64_t, IS_ZERO_INT, MUL_C, ZERO_OF, ZERO_OF)
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------

@@ -84,7 +84,7 @@ def get_lib():
                         ctypes.c_void_p, ctypes.c_void_p, vp,
                     ]
             for op in ("add", "sub", "mul"):
-                for ts, vp in (("f64", _f64p), ("f32", _f32p)):
+                for ts, vp in (("f64", _f64p), ("f32", _f32p), ("s64", _i64p)):
                     for isuf in ("i32", "i64"):
                         fn = getattr(lib, f"st_{op}_join2d_{ts}_{isuf}")
                         fn.restype = ctypes.c_int64
@@ -134,7 +134,11 @@ def _ip(a):
 
 
 def _vp(a):
-    return a.ctypes.data_as(_f64p if a.dtype == np.float64 else _f32p)
+    if a.dtype == np.float64:
+        return a.ctypes.data_as(_f64p)
+    if a.dtype == np.int64:
+        return a.ctypes.data_as(_i64p)
+    return a.ctypes.data_as(_f32p)
 
 
 def _c64(a):
@@ -195,7 +199,7 @@ def fused_join_2d(op_name, ra, ca, va, rb, cb, vb, k_cols):
     lib = get_lib()
     if lib is None or op_name not in _FUSED2D:
         return None
-    if va.dtype != vb.dtype or va.dtype not in (np.float64, np.float32):
+    if va.dtype != vb.dtype or va.dtype not in (np.float64, np.float32, np.int64):
         return None
     ra = np.ascontiguousarray(ra)
     ca = np.ascontiguousarray(ca)
@@ -206,7 +210,8 @@ def fused_join_2d(op_name, ra, ca, va, rb, cb, vb, k_cols):
     va = np.ascontiguousarray(va)
     vb = np.ascontiguousarray(vb)
     isuf = "i32" if ra.dtype == np.int32 else "i64"
-    fn = getattr(lib, f"{_FUSED2D[op_name]}_{_suffix(va.dtype)}_{isuf}")
+    tsuf = "s64" if va.dtype == np.int64 else _suffix(va.dtype)
+    fn = getattr(lib, f"{_FUSED2D[op_name]}_{tsuf}_{isuf}")
     na, nb = ra.shape[0], rb.shape[0]
     r_out = np.empty(na + nb, dtype=ra.dtype)
     c_out = np.empty(na + nb, dtype=ra.dtype)

@@ -42,7 +42,10 @@ _FUSED_UFUNCS = {np.add: "add", np.subtract: "subtract", np.multiply: "multiply"
 
 
 def _is_pos_zero_scalar(v):
+    """Bitwise +0.0 for floats; plain 0 for (sign-free) integers."""
     v = np.asarray(v)
+    if v.dtype.kind in "iu":
+        return v == 0
     return v.dtype.kind == "f" and v == 0 and not np.signbit(v)
 
 
@@ -164,7 +167,7 @@ def elemwise(func, *args, **kwargs):
             and not kwargs
             and dtype is None
             and d0.dtype == d1.dtype
-            and d0.dtype in (np.float64, np.float32)
+            and d0.dtype in (np.float64, np.float32, np.int64)
             and out_dtype == d0.dtype
             and _is_pos_zero_scalar(a0.fill_value)
             and _is_pos_zero_scalar(a1.fill_value)
