@@ -53,6 +53,10 @@ def elemwise(func, *args, **kwargs):
     """Apply ``func`` element-wise over sparse/dense/scalar operands."""
     import scipy.sparse
 
+    fast = _gcxs_fused_fast(func, args, kwargs)
+    if fast is not None:
+        return fast
+
     out_format, out_kwargs = _choose_output_format(args)
 
     processed = []
@@ -393,6 +397,56 @@ def _expand_linear_coords(a, full_shape):
     out = (base[:, None] + offsets[None, :]).reshape(-1)
     out.sort()
     return out
+
+
+def _gcxs_fused_fast(func, args, kwargs):
+    """{+,-,×} of two same-layout zero-fill GCXS operands directly on the
+    compressed buffers — uncompress indptr, fused 2-D merge in internal
+    (row, col) space, rebuild indptr. No COO round-trip (the reference
+    always converts, ``_umath.py:436``). Returns None when not applicable."""
+    from ..core.gcxs import GCXS, _uncompress_indptr_np
+    from ..native import build_indptr
+
+    name = _FUSED_UFUNCS.get(func)
+    if (
+        name is None
+        or kwargs
+        or len(args) != 2
+        or not all(type(a) is GCXS or isinstance(a, GCXS) for a in args)
+    ):
+        return None
+    a0, a1 = args
+    if (
+        a0 is a1
+        or a0.shape != a1.shape
+        or a0.compressed_axes != a1.compressed_axes
+        or a0.dtype != a1.dtype
+        or a0.dtype not in (np.float64, np.float32, np.int64)
+        or not _is_pos_zero_scalar(a0.fill_value)
+        or not _is_pos_zero_scalar(a1.fill_value)
+        or a0.nnz + a1.nnz < _native.NATIVE_MIN_NNZ
+        or _native.get_lib() is None
+    ):
+        return None
+    row_size, col_size = a0._compressed_shape
+    r0 = _uncompress_indptr_np(np.asarray(a0.indptr))
+    r1 = _uncompress_indptr_np(np.asarray(a1.indptr))
+    c0 = np.asarray(a0.indices).astype(r0.dtype, copy=False)
+    c1 = np.asarray(a1.indices).astype(r1.dtype, copy=False)
+    fused = _native.fused_join_2d(name, r0, c0, np.asarray(a0.data), r1, c1, np.asarray(a1.data), col_size)
+    if fused is None:
+        return None
+    r_out, c_out, v_out = fused
+    indptr = build_indptr(r_out, row_size)
+    idx_dtype = np.asarray(a0.indices).dtype
+    return GCXS._make(
+        v_out,
+        c_out.astype(idx_dtype, copy=False),
+        indptr.astype(np.asarray(a0.indptr).dtype, copy=False),
+        a0.shape,
+        a0.compressed_axes,
+        np.asarray(func(a0.fill_value, a1.fill_value), dtype=v_out.dtype)[()],
+    )
 
 
 def _strides(shape):
