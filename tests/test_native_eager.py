@@ -269,3 +269,28 @@ def test_fused_join_2d_kernel(op, idx_dtype):
     np.testing.assert_array_equal(got, exp)
     lin_out = ro.astype(np.int64) * K + co
     assert (np.diff(lin_out) > 0).all()
+
+
+@pytest.mark.parametrize("op", [np.add, np.subtract, np.multiply])
+def test_gcxs_direct_elemwise(op):
+    rng = np.random.default_rng(41)
+    for axes in [(0,), (1,), (0, 2)]:
+        ndim = max(axes) + 2
+        shape = tuple(rng.integers(3, 9, ndim))
+        d1 = rng.random(shape) * (rng.random(shape) < 0.4)
+        d2 = rng.random(shape) * (rng.random(shape) < 0.4)
+        g1 = st.GCXS.from_numpy(d1, compressed_axes=axes)
+        g2 = st.GCXS.from_numpy(d2, compressed_axes=axes)
+        r = op(g1, g2)
+        assert isinstance(r, st.GCXS) and r.compressed_axes == axes
+        np.testing.assert_allclose(r.todense(), op(d1, d2), rtol=1e-12)
+        assert_eq(r.tocoo(), st.COO.from_numpy(op(d1, d2)))
+
+
+def test_gcxs_direct_elemwise_mixed_axes_falls_back():
+    rng = np.random.default_rng(42)
+    d1 = rng.random((12, 10)) * (rng.random((12, 10)) < 0.4)
+    d2 = rng.random((12, 10)) * (rng.random((12, 10)) < 0.4)
+    c1 = st.GCXS.from_numpy(d1, compressed_axes=(0,))
+    c2 = st.GCXS.from_numpy(d2, compressed_axes=(1,))
+    np.testing.assert_allclose((c1 + c2).todense(), d1 + d2, rtol=1e-12)
