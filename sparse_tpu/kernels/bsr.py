@@ -319,3 +319,121 @@ def _bsr_spmm_bwd(n_rows, use_pallas, res, g):
 
 
 bsr_spmm.defvjp(_bsr_spmm_fwd, _bsr_spmm_bwd)
+
+
+def _sddmm_kernel(block_rows_ref, block_cols_ref, lhs_ref, rhs_ref, out_ref, acc_ref, *, precision):
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    acc_ref[...] += jnp.dot(
+        lhs_ref[...], rhs_ref[...], preferred_element_type=acc_ref.dtype, precision=precision
+    )
+
+    @pl.when(t == pl.num_programs(1) - 1)
+    def _():
+        out_ref[0] = acc_ref[...].astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_shape", "b_tile", "interpret"))
+def bsr_sddmm_pallas(block_rows, block_cols, lhs, rhs, *, block_shape=(128, 128), b_tile=512, interpret=False):
+    """Block-sampled dense-dense matmul: for each stored block (r, c) return
+    ``lhs[r·bm:(r+1)·bm, :] @ rhs[:, c·bn:(c+1)·bn]`` — the weight-gradient
+    of :func:`bsr_spmm` (and a BigBird-style block-scores kernel).
+
+    lhs (M, B), rhs (B, K) → (n_blocks, bm, bn); contraction tiled by
+    ``b_tile`` with f32 VMEM accumulation."""
+    bm, bn = block_shape
+    n_blocks = block_rows.shape[0]
+    m, b = lhs.shape
+    b2, k = rhs.shape
+    assert b == b2
+    b_tile = min(b_tile, max(-(-b // 128) * 128, 128))
+    n_t = -(-b // b_tile)
+    mb = -(-m // bm)
+    kb = -(-k // bn)
+    if lhs.shape != (mb * bm, n_t * b_tile):
+        lhs = jnp.pad(lhs, ((0, mb * bm - m), (0, n_t * b_tile - b)))
+    if rhs.shape != (n_t * b_tile, kb * bn):
+        rhs = jnp.pad(rhs, ((0, n_t * b_tile - b), (0, kb * bn - k)))
+
+    precision = jax.lax.Precision.DEFAULT if lhs.dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
+    acc_dtype = jnp.float64 if lhs.dtype == jnp.float64 else jnp.float32
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_blocks, n_t),
+        in_specs=[
+            pl.BlockSpec((bm, b_tile), lambda j, t, rows, cols: (rows[j], t)),
+            pl.BlockSpec((b_tile, bn), lambda j, t, rows, cols: (t, cols[j])),
+        ],
+        out_specs=pl.BlockSpec((1, bm, bn), lambda j, t, rows, cols: (j, 0, 0)),
+        scratch_shapes=[pltpu.VMEM((bm, bn), acc_dtype)],
+    )
+    import contextlib
+
+    ctx = contextlib.nullcontext() if interpret else jax.enable_x64(False)
+    with ctx:
+        out = pl.pallas_call(
+            functools.partial(_sddmm_kernel, precision=precision),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((n_blocks, bm, bn), lhs.dtype),
+            interpret=interpret,
+        )(block_rows, block_cols, lhs, rhs)
+    return out
+
+
+def transpose_bsr_layout(block_rows, block_cols, n_block_rows_t):
+    """Host-side one-time transpose layout for a BSR pattern: returns
+    ``(t_rows, t_cols, t_perm)`` sorted row-major in the transposed space,
+    with every empty transposed block-row padded by one zero block
+    (``t_perm == -1``), ready for :func:`bsr_spmm_pallas` on Aᵀ."""
+    br = np.asarray(block_rows)
+    bc = np.asarray(block_cols)
+    order = np.argsort(bc.astype(np.int64) * (br.max(initial=0) + 1) + br, kind="stable")
+    t_rows = bc[order].astype(np.int32)
+    t_cols = br[order].astype(np.int32)
+    t_perm = order.astype(np.int64)
+    present = np.zeros(n_block_rows_t, dtype=bool)
+    present[t_rows] = True
+    missing = np.flatnonzero(~present).astype(np.int32)
+    if missing.size:
+        t_rows = np.concatenate([t_rows, missing])
+        t_cols = np.concatenate([t_cols, np.zeros(missing.size, np.int32)])
+        t_perm = np.concatenate([t_perm, np.full(missing.size, -1, np.int64)])
+        order2 = np.argsort(t_rows.astype(np.int64) * (int(t_cols.max(initial=0)) + 2) + t_cols, kind="stable")
+        t_rows, t_cols, t_perm = t_rows[order2], t_cols[order2], t_perm[order2]
+    return t_rows, t_cols, t_perm
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def bsr_spmm_trainable(block_rows, block_cols, t_rows, t_cols, t_perm, blocks, dense, n_rows, n_cols, use_pallas):
+    """Fully kernelized differentiable BSR SpMM: Pallas forward, Pallas
+    backward — dgrad through the precomputed transposed layout
+    (:func:`transpose_bsr_layout`), wgrad through :func:`bsr_sddmm_pallas`."""
+    impl = bsr_spmm_pallas if use_pallas else bsr_spmm_xla
+    return impl(block_rows, block_cols, blocks, dense, n_rows=n_rows)
+
+
+def _bsr_spmm_trainable_fwd(block_rows, block_cols, t_rows, t_cols, t_perm, blocks, dense, n_rows, n_cols, use_pallas):
+    out = bsr_spmm_trainable(block_rows, block_cols, t_rows, t_cols, t_perm, blocks, dense, n_rows, n_cols, use_pallas)
+    return out, (block_rows, block_cols, t_rows, t_cols, t_perm, blocks, dense)
+
+
+def _bsr_spmm_trainable_bwd(n_rows, n_cols, use_pallas, res, g):
+    block_rows, block_cols, t_rows, t_cols, t_perm, blocks, dense = res
+    blocks_t = jnp.where(
+        (t_perm < 0)[:, None, None], 0, blocks[jnp.clip(t_perm, 0, None)]
+    ).transpose(0, 2, 1)
+    if use_pallas:
+        d_dense = bsr_spmm_pallas(t_rows, t_cols, blocks_t, g, n_rows=n_cols)
+        d_blocks = bsr_sddmm_pallas(block_rows, block_cols, g, dense.T)
+    else:
+        d_dense = bsr_spmm_xla(t_rows, t_cols, blocks_t, g, n_rows=n_cols)
+        _, vjp = jax.vjp(lambda bl: bsr_spmm_xla(block_rows, block_cols, bl, dense, n_rows=n_rows), blocks)
+        (d_blocks,) = vjp(g)
+    return None, None, None, None, None, d_blocks, d_dense
+
+
+bsr_spmm_trainable.defvjp(_bsr_spmm_trainable_fwd, _bsr_spmm_trainable_bwd)

@@ -55,14 +55,20 @@ class BlockSparseLinearParams:
     bias: jax.Array | None
     out_features: int
     in_features: int
+    # transposed layout (dgrad path); None on layouts built before training
+    t_block_rows: jax.Array | None = None
+    t_block_cols: jax.Array | None = None
+    t_perm: jax.Array | None = None
 
     def tree_flatten(self):
-        return (self.blocks, self.block_rows, self.block_cols, self.bias), (self.out_features, self.in_features)
+        children = (self.blocks, self.block_rows, self.block_cols, self.bias,
+                    self.t_block_rows, self.t_block_cols, self.t_perm)
+        return children, (self.out_features, self.in_features)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        blocks, block_rows, block_cols, bias = children
-        return cls(blocks, block_rows, block_cols, bias, *aux)
+        blocks, block_rows, block_cols, bias, t_rows, t_cols, t_perm = children
+        return cls(blocks, block_rows, block_cols, bias, *aux, t_rows, t_cols, t_perm)
 
     def _replace(self, **kwargs):
         return dataclasses.replace(self, **kwargs)
@@ -89,7 +95,13 @@ def init_block_sparse_linear(key, in_features, out_features, block_density=0.25,
     nonpad = jnp.asarray(np.asarray(layout.blocks).reshape(n_blocks, -1).sum(axis=1) > 0)
     blocks = blocks * nonpad[:, None, None].astype(dtype)
     b = jnp.zeros((out_features,), dtype) if bias else None
-    return BlockSparseLinearParams(blocks, layout.block_rows, layout.block_cols, b, out_features, in_features)
+    from .kernels.bsr import transpose_bsr_layout
+
+    t_rows, t_cols, t_perm = transpose_bsr_layout(layout.block_rows, layout.block_cols, -(-in_features // bn))
+    return BlockSparseLinearParams(
+        blocks, layout.block_rows, layout.block_cols, b, out_features, in_features,
+        jnp.asarray(t_rows), jnp.asarray(t_cols), jnp.asarray(t_perm),
+    )
 
 
 def block_sparse_linear(params: BlockSparseLinearParams, x, *, use_pallas=None):
@@ -99,9 +111,18 @@ def block_sparse_linear(params: BlockSparseLinearParams, x, *, use_pallas=None):
     expressed as ``W @ xᵀ`` so the BSR SpMM kernel applies directly."""
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
-    # differentiable wrapper: Pallas forward, XLA-derived VJP (pallas_call
-    # itself has no autodiff rule)
-    out_t = bsr_spmm(params.block_rows, params.block_cols, params.blocks, x.T, params.out_features, use_pallas)
+    if params.t_block_rows is not None:
+        # fully kernelized VJP: Pallas forward, Pallas dgrad (transposed
+        # layout) + Pallas wgrad (block SDDMM)
+        from .kernels.bsr import bsr_spmm_trainable
+
+        out_t = bsr_spmm_trainable(
+            params.block_rows, params.block_cols, params.t_block_rows, params.t_block_cols,
+            params.t_perm, params.blocks, x.T, params.out_features, params.in_features, use_pallas,
+        )
+    else:
+        # Pallas forward, XLA-derived VJP (pallas_call has no autodiff rule)
+        out_t = bsr_spmm(params.block_rows, params.block_cols, params.blocks, x.T, params.out_features, use_pallas)
     y = out_t.T
     if params.bias is not None:
         y = y + params.bias[None, :]

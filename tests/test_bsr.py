@@ -84,3 +84,48 @@ def test_spmm_pallas2_interpret(problem):
     B = np.random.default_rng(1).random((600, 200))
     out = bsr_spmm_pallas2(bsr.block_rows, bsr.block_cols, bsr.blocks, jnp.asarray(B), n_rows=500, interpret=True)
     np.testing.assert_allclose(np.asarray(out), a.todense() @ B, rtol=1e-10)
+
+
+def test_bsr_sddmm_pallas_interpret():
+    from sparse_tpu.kernels.bsr import bsr_sddmm_pallas, build_bsr
+
+    rng = np.random.default_rng(3)
+    M, B, K = 256, 96, 384
+    nb = (M // 128) * (K // 128)
+    sel = rng.random(nb) < 0.6
+    bi = (np.arange(nb) // (K // 128))[sel].astype(np.int64) * 128
+    bj = (np.arange(nb) % (K // 128))[sel].astype(np.int64) * 128
+    bsr = build_bsr(bi, bj, np.ones(bi.size, np.float32), (M, K))
+    lhs = rng.standard_normal((M, B)).astype(np.float32)
+    rhs = rng.standard_normal((B, K)).astype(np.float32)
+    out = np.asarray(
+        bsr_sddmm_pallas(bsr.block_rows, bsr.block_cols, jnp.asarray(lhs), jnp.asarray(rhs), interpret=True)
+    )
+    full = lhs @ rhs
+    br, bc = np.asarray(bsr.block_rows), np.asarray(bsr.block_cols)
+    for i in range(br.size):
+        np.testing.assert_allclose(
+            out[i], full[br[i] * 128 : (br[i] + 1) * 128, bc[i] * 128 : (bc[i] + 1) * 128], atol=1e-4
+        )
+
+
+def test_bsr_spmm_trainable_grads_match_autodiff():
+    from sparse_tpu.nn import block_sparse_linear, init_block_sparse_linear
+    from sparse_tpu.kernels.bsr import bsr_spmm_xla
+
+    params = init_block_sparse_linear(jax.random.PRNGKey(0), 256, 384, block_density=0.5)
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((32, 256)).astype(np.float32))
+    w = jnp.asarray(np.random.default_rng(2).standard_normal((384,)).astype(np.float32))
+
+    def loss(blocks, x_):
+        return (block_sparse_linear(params._replace(blocks=blocks), x_, use_pallas=False) * w).sum()
+
+    gb, gx = jax.grad(loss, argnums=(0, 1))(params.blocks, x)
+
+    def loss2(blocks, x_):
+        out_t = bsr_spmm_xla(params.block_rows, params.block_cols, blocks, x_.T, n_rows=384)
+        return ((out_t.T + params.bias[None, :]) * w).sum()
+
+    gb2, gx2 = jax.grad(loss2, argnums=(0, 1))(params.blocks, x)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(gb2), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx2), rtol=1e-5, atol=1e-5)
