@@ -432,6 +432,34 @@ class GCXS(SparseArray):
                 self.compressed_axes,
                 self.fill_value,
             )
+        sel_arr = np.asarray(sel_comp)
+        if sel_arr.ndim == 1 and sel_arr.dtype.kind in "iu":
+            # fancy selection along the compressed axis: splice the selected
+            # indptr segments (any order, duplicates allowed) — O(output),
+            # no COO round-trip
+            if sel_arr.size and (sel_arr.min() < -n_comp or sel_arr.max() >= n_comp):
+                raise IndexError(f"index out of bounds for axis {comp_ax} with size {n_comp}")
+            sel_pos = np.where(sel_arr < 0, sel_arr + n_comp, sel_arr).astype(np.int64)
+            lo = indptr[sel_pos]
+            hi = indptr[sel_pos + 1]
+            counts = hi - lo
+            total = int(counts.sum())
+            if total:
+                ends = np.cumsum(counts)
+                within = np.arange(total, dtype=np.int64) - np.repeat(ends - counts, counts)
+                src = np.repeat(lo, counts) + within
+                new_data = np.asarray(self.data)[src]
+                new_indices = np.asarray(self.indices)[src]
+            else:
+                new_data = np.asarray(self.data)[:0]
+                new_indices = np.asarray(self.indices)[:0]
+            new_indptr = np.concatenate([[0], np.cumsum(counts)]).astype(indptr.dtype)
+            new_shape = (
+                (sel_arr.size, self.shape[1]) if comp_ax == 0 else (self.shape[0], sel_arr.size)
+            )
+            return GCXS._make(
+                new_data, new_indices, new_indptr, new_shape, self.compressed_axes, self.fill_value
+            )
         return NotImplemented
 
     # -- reduce plumbing ---------------------------------------------------------------------

@@ -215,3 +215,21 @@ def test_native_reduce_fill_value():
     g = sparse.GCXS.from_numpy(x, fill_value=2.0, compressed_axes=(0,))
     assert_eq(g.max(axis=1), x.max(axis=1))
     assert_eq(g.sum(axis=1), x.sum(axis=1))
+
+
+def test_gcxs_fancy_compressed_axis_fast_path():
+    rng = np.random.default_rng(17)
+    d = rng.random((30, 20)) * (rng.random((30, 20)) < 0.4)
+    csr = sparse.GCXS.from_numpy(d, compressed_axes=(0,))
+    csc = sparse.GCXS.from_numpy(d, compressed_axes=(1,))
+    rows = np.array([5, 2, 2, -1, 0])
+    out = csr[rows]
+    assert isinstance(out, sparse.GCXS)
+    np.testing.assert_allclose(out.todense(), d[rows], rtol=1e-12)
+    cols = np.array([-3, 0, 7, 7])
+    out2 = csc[:, cols]
+    np.testing.assert_allclose(out2.todense(), d[:, cols], rtol=1e-12)
+    with pytest.raises(IndexError):
+        csr[np.array([30])]
+    # empty selection
+    np.testing.assert_allclose(csr[np.array([], dtype=np.int64)].todense(), d[[]])
