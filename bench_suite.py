@@ -156,6 +156,23 @@ def main():
         )
         rows_out.append(("dense attention (same shapes)", f"{dt * 1e3:.2f} ms", ""))
 
+    # 6b. block-sparse training step (fully kernelized VJP)
+    if on_tpu:
+        from sparse_tpu.nn import block_sparse_linear, init_block_sparse_linear
+
+        p_lin = init_block_sparse_linear(jax.random.PRNGKey(0), 8192, 8192, block_density=0.25)
+        xb = jnp.asarray(rng.standard_normal((512, 8192)).astype(np.float32))
+        grad_fn = jax.grad(
+            lambda blocks, x_: block_sparse_linear(p_lin._replace(blocks=blocks), x_, use_pallas=True).sum(),
+            argnums=(0, 1),
+        )
+        def _train_step(x_):
+            gb, gx = grad_fn(p_lin.blocks, x_)
+            return gb.ravel()[0] + gx.ravel()[0]  # keep BOTH grads live
+
+        dt = device_bench(_train_step, (xb,), iters=20)
+        rows_out.append(("block_sparse_linear fwd+bwd 8192^2@25% b=512", f"{dt * 1e3:.2f} ms", ""))
+
     # 7. host workloads
     a = sparse.random((100000, 100000), density=1e-5, random_state=3)
     b = sparse.random((100000, 100000), density=1e-5, random_state=4)
@@ -165,6 +182,16 @@ def main():
     e2 = sparse.random((10000, 10000), density=1e-3, random_state=6)
     dt = host_bench(lambda: e1 + e2)
     rows_out.append(("elemwise add 10k^2 @1e-3 (eager host)", f"{dt * 1e3:.1f} ms", ""))
+    cr = rng.integers(0, 1 << 16, 3_000_000).astype(np.int64)
+    cc = rng.integers(0, 1 << 16, 3_000_000).astype(np.int64)
+    cv = rng.random(3_000_000)
+    coords_c = np.stack([cr, cc])
+    dt = host_bench(lambda: sparse.COO(coords_c, cv, shape=(1 << 16, 1 << 16)), iters=3)
+    rows_out.append(("COO construction 3M entries (eager host)", f"{dt * 1e3:.0f} ms", ""))
+    g1 = sparse.random((20000, 20000), density=1e-3, random_state=7, format="gcxs")
+    Dm = rng.random((20000, 32))
+    dt = host_bench(lambda: g1 @ Dm)
+    rows_out.append(("eager SpMM gcxs 20k^2@1e-3 x (20k,32)", f"{dt * 1e3:.1f} ms", ""))
 
     w = max(len(r[0]) for r in rows_out)
     print(f"\n{'workload':<{w}}  {'time':>10}  throughput")
