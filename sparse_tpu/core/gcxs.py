@@ -156,16 +156,19 @@ class GCXS(SparseArray):
             rows = np.zeros(x.nnz, dtype=np.int64)
             cols = np.zeros(x.nnz, dtype=np.int64)
         else:
-            rows = (
-                np.ravel_multi_index(tuple(coords[list(comp)]), comp_shape).astype(np.int64)
-                if comp
-                else np.zeros(coords.shape[1], dtype=np.int64)
-            )
-            cols = (
-                np.ravel_multi_index(tuple(coords[list(uncomp)]), uncomp_shape).astype(np.int64)
-                if uncomp
-                else np.zeros(coords.shape[1], dtype=np.int64)
-            )
+            # single-axis groups skip the ravel (plain view/astype)
+            if len(comp) == 1:
+                rows = coords[comp[0]].astype(np.int64, copy=False)
+            elif comp:
+                rows = np.ravel_multi_index(tuple(coords[list(comp)]), comp_shape).astype(np.int64)
+            else:
+                rows = np.zeros(coords.shape[1], dtype=np.int64)
+            if len(uncomp) == 1:
+                cols = coords[uncomp[0]].astype(np.int64, copy=False)
+            elif uncomp:
+                cols = np.ravel_multi_index(tuple(coords[list(uncomp)]), uncomp_shape).astype(np.int64)
+            else:
+                cols = np.zeros(coords.shape[1], dtype=np.int64)
 
         # a canonical COO is already sorted by (comp, uncomp) when the
         # compressed axes are the leading dims — skip the re-sort
@@ -179,8 +182,9 @@ class GCXS(SparseArray):
 
         if idx_dtype is None:
             idx_dtype = index_dtype_for(max(col_size, x.nnz, row_size))
-        indptr = np.zeros(row_size + 1, dtype=idx_dtype)
-        np.cumsum(np.bincount(rows, minlength=row_size), out=indptr[1:])
+        from ..native import build_indptr
+
+        indptr = build_indptr(rows, row_size).astype(idx_dtype, copy=False)
         return cls._make(
             data,
             cols.astype(idx_dtype),

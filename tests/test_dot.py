@@ -204,3 +204,22 @@ def test_sparse_1d_rhs():
     got = sparse.dot(a, v)
     expected = a @ v.todense()
     np.testing.assert_allclose(np.asarray(got if isinstance(got, np.ndarray) else got.todense()), expected)
+
+
+def test_gcxs_slicing_after_dot():
+    # reference regression territory: results of GCXS @ GCXS must index
+    # correctly (`test_dot.py:342-396`)
+    rng = np.random.default_rng(18)
+    dA = rng.random((30, 40)) * (rng.random((30, 40)) < 0.2)
+    dB = rng.random((40, 25)) * (rng.random((40, 25)) < 0.2)
+    A = sparse.GCXS.from_numpy(dA)
+    B = sparse.GCXS.from_numpy(dB)
+    C = A @ B
+    dC = dA @ dB
+    np.testing.assert_allclose(C[5].todense(), dC[5], atol=1e-12)
+    np.testing.assert_allclose(C[3:17].todense(), dC[3:17], atol=1e-12)
+    np.testing.assert_allclose(C[:, 4:9].todense(), dC[:, 4:9], atol=1e-12)
+    rows = np.array([7, 2, 2, -1])
+    np.testing.assert_allclose(C[rows].todense(), dC[rows], atol=1e-12)
+    np.testing.assert_allclose(C.T[2].todense(), dC.T[2], atol=1e-12)
+    np.testing.assert_allclose((C @ B.T)[0].todense(), (dC @ dB.T)[0], atol=1e-12)
