@@ -136,8 +136,13 @@ def concatenate(arrays, axis=0):
                     f"all the input array dimensions except for the concatenation axis must match exactly"
                 )
 
+    from .._utils import index_dtype_for
+
     data = np.concatenate([np.asarray(x.data) for x in arrays])
-    coords = np.concatenate([np.asarray(x.coords) for x in arrays], axis=1).astype(np.int64)
+    idx_dtype = index_dtype_for(max(max(shape), 1))
+    coords = np.concatenate(
+        [np.asarray(x.coords) for x in arrays], axis=1, dtype=idx_dtype, casting="unsafe"
+    )
 
     dim = 0
     for x in arrays:
