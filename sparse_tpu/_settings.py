@@ -22,6 +22,12 @@ AUTO_DENSIFY = bool(int(os.environ.get("SPARSE_AUTO_DENSIFY", "0")))
 WARN_ON_TOO_DENSE = bool(int(os.environ.get("SPARSE_WARN_ON_TOO_DENSE", "0")))
 DEFAULT_INDEX_DTYPE = os.environ.get("SPARSE_TPU_DEFAULT_INDEX_DTYPE", "int32")
 
+# "cpu" (default): eager sparse×dense runs the C++/host kernels — right for
+# remote-accelerator setups where each eager op would pay a transfer RTT.
+# "default": run on jax's default backend (the TPU on an attached host)
+# through the block-ELL MXU kernel, with the layout cached on the array.
+EAGER_MATMUL_DEVICE = os.environ.get("SPARSE_TPU_EAGER_MATMUL", "cpu")
+
 
 class _Info:
     """Array-API namespace inspection object.

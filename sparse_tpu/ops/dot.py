@@ -306,6 +306,10 @@ def _spmm_dense(a, b):
     from ..core.gcxs import GCXS
     from ..kernels import dot as kdot
 
+    accel = _spmm_dense_accelerator(a, b)
+    if accel is not None:
+        return accel
+
     native = _spmm_dense_native(a, np.asarray(b))
     if native is not None:
         return native
@@ -340,6 +344,37 @@ def _spmm_dense(a, b):
         else:
             out = kdot.coo_spmm(coords[0], coords[1], data, b, n_rows=a.shape[0], rows_sorted=rows_sorted)
     return np.asarray(out).astype(dt, copy=False)
+
+
+def _spmm_dense_accelerator(a, b):
+    """Opt-in accelerator path for eager sparse×dense
+    (``SPARSE_TPU_EAGER_MATMUL=default``): run the block-ELL MXU kernel on
+    jax's default backend, caching the layout on the array
+    (``COO.enable_caching`` makes repeated matmuls reuse it). Returns None
+    when the knob is off or the operand doesn't qualify."""
+    from .._settings import EAGER_MATMUL_DEVICE
+
+    if EAGER_MATMUL_DEVICE != "default":
+        return None
+    if not isinstance(a, COO) or a.ndim != 2:
+        a = a.tocoo() if hasattr(a, "tocoo") and a.ndim == 2 else a
+        if not isinstance(a, COO):
+            return None
+    dt = np.promote_types(a.dtype, np.asarray(b).dtype)
+    if dt not in (np.float64, np.float32):
+        return None
+    import jax.numpy as jnp
+
+    from ..kernels.ell import ell_spmm, ell_spmv
+
+    ell = a.to_block_ell()
+    bj = jnp.asarray(np.asarray(b), dtype=dt)
+    data = ell.e_data if np.asarray(ell.e_data).dtype == dt else jnp.asarray(ell.e_data, dtype=dt)
+    if np.asarray(b).ndim == 1:
+        out = ell_spmv(ell.e_rows, ell.e_cols, data, bj, n_rows=a.shape[0])
+    else:
+        out = ell_spmm(ell.e_rows, ell.e_cols, data, bj, n_rows=a.shape[0])
+    return np.asarray(out)
 
 
 def _spmm_dense_native(a, b):

@@ -223,3 +223,15 @@ def test_gcxs_slicing_after_dot():
     np.testing.assert_allclose(C[rows].todense(), dC[rows], atol=1e-12)
     np.testing.assert_allclose(C.T[2].todense(), dC.T[2], atol=1e-12)
     np.testing.assert_allclose((C @ B.T)[0].todense(), (dC @ dB.T)[0], atol=1e-12)
+
+
+def test_eager_matmul_accelerator_knob(monkeypatch):
+    import sparse_tpu._settings as settings
+    import sparse_tpu.ops.dot  # noqa: F401
+
+    monkeypatch.setattr(settings, "EAGER_MATMUL_DEVICE", "default")
+    rng = np.random.default_rng(19)
+    A = sparse.random((60, 40), density=0.2, random_state=0)
+    D = rng.random((40, 5))
+    np.testing.assert_allclose(A @ D, A.todense() @ D, rtol=1e-6)
+    np.testing.assert_allclose(A @ D[:, 0], A.todense() @ D[:, 0], rtol=1e-6)
