@@ -619,11 +619,14 @@ class COO(SparseArray):
             # (cheaper, exactly-ordered) reduceat path wins
             and neg_axis != tuple(range(len(neg_axis)))
         ):
-            keys = np.zeros(self.nnz, dtype=np.int64)
-            stride = 1
-            for ax in reversed(neg_axis):
-                keys += np.asarray(self.coords[ax]).astype(np.int64) * stride
-                stride *= self.shape[ax]
+            if len(neg_axis) == 1:
+                keys = np.asarray(self.coords[neg_axis[0]]).astype(np.int64, copy=False)
+            else:
+                keys = np.zeros(self.nnz, dtype=np.int64)
+                stride = 1
+                for ax in reversed(neg_axis):
+                    keys += np.asarray(self.coords[ax]).astype(np.int64) * stride
+                    stride *= self.shape[ax]
             data_np = np.asarray(self.data)
             # np.add.reduce promotes small ints (uint8 sums to uint64 etc.)
             acc_dtype = np.add.reduce(np.empty(0, dtype=data_np.dtype)).dtype
