@@ -5,5 +5,5 @@ from . import bsr, dot, ell, segment, spgemm  # noqa: F401
 from .bsr import BSR, bsr_spmm, bsr_spmm_pallas, bsr_spmm_xla, build_bsr  # noqa: F401
 from .spgemm import esc_spgemm, product_count  # noqa: F401
 from .dot import coo_spmm, coo_spmv, dense_coo_matmul, mttkrp, sddmm, uncompress_indptr  # noqa: F401
-from .ell import BlockEll, build_block_ell, ell_spmm, ell_spmv  # noqa: F401
+from .ell import BlockEll, build_block_ell, build_block_ell_3d, ell_mttkrp, ell_spmm, ell_spmv  # noqa: F401
 from .segment import segment_reduce, segment_sum_onehot_mm  # noqa: F401

@@ -85,6 +85,53 @@ def ell_spmm(e_rows, e_cols, e_data, dense, *, n_rows, block_rows=DEFAULT_BLOCK_
     return out.reshape(n_blocks * block_rows, n)[:n_rows]
 
 
+def build_block_ell_3d(ci, cj, ck, data, n_rows, block_rows=DEFAULT_BLOCK_ROWS, pad_to=8):
+    """Block-ELL layout of a 3-D COO tensor grouped by i-blocks (for
+    :func:`ell_mttkrp`): returns ``(e_rows, e_j, e_k, e_data)`` each
+    ``(n_blocks, cap)``; padding entries have data == 0."""
+    ci = np.asarray(ci)
+    cj = np.asarray(cj)
+    ck = np.asarray(ck)
+    data = np.asarray(data)
+    nnz = ci.shape[0]
+    n_blocks = -(-n_rows // block_rows)
+    blk = ci // block_rows
+    counts = np.bincount(blk, minlength=n_blocks)
+    cap = max(-(-int(counts.max()) // pad_to) * pad_to, pad_to) if nnz else pad_to
+    e_rows = np.zeros((n_blocks, cap), dtype=np.int32)
+    e_j = np.zeros((n_blocks, cap), dtype=np.int32)
+    e_k = np.zeros((n_blocks, cap), dtype=np.int32)
+    e_data = np.zeros((n_blocks, cap), dtype=data.dtype)
+    if nnz:
+        order = np.argsort(blk, kind="stable")
+        starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
+        within = np.arange(nnz) - starts[blk[order]]
+        bo = blk[order]
+        e_rows[bo, within] = (ci[order] - bo * block_rows).astype(np.int32)
+        e_j[bo, within] = cj[order].astype(np.int32)
+        e_k[bo, within] = ck[order].astype(np.int32)
+        e_data[bo, within] = data[order]
+    return jnp.asarray(e_rows), jnp.asarray(e_j), jnp.asarray(e_k), jnp.asarray(e_data)
+
+
+@functools.partial(jax.jit, static_argnames=("n_rows", "block_rows"))
+def ell_mttkrp(e_rows, e_j, e_k, e_data, c, d, *, n_rows, block_rows=DEFAULT_BLOCK_ROWS):
+    """MTTKRP with the one-hot MXU scatter: per 128-row block,
+    ``out_block = onehot(local_i)ᵀ @ (data ⊙ C[j] ⊙ D[k])`` — 17× over the
+    segment-sum form at 10M nnz (7.9 ms vs 136 ms, J=32, v5e)."""
+    n_blocks, cap = e_j.shape
+    r = c.shape[1]
+    g = (jnp.take(c, e_j.reshape(-1), axis=0) * jnp.take(d, e_k.reshape(-1), axis=0)).reshape(n_blocks, cap, r)
+    prod = e_data[:, :, None] * g
+    onehot = (e_rows[:, :, None] == jnp.arange(block_rows, dtype=e_rows.dtype)[None, None, :]).astype(e_data.dtype)
+    acc_dtype = jnp.float32 if prod.dtype == jnp.bfloat16 else prod.dtype
+    precision = jax.lax.Precision.DEFAULT if prod.dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
+    out = jnp.einsum(
+        "ber,ben->brn", onehot, prod, preferred_element_type=acc_dtype, precision=precision
+    ).astype(prod.dtype)
+    return out.reshape(n_blocks * block_rows, r)[:n_rows]
+
+
 @functools.partial(jax.jit, static_argnames=("n_rows", "block_rows", "lane_gather"))
 def ell_spmv(e_rows, e_cols, e_data, x, *, n_rows, block_rows=DEFAULT_BLOCK_ROWS, lane_gather=None):
     """Block-ELL ``A @ x`` → dense (n_rows,).

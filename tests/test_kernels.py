@@ -249,3 +249,32 @@ def test_coo_spmv_lane_gather():
     data = jnp.asarray(np.asarray(a.data))
     out = coo_spmv(rows, cols, data, x, n_rows=64, lane_gather=True)
     np.testing.assert_allclose(np.asarray(out), a.todense() @ np.asarray(x), rtol=1e-10)
+
+
+def test_ell_mttkrp_matches_segment_form():
+    from sparse_tpu.kernels import build_block_ell_3d, ell_mttkrp
+
+    rng = np.random.default_rng(23)
+    I, J, K, R = 300, 40, 50, 8
+    lin = np.unique(rng.integers(0, I * J * K, 5000))
+    ci = (lin // (J * K)).astype(np.int32)
+    cj = ((lin // K) % J).astype(np.int32)
+    ck = (lin % K).astype(np.int32)
+    tv = rng.random(lin.size).astype(np.float32)
+    C = rng.random((J, R)).astype(np.float32)
+    D = rng.random((K, R)).astype(np.float32)
+    er, ej, ek, ed = build_block_ell_3d(ci, cj, ck, tv, I)
+    out = np.asarray(ell_mttkrp(er, ej, ek, ed, jnp.asarray(C), jnp.asarray(D), n_rows=I))
+    dense = np.zeros((I, J, K))
+    dense[ci, cj, ck] = tv
+    np.testing.assert_allclose(out, np.einsum("ijk,jr,kr->ir", dense, C, D), atol=1e-4)
+
+
+def test_ell_mttkrp_empty():
+    from sparse_tpu.kernels import build_block_ell_3d, ell_mttkrp
+
+    er, ej, ek, ed = build_block_ell_3d(
+        np.empty(0, np.int32), np.empty(0, np.int32), np.empty(0, np.int32), np.empty(0, np.float32), 16
+    )
+    out = ell_mttkrp(er, ej, ek, ed, jnp.ones((4, 3), jnp.float32), jnp.ones((5, 3), jnp.float32), n_rows=16)
+    np.testing.assert_allclose(np.asarray(out), 0)
