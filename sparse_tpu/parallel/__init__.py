@@ -8,7 +8,9 @@ from .sharding import (  # noqa: F401
     elemwise_partitioned,
     make_mesh,
     mttkrp_sharded,
+    mttkrp_sharded_ell,
     partition_coo_rows,
+    partition_mttkrp_ell,
     sddmm_sharded,
     spgemm_sharded,
     spmm_2d,

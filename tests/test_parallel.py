@@ -245,3 +245,23 @@ def test_sum_partitioned(balance):
     np.testing.assert_allclose(sum_partitioned(pa, mesh, axis=1), a.todense().sum(axis=1), rtol=1e-12)
     np.testing.assert_allclose(sum_partitioned(pa, mesh, axis=0), a.todense().sum(axis=0), rtol=1e-12)
     np.testing.assert_allclose(sum_partitioned(pa, mesh), a.todense().sum(), rtol=1e-12)
+
+
+def test_mttkrp_sharded_ell_matches_oracle():
+    from sparse_tpu.parallel import make_mesh, mttkrp_sharded_ell, partition_mttkrp_ell
+
+    rng = np.random.default_rng(21)
+    mesh = make_mesh(8)
+    I, J, K, R = 2100, 40, 50, 8  # ragged over 8 shards
+    lin = np.unique(rng.integers(0, I * J * K, 30000))
+    ci = (lin // (J * K)).astype(np.int32)
+    cj = ((lin // K) % J).astype(np.int32)
+    ck = (lin % K).astype(np.int32)
+    tv = rng.random(lin.size).astype(np.float32)
+    C = rng.random((J, R)).astype(np.float32)
+    D = rng.random((K, R)).astype(np.float32)
+    er, ej, ek, ed, br = partition_mttkrp_ell(np.stack([ci, cj, ck]), tv, I, 8)
+    out = np.asarray(mttkrp_sharded_ell(er, ej, ek, ed, C, D, I, br, mesh))
+    dense = np.zeros((I, J, K))
+    dense[ci, cj, ck] = tv
+    np.testing.assert_allclose(out, np.einsum("ijk,jr,kr->ir", dense, C, D), atol=1e-3)
