@@ -265,3 +265,26 @@ def test_mttkrp_sharded_ell_matches_oracle():
     dense = np.zeros((I, J, K))
     dense[ci, cj, ck] = tv
     np.testing.assert_allclose(out, np.einsum("ijk,jr,kr->ir", dense, C, D), atol=1e-3)
+
+
+def test_mttkrp_sharded_ell_empty_shard():
+    from sparse_tpu.parallel import make_mesh, mttkrp_sharded_ell, partition_mttkrp_ell
+
+    mesh = make_mesh(8)
+    # all entries in the first rows: later shards are empty
+    rng = np.random.default_rng(22)
+    I, J, K, R = 1024, 10, 12, 4
+    n = 500
+    ci = rng.integers(0, 100, n).astype(np.int32)
+    cj = rng.integers(0, J, n).astype(np.int32)
+    ck = rng.integers(0, K, n).astype(np.int32)
+    lin = np.unique(ci.astype(np.int64) * J * K + cj * K + ck)
+    ci, cj, ck = (lin // (J * K)).astype(np.int32), ((lin // K) % J).astype(np.int32), (lin % K).astype(np.int32)
+    tv = rng.random(lin.size).astype(np.float32)
+    C = rng.random((J, R)).astype(np.float32)
+    D = rng.random((K, R)).astype(np.float32)
+    er, ej, ek, ed, br = partition_mttkrp_ell(np.stack([ci, cj, ck]), tv, I, 8)
+    out = np.asarray(mttkrp_sharded_ell(er, ej, ek, ed, C, D, I, br, mesh))
+    dense = np.zeros((I, J, K))
+    dense[ci, cj, ck] = tv
+    np.testing.assert_allclose(out, np.einsum("ijk,jr,kr->ir", dense, C, D), atol=1e-4)
