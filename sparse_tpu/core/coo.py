@@ -439,14 +439,61 @@ class COO(SparseArray):
     def _tocsr_csc(self, kind):
         import scipy.sparse
 
-        m = self.to_scipy_sparse()
-        return m.tocsr() if kind == "csr" else m.tocsc()
+        from .._utils import check_fill_value
+
+        check_fill_value(self, [0], func_name="tocsr" if kind == "csr" else "tocsc")
+        if self.ndim != 2:
+            raise ValueError("Can only convert a 2-dimensional array to a Scipy sparse matrix.")
+        coords = np.asarray(self.coords)
+        data = np.asarray(self.data)
+        if kind == "csr":
+            # canonical row-major order IS csr order: indptr is one bincount
+            from ..native import build_indptr
+
+            indptr = build_indptr(coords[0], self.shape[0])
+            indices = coords[1]
+            if indices.dtype.itemsize < 4:
+                indices = indices.astype(np.int32)
+            m = scipy.sparse.csr_matrix((data, indices, indptr), shape=self.shape, copy=False)
+            m.has_canonical_format = True
+            return m
+        from ..native import eager as _eager
+
+        res = (
+            _eager.transpose2d(coords[0], coords[1], data, self.shape[1], want_rows=False)
+            if self.nnz
+            else None
+        )
+        if res is not None:
+            indptr, _, row_ids, vals = res
+            m = scipy.sparse.csc_matrix((vals, row_ids, indptr), shape=self.shape, copy=False)
+            m.has_canonical_format = True
+            return m
+        return self.to_scipy_sparse().tocsc()
 
     def tocsr(self):
         return self._cached(("tocsr",), lambda: self._tocsr_csc("csr"))
 
     def tocsc(self):
         return self._cached(("tocsc",), lambda: self._tocsr_csc("csc"))
+
+    def _csc_buffers(self):
+        """``(indptr, row_ids, vals)`` — the CSC of a canonical 2-D COO,
+        equivalently the CSR buffers of its transpose (native counting
+        scatter, no sort). None when the native library is unavailable or
+        the dtype isn't f32/f64. Cached under ``enable_caching``."""
+
+        def compute():
+            from ..native import eager as _eager
+
+            coords = np.asarray(self.coords)
+            res = _eager.transpose2d(coords[0], coords[1], np.asarray(self.data), self.shape[1], want_rows=False)
+            if res is None:
+                return None
+            indptr, _, row_ids, vals = res
+            return indptr, row_ids, vals
+
+        return self._cached(("csc_buffers",), compute)
 
     # -- structural ops -----------------------------------------------------------------
     def transpose(self, axes=None):
@@ -464,6 +511,20 @@ class COO(SparseArray):
             from ..native import eager as _eager
 
             shape = tuple(self.shape[ax] for ax in axes)
+            # canonical order sorts ties by row within each column, so the
+            # 2-D transpose is one stable counting scatter — no sort at all
+            if (
+                axes == (1, 0)
+                and self.data.dtype in (np.float64, np.float32)
+                and self.nnz >= 4096
+                and self.shape[1] <= max(4 * self.nnz, 1 << 22)
+            ):
+                src = np.asarray(self.coords)
+                res = _eager.transpose2d(src[0], src[1], np.asarray(self.data), self.shape[1])
+                if res is not None:
+                    _, rows_t, cols_t, vals = res
+                    new_coords = np.stack([rows_t, cols_t]).astype(src.dtype, copy=False)
+                    return COO._make(new_coords, vals, shape, self.fill_value)
             coords = np.asarray(self.coords)[list(axes), :]
             # coords are known in-bounds and dedup'd; only the re-sort is
             # needed — skip the ctor's validation passes via the native

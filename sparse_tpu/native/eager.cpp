@@ -725,3 +725,165 @@ CANON2D_ABI(f32, float, i64, int64_t)
 CANON2D_ABI(f32, float, i32, int32_t)
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Canonical-COO transpose / CSC build: a CANONICAL (row-major sorted, unique)
+// triplet is already ordered by (col, row) *within each column bucket*, so
+// the transpose is one STABLE counting scatter by column — no sort, no dedup
+// (scipy's csr<->csc conversion strategy; role of the reference's
+// `_coo/core.py` transpose + re-canonicalize). The emitted (indptr, cols_out,
+// vals_out) triple doubles as the CSC of the input / CSR of its transpose.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+template <typename T, typename I>
+void transpose2d(const I* rows, const I* cols, const T* vals, int64_t n, int64_t n_cols,
+                 int64_t* indptr_out, I* rows_out, I* cols_out, T* vals_out) {
+  for (int64_t c = 0; c <= n_cols; ++c) indptr_out[c] = 0;
+
+  unsigned hw = std::thread::hardware_concurrency();
+  int t = (int)std::min<int64_t>(hw ? hw : 1, n >> 19);
+  if (t >= 2 && n_cols <= (int64_t)1 << 21) {
+    // two-pass parallel counting sort: per-thread histograms keep the
+    // scatter stable (chunk i's entries land before chunk i+1's per column)
+    int64_t chunk = (n + t - 1) / t;
+    std::vector<std::vector<int64_t>> hist(t);
+    {
+      std::vector<std::thread> ts;
+      auto count = [&](int ti) {
+        auto& h = hist[ti];
+        h.assign(n_cols, 0);
+        int64_t i0 = ti * chunk, i1 = std::min<int64_t>(n, i0 + chunk);
+        for (int64_t i = i0; i < i1; ++i) ++h[cols[i]];
+      };
+      for (int i = 1; i < t; ++i) ts.emplace_back(count, i);
+      count(0);
+      for (auto& th : ts) th.join();
+    }
+    for (int64_t c = 0; c < n_cols; ++c) {
+      int64_t s = 0;
+      for (int ti = 0; ti < t; ++ti) {
+        int64_t h = hist[ti][c];
+        hist[ti][c] = s;  // becomes this thread's within-column offset
+        s += h;
+      }
+      indptr_out[c + 1] = indptr_out[c] + s;
+    }
+    std::vector<std::thread> ts;
+    auto scatter = [&](int ti) {
+      auto& cur = hist[ti];
+      int64_t i0 = ti * chunk, i1 = std::min<int64_t>(n, i0 + chunk);
+      for (int64_t i = i0; i < i1; ++i) {
+        I c = cols[i];
+        int64_t p = indptr_out[c] + cur[c]++;
+        if (rows_out) rows_out[p] = c;
+        cols_out[p] = rows[i];
+        vals_out[p] = vals[i];
+      }
+    };
+    for (int i = 1; i < t; ++i) ts.emplace_back(scatter, i);
+    scatter(0);
+    for (auto& th : ts) th.join();
+    return;
+  }
+
+  for (int64_t i = 0; i < n; ++i) ++indptr_out[cols[i] + 1];
+  for (int64_t c = 0; c < n_cols; ++c) indptr_out[c + 1] += indptr_out[c];
+  std::vector<int64_t> cursor(indptr_out, indptr_out + n_cols);
+  for (int64_t i = 0; i < n; ++i) {
+    I c = cols[i];
+    int64_t p = cursor[c]++;
+    if (rows_out) rows_out[p] = c;
+    cols_out[p] = rows[i];
+    vals_out[p] = vals[i];
+  }
+}
+
+// blocked, threaded out-of-place dense transpose: (R, C) row-major -> (C, R)
+template <typename T>
+void blocked_transpose(const T* src, int64_t R, int64_t C, T* dst) {
+  constexpr int64_t B = 32;
+  auto work = [&](int64_t r0, int64_t r1) {
+    for (int64_t rb = r0; rb < r1; rb += B)
+      for (int64_t cb = 0; cb < C; cb += B) {
+        int64_t re = std::min<int64_t>(rb + B, r1), ce = std::min<int64_t>(cb + B, C);
+        for (int64_t r = rb; r < re; ++r)
+          for (int64_t c = cb; c < ce; ++c) dst[c * R + r] = src[r * C + c];
+      }
+  };
+  unsigned hw = std::thread::hardware_concurrency();
+  int t = (int)std::min<int64_t>(hw ? hw : 1, (R * C) >> 20);
+  if (t < 2) {
+    work(0, R);
+    return;
+  }
+  int64_t chunk = ((R + t - 1) / t + B - 1) / B * B;
+  std::vector<std::thread> ts;
+  for (int i = 1; i < t; ++i)
+    ts.emplace_back(work, i * chunk, std::min<int64_t>(R, (i + 1) * chunk));
+  work(0, std::min<int64_t>(R, chunk));
+  for (auto& th : ts) th.join();
+}
+
+// dense (M, K) x sparse (K, N) via the CSR of the sparse TRANSPOSE
+// (= the CSC scatter buffers above): out^T[n, :] = sum_p v[p] * X^T[k[p], :].
+// Both dense transposes are fused here (blocked + threaded) so the Python
+// layer passes X and receives out in natural row-major (M, K)/(M, N) layout.
+template <typename T>
+T* scratch_buffer(int which, size_t n) {
+  // persistent per-thread scratch: freshly mmap'd large buffers cost a page
+  // fault per 4 KiB every call otherwise (~1 ms on the multi-MB operands)
+  static thread_local std::vector<T> bufs[2];
+  auto& b = bufs[which];
+  if (b.size() < n) b.resize(n);
+  return b.data();
+}
+
+template <typename T, typename I>
+void dense_spmm_csrt(const int64_t* pn, const I* kids, const T* vals, int64_t N, const T* X,
+                     int64_t M, int64_t K, T* out) {
+  T* xt = scratch_buffer<T>(0, (size_t)K * M);
+  blocked_transpose(X, M, K, xt);
+  T* out_t = scratch_buffer<T>(1, (size_t)N * M);
+  run_rows(pn, N, 19, M, [&](int64_t n0, int64_t n1) {
+    int64_t p_end = pn[n1];
+    for (int64_t r = n0; r < n1; ++r) {
+      T* orow = out_t + r * M;
+      for (int64_t m = 0; m < M; ++m) orow[m] = T(0);
+      for (int64_t p = pn[r]; p < pn[r + 1]; ++p) {
+        // the gathered X^T rows are the only random access — hide their
+        // latency by prefetching a few entries ahead
+        if (p + 8 < p_end) __builtin_prefetch(xt + (int64_t)kids[p + 8] * M);
+        T v = vals[p];
+        const T* xrow = xt + (int64_t)kids[p] * M;
+        for (int64_t m = 0; m < M; ++m) orow[m] += v * xrow[m];
+      }
+    }
+  });
+  blocked_transpose(out_t, N, M, out);
+}
+
+}  // namespace
+
+extern "C" {
+
+#define TRANSPOSE2D_ABI(TS, T, IS, I)                                                         \
+  int st_transpose2d_##TS##_##IS(const I* rows, const I* cols, const T* vals, int64_t n,      \
+                                 int64_t n_cols, int64_t* indptr_out, I* rows_out,            \
+                                 I* cols_out, T* vals_out) {                                  \
+    transpose2d<T, I>(rows, cols, vals, n, n_cols, indptr_out, rows_out, cols_out, vals_out); \
+    return 0;                                                                                 \
+  }                                                                                           \
+  int st_dense_spmm_csrt_##TS##_##IS(const int64_t* pn, const I* kids, const T* vals,         \
+                                     int64_t N, const T* X, int64_t M, int64_t K, T* out) {   \
+    dense_spmm_csrt<T, I>(pn, kids, vals, N, X, M, K, out);                                   \
+    return 0;                                                                                 \
+  }
+
+TRANSPOSE2D_ABI(f64, double, i64, int64_t)
+TRANSPOSE2D_ABI(f64, double, i32, int32_t)
+TRANSPOSE2D_ABI(f32, float, i64, int64_t)
+TRANSPOSE2D_ABI(f32, float, i32, int32_t)
+
+}  // extern "C"

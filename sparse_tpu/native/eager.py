@@ -32,12 +32,11 @@ _f32p = ctypes.POINTER(ctypes.c_float)
 
 
 def _build():
-    subprocess.run(
-        ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread", "-o", _LIB_PATH, _SRC],
-        check=True,
-        capture_output=True,
-        timeout=120,
-    )
+    base = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread", "-o", _LIB_PATH, _SRC]
+    try:
+        subprocess.run(base[:1] + ["-march=native"] + base[1:], check=True, capture_output=True, timeout=120)
+    except subprocess.CalledProcessError:
+        subprocess.run(base, check=True, capture_output=True, timeout=120)
 
 
 def get_lib():
@@ -123,6 +122,16 @@ def get_lib():
                     fn = getattr(lib, f"st_csc_spmm_{ts}_{isuf}")
                     fn.restype = ctypes.c_int
                     fn.argtypes = [vpp, vpp, vp, ctypes.c_int64, ctypes.c_int64, vp, ctypes.c_int64, vp]
+                    fn = getattr(lib, f"st_transpose2d_{ts}_{isuf}")
+                    fn.restype = ctypes.c_int
+                    fn.argtypes = [
+                        vpp, vpp, vp, ctypes.c_int64, ctypes.c_int64, _i64p, vpp, vpp, vp,
+                    ]
+                    fn = getattr(lib, f"st_dense_spmm_csrt_{ts}_{isuf}")
+                    fn.restype = ctypes.c_int
+                    fn.argtypes = [
+                        _i64p, vpp, vp, ctypes.c_int64, vp, ctypes.c_int64, ctypes.c_int64, vp,
+                    ]
             _lib = lib
         except Exception:
             _lib = None
@@ -394,3 +403,60 @@ def spgemm_csr(indptr_a, cols_a, vals_a, indptr_b, cols_b, vals_b, n_rows, n_col
     fn = lib.st_spgemm_numeric_f64 if va.dtype == np.float64 else lib.st_spgemm_numeric_f32
     fn(_ip(pa), _ip(ja), _vp(va), n_rows, _ip(pb), _ip(jb), _vp(vb), n_cols, _ip(pc), _ip(jc), _vp(vc))
     return pc, jc, vc
+
+
+def transpose2d(rows, cols, vals, n_cols, want_rows=True):
+    """Stable counting-scatter transpose of a CANONICAL 2-D COO triplet.
+
+    Because canonical order already sorts ties by row within each column, one
+    O(nnz + n_cols) stable scatter yields the transposed canonical triplet —
+    no sort, no dedup. Returns ``(indptr, rows_t, cols_t, vals_t)`` where
+    ``indptr`` (int64, over the input's columns) with ``cols_t``/``vals_t``
+    is simultaneously the CSC of the input; ``rows_t`` is None when
+    ``want_rows`` is False. Returns None when the native library is
+    unavailable or vals isn't f32/f64."""
+    lib = get_lib()
+    if lib is None or vals.dtype not in (np.float64, np.float32):
+        return None
+    rows = np.ascontiguousarray(rows)
+    cols = np.ascontiguousarray(cols)
+    if rows.dtype == cols.dtype and rows.dtype == np.int32:
+        isuf = "i32"
+    else:
+        rows = rows.astype(np.int64, copy=False)
+        cols = cols.astype(np.int64, copy=False)
+        isuf = "i64"
+    vals = np.ascontiguousarray(vals)
+    n = rows.shape[0]
+    indptr = np.empty(n_cols + 1, dtype=np.int64)
+    rows_t = np.empty(n, dtype=rows.dtype) if want_rows else None
+    cols_t = np.empty(n, dtype=rows.dtype)
+    vals_t = np.empty(n, dtype=vals.dtype)
+    fn = getattr(lib, f"st_transpose2d_{_suffix(vals.dtype)}_{isuf}")
+    fn(
+        _ivp(rows), _ivp(cols), _vp(vals), n, n_cols, _ip(indptr),
+        _ivp(rows_t) if want_rows else None, _ivp(cols_t), _vp(vals_t),
+    )
+    return indptr, rows_t, cols_t, vals_t
+
+
+def dense_spmm_csrt(indptr, kids, vals, x, n_out):
+    """dense (M, K) × sparse (K, N) → dense (M, N) via the CSR of the sparse
+    transpose (``indptr`` over N, ``kids`` the K-ids — i.e. the input's CSC
+    buffers from :func:`transpose2d`). Both dense transposes are fused into
+    the native call (blocked + threaded). Returns the result or None."""
+    lib = get_lib()
+    if lib is None or vals.dtype not in (np.float64, np.float32):
+        return None
+    pn = _c64(indptr)
+    kids = np.ascontiguousarray(kids)
+    isuf = "i32" if kids.dtype == np.int32 else "i64"
+    if isuf == "i64":
+        kids = kids.astype(np.int64, copy=False)
+    va = np.ascontiguousarray(vals)
+    x = np.ascontiguousarray(x, dtype=va.dtype)
+    m, k = x.shape
+    out = np.empty((m, n_out), dtype=va.dtype)
+    fn = getattr(lib, f"st_dense_spmm_csrt_{_suffix(va.dtype)}_{isuf}")
+    fn(_ip(pn), _ivp(kids), _vp(va), n_out, _vp(x), m, k, _vp(out))
+    return out

@@ -430,9 +430,32 @@ def _dense_spmm(a, b):
         contrib = a[:, rows] * data[None, :].astype(dt)
         return contrib.sum(axis=1)
     if dt in (np.float64, np.float32) and _native_eager.get_lib() is not None:
+        K, N = b.shape
+        a_np = np.asarray(a)
+        m_rows = 1 if a_np.ndim == 1 else a_np.shape[0]
+        # for a handful of rows the CSC build costs more than the plain
+        # scatter SpMV saves — take the gather path only when the row count
+        # amortizes it or the buffers are already memoized
+        want_csc = data.dtype in (np.float64, np.float32) and (
+            m_rows >= 4 or (b_coo._cache is not None and ("csc_buffers",) in b_coo._cache)
+        )
+        csc = b_coo._csc_buffers() if want_csc else None
+        if csc is not None:
+            indptr_n, kids, vals = csc
+            vals = vals.astype(dt, copy=False)
+            if m_rows == 1:
+                # x @ S = Sᵀ x: gather SpMV over the CSR of the transpose
+                x = (a_np if a_np.ndim == 1 else a_np[0]).astype(dt, copy=False)
+                out = _native_eager.csr_spmm_dense(indptr_n, kids, vals, x, N)
+                if out is not None:
+                    return out if a_np.ndim == 1 else out[None, :]
+            else:
+                # fused kernel: both dense transposes happen natively
+                out = _native_eager.dense_spmm_csrt(indptr_n, kids, vals, a_np.astype(dt, copy=False), N)
+                if out is not None:
+                    return out
         from ..native import build_indptr
 
-        K, N = b.shape
         at = np.ascontiguousarray(np.asarray(a).T, dtype=dt)  # (K, M)
         indptr = build_indptr(coords[0], K)
         out_t = _native_eager.csc_spmm_dense(indptr, coords[1], data.astype(dt, copy=False), at, N, K)

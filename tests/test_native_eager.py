@@ -294,3 +294,112 @@ def test_gcxs_direct_elemwise_mixed_axes_falls_back():
     c1 = st.GCXS.from_numpy(d1, compressed_axes=(0,))
     c2 = st.GCXS.from_numpy(d2, compressed_axes=(1,))
     np.testing.assert_allclose((c1 + c2).todense(), d1 + d2, rtol=1e-12)
+
+
+# -- transpose2d / CSC buffers / fused dense@sparse ---------------------------------
+
+
+@pytest.mark.parametrize("idx_dtype", [np.int32, np.int64])
+@pytest.mark.parametrize("dtype", [np.float64, np.float32])
+def test_transpose2d_kernel(idx_dtype, dtype):
+    rng = np.random.default_rng(7)
+    n_rows, n_cols, nnz = 61, 97, 800
+    lin = rng.choice(n_rows * n_cols, size=nnz, replace=False)
+    lin.sort()
+    rows = (lin // n_cols).astype(idx_dtype)
+    cols = (lin % n_cols).astype(idx_dtype)
+    vals = rng.standard_normal(nnz).astype(dtype)
+    res = eager.transpose2d(rows, cols, vals, n_cols)
+    assert res is not None
+    indptr, rows_t, cols_t, vals_t = res
+    # oracle: dense transpose
+    dense = np.zeros((n_rows, n_cols), dtype=dtype)
+    dense[rows, cols] = vals
+    ref = st.COO.from_numpy(dense.T)
+    np.testing.assert_array_equal(rows_t, np.asarray(ref.coords)[0])
+    np.testing.assert_array_equal(cols_t, np.asarray(ref.coords)[1])
+    np.testing.assert_array_equal(vals_t, np.asarray(ref.data))
+    # indptr doubles as the CSC of the input
+    np.testing.assert_array_equal(np.diff(indptr), np.bincount(cols, minlength=n_cols))
+
+
+def test_transpose2d_empty_and_empty_columns():
+    rows = np.empty(0, dtype=np.int64)
+    vals = np.empty(0, dtype=np.float64)
+    indptr, rows_t, cols_t, vals_t = eager.transpose2d(rows, rows.copy(), vals, 5)
+    np.testing.assert_array_equal(indptr, np.zeros(6, dtype=np.int64))
+    assert rows_t.size == 0 and vals_t.size == 0
+    # single dense column among empties
+    rows = np.arange(4, dtype=np.int64)
+    cols = np.full(4, 2, dtype=np.int64)
+    vals = np.arange(4, dtype=np.float64)
+    indptr, rows_t, cols_t, vals_t = eager.transpose2d(rows, cols, vals, 5)
+    np.testing.assert_array_equal(indptr, [0, 0, 0, 4, 4, 4])
+    np.testing.assert_array_equal(cols_t, rows)
+    np.testing.assert_array_equal(rows_t, cols)
+
+
+def test_coo_transpose_uses_scatter_and_stays_canonical():
+    rng = np.random.default_rng(3)
+    n = 300
+    S = st.random((n, n + 17), density=0.05, random_state=rng)
+    T = S.transpose()
+    assert is_canonical(T)
+    assert_eq(T, st.COO.from_numpy(S.todense().T))
+
+
+def test_tocsr_tocsc_native_matches_scipy():
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(11)
+    S = st.random((83, 71), density=0.08, random_state=rng)
+    coords = np.asarray(S.coords)
+    ref = sp.coo_matrix((np.asarray(S.data), (coords[0], coords[1])), shape=S.shape)
+    csr = S.tocsr()
+    csc = S.tocsc()
+    assert sp.issparse(csr) and csr.format == "csr"
+    assert sp.issparse(csc) and csc.format == "csc"
+    assert (csr != ref.tocsr()).nnz == 0
+    assert (csc != ref.tocsc()).nnz == 0
+    np.testing.assert_allclose(csr.toarray(), S.todense())
+    np.testing.assert_allclose(csc.toarray(), S.todense())
+
+
+def test_tocsr_nonzero_fill_raises():
+    S = st.COO.from_numpy(np.arange(6).reshape(2, 3), fill_value=1)
+    with pytest.raises(ValueError):
+        S.tocsr()
+
+
+@pytest.mark.parametrize("m_rows", [1, 2, 4, 32])
+def test_dense_at_sparse_all_row_counts(m_rows):
+    # crosses the M>=4 gather/scatter gating both ways
+    rng = np.random.default_rng(m_rows)
+    K, N = 120, 90
+    S = st.random((K, N), density=0.07, random_state=rng)
+    X = rng.standard_normal((m_rows, K))
+    np.testing.assert_allclose(X @ S, X @ S.todense(), rtol=1e-12)
+    xv = rng.standard_normal(K)
+    np.testing.assert_allclose(xv @ S, xv @ S.todense(), rtol=1e-12)
+
+
+def test_dense_at_sparse_cached_csc_buffers():
+    rng = np.random.default_rng(5)
+    K, N = 150, 60
+    S = st.random((K, N), density=0.1, random_state=rng).enable_caching()
+    X = rng.standard_normal((8, K))
+    first = X @ S
+    assert ("csc_buffers",) in S._cache
+    xv = rng.standard_normal(K)
+    np.testing.assert_allclose(xv @ S, xv @ S.todense(), rtol=1e-12)
+    np.testing.assert_allclose(first, X @ S.todense(), rtol=1e-12)
+
+
+def test_dense_spmm_csrt_kernel_direct():
+    rng = np.random.default_rng(9)
+    K, N, M = 200, 130, 16
+    S = st.random((K, N), density=0.06, random_state=rng)
+    indptr, kids, vals = S._csc_buffers()
+    X = rng.standard_normal((M, K))
+    out = eager.dense_spmm_csrt(indptr, kids, vals, X, N)
+    np.testing.assert_allclose(out, X @ S.todense(), rtol=1e-12)
