@@ -170,9 +170,37 @@ class GCXS(SparseArray):
             else:
                 cols = np.zeros(coords.shape[1], dtype=np.int64)
 
+        if idx_dtype is None:
+            idx_dtype = index_dtype_for(max(col_size, x.nnz, row_size))
+
         # a canonical COO is already sorted by (comp, uncomp) when the
         # compressed axes are the leading dims — skip the re-sort
         if comp != tuple(range(len(comp))):
+            # canonical lex order restricted to one comp-coordinate is
+            # already uncomp-lex order, so a STABLE counting scatter by the
+            # comp key alone replaces the full (comp, uncomp) argsort
+            res = None
+            if data.dtype in (np.float64, np.float32) and row_size <= max(4 * x.nnz, 1 << 22):
+                from ..native import eager as _eager
+
+                if len(comp) == 1 and len(uncomp) == 1:
+                    # hand the raw (possibly int32) coordinate rows to the
+                    # kernel — halves the scatter traffic vs the i64 casts
+                    res = _eager.transpose2d(
+                        coords[uncomp[0]], coords[comp[0]], data, row_size, want_rows=False
+                    )
+                else:
+                    res = _eager.transpose2d(cols, rows, data, row_size, want_rows=False)
+            if res is not None:
+                indptr, _, cols, data = res
+                return cls._make(
+                    data,
+                    cols.astype(idx_dtype),
+                    indptr.astype(idx_dtype, copy=False),
+                    x.shape,
+                    compressed_axes,
+                    x.fill_value,
+                )
             from ..native import argsort_i64
 
             order = argsort_i64(rows * col_size + cols)
@@ -180,8 +208,6 @@ class GCXS(SparseArray):
             cols = cols[order]
             data = data[order]
 
-        if idx_dtype is None:
-            idx_dtype = index_dtype_for(max(col_size, x.nnz, row_size))
         from ..native import build_indptr
 
         indptr = build_indptr(rows, row_size).astype(idx_dtype, copy=False)
