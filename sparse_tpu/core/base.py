@@ -243,6 +243,11 @@ class SparseArray(np.lib.mixins.NDArrayOperatorsMixin):
         if reduce_super_ufunc is None:
             missing_counts = counts != n_cols
             data[missing_counts] = method(data[missing_counts], self.fill_value, **kwargs)
+        elif method is np.add and np.all(self.fill_value == 0):
+            # missing positions contribute fv*k = ±0.0, an add identity —
+            # skip the three full-width passes (NaN fills don't take this
+            # branch: NaN == 0 is False)
+            result_fill_value = reduce_super_ufunc(self.fill_value, n_cols)
         else:
             data = method(data, reduce_super_ufunc(self.fill_value, n_cols - counts)).astype(data.dtype)
             result_fill_value = reduce_super_ufunc(self.fill_value, n_cols)

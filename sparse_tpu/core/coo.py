@@ -716,6 +716,18 @@ class COO(SparseArray):
 
         rows = np.asarray(a.coords[0])
         data = np.asarray(a.data)
+        if (
+            rows.size
+            and method is np.add
+            and all(k == "dtype" and v is None for k, v in kwargs.items())
+            and data.dtype in (np.float64, np.float32)
+        ):
+            from ..native import eager as _eager
+
+            native = _eager.row_reduce_sorted(rows, data)
+            if native is not None:
+                inv_idx, result, counts = native
+                return result, counts, axis, a.shape[1], (a, neg_shape, inv_idx.astype(rows.dtype, copy=False))
         if rows.size:
             starts = np.flatnonzero(np.concatenate([[True], np.diff(rows) != 0]))
             inv_idx = rows[starts]

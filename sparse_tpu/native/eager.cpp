@@ -210,6 +210,41 @@ FUSED_MERGE(st_mul_join_f32, float, is_pos_zero32, MUL_Cf, MUL_Af, MUL_Bf)
 BINCOUNT_SUM(st_bincount_sum_f64, double)
 BINCOUNT_SUM(st_bincount_sum_f32, float)
 
+// One-pass grouped add-reduce over SORTED keys (the canonical leading-axis
+// case): emits each group's key, sum, and size. Replaces the
+// flatnonzero(diff) + reduceat + gather trio with a single stream.
+// Returns the number of groups.
+#define ROW_REDUCE_SORTED(NAME, T)                                                           \
+  int64_t NAME(const int64_t* keys, const T* w, int64_t n, int64_t* keys_out, T* sums,       \
+               int64_t* counts) {                                                            \
+    if (!n) return 0;                                                                        \
+    int64_t g = 0;                                                                           \
+    int64_t k = keys[0];                                                                     \
+    T acc = w[0];                                                                            \
+    int64_t cnt = 1;                                                                         \
+    for (int64_t i = 1; i < n; ++i) {                                                        \
+      if (keys[i] == k) {                                                                    \
+        acc += w[i];                                                                         \
+        ++cnt;                                                                               \
+      } else {                                                                               \
+        keys_out[g] = k;                                                                     \
+        sums[g] = acc;                                                                       \
+        counts[g] = cnt;                                                                     \
+        ++g;                                                                                 \
+        k = keys[i];                                                                         \
+        acc = w[i];                                                                          \
+        cnt = 1;                                                                             \
+      }                                                                                      \
+    }                                                                                        \
+    keys_out[g] = k;                                                                         \
+    sums[g] = acc;                                                                           \
+    counts[g] = cnt;                                                                         \
+    return g + 1;                                                                            \
+  }
+
+ROW_REDUCE_SORTED(st_row_reduce_sorted_f64, double)
+ROW_REDUCE_SORTED(st_row_reduce_sorted_f32, float)
+
 // Unravel linearized row-major keys into an (ndim, n) coordinate matrix,
 // threaded over entries (role of np.unravel_index in the eager paths).
 int st_unravel_i64(const int64_t* keys, int64_t n, const int64_t* shape, int64_t ndim,

@@ -96,6 +96,10 @@ def get_lib():
                 fn = getattr(lib, name)
                 fn.restype = ctypes.c_int
                 fn.argtypes = [_i64p, vp, ctypes.c_int64, ctypes.c_int64, vp, _i64p]
+            for name, vp in [("st_row_reduce_sorted_f64", _f64p), ("st_row_reduce_sorted_f32", _f32p)]:
+                fn = getattr(lib, name)
+                fn.restype = ctypes.c_int64
+                fn.argtypes = [_i64p, vp, ctypes.c_int64, _i64p, vp, _i64p]
             lib.st_spgemm_symbolic.restype = ctypes.c_int
             lib.st_spgemm_symbolic.argtypes = [
                 _i64p, _i64p, ctypes.c_int64, _i64p, _i64p, ctypes.c_int64, _i64p,
@@ -403,6 +407,26 @@ def spgemm_csr(indptr_a, cols_a, vals_a, indptr_b, cols_b, vals_b, n_rows, n_col
     fn = lib.st_spgemm_numeric_f64 if va.dtype == np.float64 else lib.st_spgemm_numeric_f32
     fn(_ip(pa), _ip(ja), _vp(va), n_rows, _ip(pb), _ip(jb), _vp(vb), n_cols, _ip(pc), _ip(jc), _vp(vc))
     return pc, jc, vc
+
+
+def row_reduce_sorted(keys, weights):
+    """One-pass grouped add-reduce over sorted keys.
+
+    Returns ``(unique_keys, sums, counts)`` (the roles of
+    ``flatnonzero(diff)`` + ``np.add.reduceat`` + the boundary gather in the
+    reduce plumbing) or None when unavailable or weights aren't f32/f64."""
+    lib = get_lib()
+    if lib is None or weights.dtype not in (np.float64, np.float32):
+        return None
+    keys = _c64(keys)
+    weights = np.ascontiguousarray(weights)
+    n = keys.shape[0]
+    keys_out = np.empty(n, dtype=np.int64)
+    sums = np.empty(n, dtype=weights.dtype)
+    counts = np.empty(n, dtype=np.int64)
+    fn = lib.st_row_reduce_sorted_f64 if weights.dtype == np.float64 else lib.st_row_reduce_sorted_f32
+    g = fn(_ip(keys), _vp(weights), n, _ip(keys_out), _vp(sums), _ip(counts))
+    return keys_out[:g], sums[:g], counts[:g]
 
 
 def transpose2d(rows, cols, vals, n_cols, want_rows=True):
