@@ -407,13 +407,46 @@ class GCXS(SparseArray):
     def flatten(self, order="C"):
         return self.reshape(-1, order=order)
 
-    def _getitem_fast(self, index):
-        """O(rows + selected nnz) compressed-row selection for the common
-        2-D patterns (reference ``_compressed/indexing.py`` role): a single
-        row (or contiguous step-1 row range) of a CSR — or column range of a
-        CSC — slices ``indptr`` directly, no COO round trip."""
+    @staticmethod
+    def _classify_axis_sel(sel, n):
+        """Normalize one 2-D index component into ``(kind, payload)``:
+        ``("full", None)``, ``("int", i)``, ``("range", (c0, c1))`` for
+        contiguous step-1 slices, or ``("fancy", arr)`` for strictly
+        increasing int arrays; None when unsupported here."""
         from numbers import Integral
 
+        if isinstance(sel, Integral):
+            i = int(sel)
+            i += n if i < 0 else 0
+            if not (0 <= i < n):
+                raise IndexError(f"index {sel} out of bounds for axis with size {n}")
+            return ("int", i)
+        if isinstance(sel, slice):
+            if sel == slice(None):
+                return ("full", None)
+            start, stop, step = sel.indices(n)
+            if step != 1:
+                return None
+            return ("range", (start, max(start, stop)))
+        arr = np.asarray(sel)
+        if arr.ndim == 1 and arr.dtype.kind == "b":
+            if arr.size != n:
+                raise IndexError(f"boolean index of size {arr.size} for axis with size {n}")
+            return ("fancy", np.flatnonzero(arr))
+        if arr.ndim == 1 and arr.dtype.kind in "iu":
+            if arr.size and (arr.min() < -n or arr.max() >= n):
+                raise IndexError(f"index out of bounds for axis with size {n}")
+            pos = np.where(arr < 0, arr + n, arr).astype(np.int64)
+            return ("fancy", pos)
+        return None
+
+    def _getitem_fast(self, index):
+        """O(rows + touched nnz) native selection for the 2-D patterns
+        (reference ``_compressed/indexing.py`` role): any combination of an
+        int / step-1 slice / int-array pick along the compressed axis with
+        an int / step-1 slice / strictly-increasing int-array filter along
+        the uncompressed axis — indptr splicing plus one masked pass, no
+        COO round trip."""
         if self.ndim != 2 or self.compressed_axes not in ((0,), (1,)):
             return NotImplemented
         if not isinstance(index, tuple):
@@ -422,75 +455,118 @@ class GCXS(SparseArray):
             return NotImplemented
         index = index + (slice(None),) * (2 - len(index))
         comp_ax = self.compressed_axes[0]
-        sel_comp = index[comp_ax]
-        sel_other = index[1 - comp_ax]
-        if not (isinstance(sel_other, slice) and sel_other == slice(None)):
-            return NotImplemented
         n_comp = self.shape[comp_ax]
+        n_unc = self.shape[1 - comp_ax]
+        comp_sel = self._classify_axis_sel(index[comp_ax], n_comp)
+        unc_sel = self._classify_axis_sel(index[1 - comp_ax], n_unc)
+        if comp_sel is None or unc_sel is None:
+            return NotImplemented
+        if unc_sel[0] == "fancy" and (
+            unc_sel[1].size > 1 and not np.all(np.diff(unc_sel[1]) > 0)
+        ):
+            # repeated / unordered uncompressed picks would need a per-row
+            # re-sort — leave to the COO path
+            return NotImplemented
         indptr = np.asarray(self.indptr)
+        indices = np.asarray(self.indices)
+        data = np.asarray(self.data)
 
-        if isinstance(sel_comp, Integral):
-            i = int(sel_comp)
-            i += n_comp if i < 0 else 0
-            if not (0 <= i < n_comp):
-                raise IndexError(f"index {sel_comp} out of bounds for axis {comp_ax} with size {n_comp}")
-            lo, hi = int(indptr[i]), int(indptr[i + 1])
-            from .coo import COO
-
-            return COO(
-                np.asarray(self.indices)[lo:hi][None, :],
-                np.asarray(self.data)[lo:hi],
-                shape=(self.shape[1 - comp_ax],),
-                has_duplicates=False,
-                sorted=True,
-                fill_value=self.fill_value,
-            ).asformat("gcxs")
-        if isinstance(sel_comp, slice):
-            start, stop, step = sel_comp.indices(n_comp)
-            if step != 1 or stop <= start:
-                return NotImplemented
+        # -- phase 1: compressed-axis selection (indptr splicing) ---------------
+        kind, payload = comp_sel
+        if kind == "int":
+            lo, hi = int(indptr[payload]), int(indptr[payload + 1])
+            sub_data = data[lo:hi]
+            sub_ind = indices[lo:hi]
+            rel_indptr = np.array([0, hi - lo], dtype=np.int64)
+            n_sel = 1
+        elif kind == "full" or kind == "range":
+            start, stop = (0, n_comp) if kind == "full" else payload
             lo, hi = int(indptr[start]), int(indptr[stop])
-            new_indptr = (indptr[start : stop + 1] - indptr[start]).astype(indptr.dtype)
-            new_shape = (
-                (stop - start, self.shape[1]) if comp_ax == 0 else (self.shape[0], stop - start)
-            )
-            return GCXS._make(
-                np.asarray(self.data)[lo:hi],
-                np.asarray(self.indices)[lo:hi],
-                new_indptr,
-                new_shape,
-                self.compressed_axes,
-                self.fill_value,
-            )
-        sel_arr = np.asarray(sel_comp)
-        if sel_arr.ndim == 1 and sel_arr.dtype.kind in "iu":
-            # fancy selection along the compressed axis: splice the selected
-            # indptr segments (any order, duplicates allowed) — O(output),
-            # no COO round-trip
-            if sel_arr.size and (sel_arr.min() < -n_comp or sel_arr.max() >= n_comp):
-                raise IndexError(f"index out of bounds for axis {comp_ax} with size {n_comp}")
-            sel_pos = np.where(sel_arr < 0, sel_arr + n_comp, sel_arr).astype(np.int64)
+            sub_data = data[lo:hi]
+            sub_ind = indices[lo:hi]
+            rel_indptr = (indptr[start : stop + 1] - indptr[start]).astype(np.int64)
+            n_sel = stop - start
+        else:  # fancy: splice segments in pick order (duplicates allowed)
+            sel_pos = payload
             lo = indptr[sel_pos]
             hi = indptr[sel_pos + 1]
-            counts = hi - lo
+            counts = (hi - lo).astype(np.int64)
             total = int(counts.sum())
             if total:
                 ends = np.cumsum(counts)
                 within = np.arange(total, dtype=np.int64) - np.repeat(ends - counts, counts)
-                src = np.repeat(lo, counts) + within
-                new_data = np.asarray(self.data)[src]
-                new_indices = np.asarray(self.indices)[src]
+                src = np.repeat(lo.astype(np.int64), counts) + within
+                sub_data = data[src]
+                sub_ind = indices[src]
             else:
-                new_data = np.asarray(self.data)[:0]
-                new_indices = np.asarray(self.indices)[:0]
-            new_indptr = np.concatenate([[0], np.cumsum(counts)]).astype(indptr.dtype)
-            new_shape = (
-                (sel_arr.size, self.shape[1]) if comp_ax == 0 else (self.shape[0], sel_arr.size)
-            )
-            return GCXS._make(
-                new_data, new_indices, new_indptr, new_shape, self.compressed_axes, self.fill_value
-            )
-        return NotImplemented
+                sub_data = data[:0]
+                sub_ind = indices[:0]
+            rel_indptr = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+            n_sel = sel_pos.size
+        comp_is_scalar = kind == "int"
+
+        # -- phase 2: uncompressed-axis filter (one masked pass) ----------------
+        ukind, upayload = unc_sel
+        if ukind == "full":
+            new_ind = sub_ind
+            new_data = sub_data
+            new_width = n_unc
+            mask = None
+        else:
+            if ukind == "int":
+                mask = sub_ind == upayload
+                new_ind = np.zeros(int(mask.sum()), dtype=sub_ind.dtype)
+                new_width = 1
+            elif ukind == "range":
+                c0, c1 = upayload
+                mask = (sub_ind >= c0) & (sub_ind < c1)
+                new_ind = sub_ind[mask] - c0
+                new_width = c1 - c0
+            else:
+                remap = np.full(n_unc, -1, dtype=np.int64)
+                remap[upayload] = np.arange(upayload.size, dtype=np.int64)
+                mapped = remap[sub_ind]
+                mask = mapped >= 0
+                new_ind = mapped[mask].astype(sub_ind.dtype, copy=False)
+                new_width = upayload.size
+            new_data = sub_data[mask]
+
+        from .coo import COO
+
+        if comp_is_scalar and ukind == "int":
+            return new_data[0] if new_data.size else np.asarray(self.fill_value)[()]
+        if comp_is_scalar:
+            return COO(
+                new_ind[None, :],
+                new_data,
+                shape=(new_width,),
+                has_duplicates=False,
+                sorted=True,
+                fill_value=self.fill_value,
+            ).asformat("gcxs")
+        if ukind == "int":
+            # 1-D result along the compressed axis: recover each hit's
+            # segment from the spliced indptr
+            hit_pos = np.flatnonzero(mask)
+            rows = (np.searchsorted(rel_indptr, hit_pos, side="right") - 1).astype(np.int64)
+            return COO(
+                rows[None, :],
+                new_data,
+                shape=(n_sel,),
+                has_duplicates=False,
+                sorted=True,
+                fill_value=self.fill_value,
+            ).asformat("gcxs")
+        if mask is None:
+            new_indptr = rel_indptr.astype(indptr.dtype)
+        else:
+            kept_rows = (np.searchsorted(rel_indptr, np.flatnonzero(mask), side="right") - 1).astype(np.int64)
+            new_indptr = np.zeros(n_sel + 1, dtype=indptr.dtype)
+            np.cumsum(np.bincount(kept_rows, minlength=n_sel), out=new_indptr[1:])
+        new_shape = (n_sel, new_width) if comp_ax == 0 else (new_width, n_sel)
+        return GCXS._make(
+            new_data, new_ind, new_indptr, new_shape, self.compressed_axes, self.fill_value
+        )
 
     # -- reduce plumbing ---------------------------------------------------------------------
     def _reduce_calc(self, method, axis, keepdims=False, **kwargs):
@@ -513,6 +589,46 @@ class GCXS(SparseArray):
             n_cols = int(np.prod([self.shape[a] for a in uncomp], dtype=np.float64))
             arr_attrs = (_NATIVE_REDUCE, nonempty, comp_shape)
             return result, counts, axis, n_cols, (arr_attrs, self.compressed_axes)
+
+        # native path #2: add-reducing exactly the compressed axes keeps the
+        # uncompressed coordinate, which IS `indices` — one bincount pass,
+        # no COO round-trip (CSR ``sum(axis=0)`` / CSC ``sum(axis=1)``)
+        uncomp_shape = tuple(self.shape[a] for a in uncomp)
+        keep = int(np.prod(uncomp_shape, dtype=np.float64)) if uncomp else 1
+        if (
+            method is np.add
+            and all(k == "dtype" and v is None for k, v in kwargs.items())
+            and set(axis) == set(self.compressed_axes)
+            and uncomp
+            and self.nnz
+            and self.data.dtype.kind in "fiu"
+            and keep <= max(16 * self.nnz, 1 << 22)
+        ):
+            from .coo import _ShapeOnly
+
+            red = int(np.prod([self.shape[a] for a in axis], dtype=np.float64))
+            keys = np.asarray(self.indices).astype(np.int64, copy=False)
+            data = np.asarray(self.data)
+            acc_dtype = np.add.reduce(np.empty(0, dtype=data.dtype)).dtype
+            native = None
+            if data.dtype in (np.float64, np.float32):
+                from ..native import eager as _eager
+
+                native = _eager.bincount_sum(keys, data, keep)
+            if native is not None:
+                sums, counts_full = native
+            else:
+                counts_full = np.bincount(keys, minlength=keep)
+                if data.dtype == np.float64:
+                    sums = np.bincount(keys, weights=data, minlength=keep)
+                else:
+                    sums = np.zeros(keep, dtype=acc_dtype)
+                    np.add.at(sums, keys, data)
+            inv_idx = np.flatnonzero(counts_full)
+            result = sums[inv_idx].astype(acc_dtype, copy=False)
+            counts = counts_full[inv_idx]
+            arr_attrs = (_ShapeOnly((keep, red)), uncomp_shape, inv_idx)
+            return result, counts, axis, red, (arr_attrs, self.compressed_axes)
 
         out = self.tocoo()._reduce_calc(method, axis, keepdims, **kwargs)
         if len(out) == 1:

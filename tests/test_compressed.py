@@ -233,3 +233,67 @@ def test_gcxs_fancy_compressed_axis_fast_path():
         csr[np.array([30])]
     # empty selection
     np.testing.assert_allclose(csr[np.array([], dtype=np.int64)].todense(), d[[]])
+
+
+# -- native 2-D indexing matrix (no COO round-trip) ---------------------------------
+
+
+@pytest.mark.parametrize("comp", [(0,), (1,)])
+def test_getitem_fast_full_matrix(comp):
+    import sparse_tpu as st
+
+    x = st.random((23, 31), density=0.3, random_state=5)
+    g = GCXS.from_coo(x, compressed_axes=comp)
+    d = x.todense()
+    cases = [
+        (2, 3),
+        (2, slice(None)),
+        (slice(None), 3),
+        (slice(2, 9), slice(4, 20)),
+        (slice(None), slice(4, 20)),
+        (slice(2, 9), slice(None)),
+        ([1, 5, 2, 5], slice(None)),
+        ([1, 5, 2], slice(3, 11)),
+        ([1, 5, 2], 7),
+        (slice(None), [2, 7, 9]),
+        (slice(1, 20), [2, 7, 9]),
+        (5, [2, 7, 9]),
+        (5, slice(3, 11)),
+        (slice(9, 2), slice(None)),  # empty range
+        (0, 0),
+        (-3, -2),
+        (slice(-9, -2), slice(None)),
+        ([-1, -5], slice(2, -4)),
+    ]
+    for idx in cases:
+        got = g[idx]
+        ref = d[idx]
+        gv = got.todense() if hasattr(got, "todense") else got
+        np.testing.assert_allclose(gv, ref, err_msg=f"{comp} {idx}")
+        if hasattr(got, "shape"):
+            assert got.shape == np.asarray(ref).shape, (comp, idx)
+    # boolean masks along either axis
+    rowmask = d.sum(axis=1) > 0
+    colmask = d.sum(axis=0) > 0
+    np.testing.assert_allclose(g[rowmask, :].todense(), d[rowmask, :])
+    np.testing.assert_allclose(g[:, colmask].todense(), d[:, colmask])
+    # unordered / repeated uncompressed picks fall back but stay correct
+    np.testing.assert_allclose(g[:, [7, 2, 2]].todense(), d[:, [7, 2, 2]])
+    with pytest.raises(IndexError):
+        g[100, :]
+    with pytest.raises(IndexError):
+        g[:, np.array([0, 31])]
+
+
+@pytest.mark.parametrize("comp", [(0,), (1,)])
+def test_reduce_over_compressed_axes_native(comp):
+    import sparse_tpu as st
+
+    g = GCXS.from_coo(st.random((40, 50), density=0.2, random_state=3), compressed_axes=comp)
+    d = g.todense()
+    for ax in (0, 1):
+        np.testing.assert_allclose(g.sum(axis=ax).todense(), d.sum(axis=ax))
+        np.testing.assert_allclose(g.mean(axis=ax).todense(), d.mean(axis=ax))
+    g3 = GCXS.from_coo(st.random((10, 12, 14), density=0.05, random_state=2), compressed_axes=(0, 2))
+    d3 = g3.todense()
+    np.testing.assert_allclose(g3.sum(axis=(0, 2)).todense(), d3.sum(axis=(0, 2)))
