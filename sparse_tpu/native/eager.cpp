@@ -778,7 +778,7 @@ void transpose2d(const I* rows, const I* cols, const T* vals, int64_t n, int64_t
   for (int64_t c = 0; c <= n_cols; ++c) indptr_out[c] = 0;
 
   unsigned hw = std::thread::hardware_concurrency();
-  int t = (int)std::min<int64_t>(hw ? hw : 1, n >> 19);
+  int t = (int)std::min<int64_t>(hw ? hw : 1, n >> 17);
   if (t >= 2 && n_cols <= (int64_t)1 << 21) {
     // two-pass parallel counting sort: per-thread histograms keep the
     // scatter stable (chunk i's entries land before chunk i+1's per column)
