@@ -33,6 +33,7 @@ __all__ = [
     "map_data",
     "add_same_pattern",
     "mul_same_pattern",
+    "transpose",
     "union_elemwise",
     "spgemm",
 ]
@@ -108,6 +109,26 @@ def _unravel(lin, shape, dtype):
         coords.append((rem % s).astype(dtype))
         rem = rem // s
     return jnp.stack(coords[::-1])
+
+
+def transpose(a: COO, axes=None):
+    """Traceable transpose of a canonical COO pytree (exact — a permutation
+    of nnz values needs no capacity): permute the coordinate rows, re-sort by
+    the new linearization, and return a canonical COO with the same nnz.
+    The eager path does this with one host counting scatter; in-jit it is a
+    single XLA key sort (role of reference ``_coo/core.py:725``)."""
+    ndim = a.ndim
+    if axes is None:
+        axes = tuple(range(ndim))[::-1]
+    axes = tuple(int(ax) % ndim for ax in axes)
+    if sorted(axes) != list(range(ndim)):
+        raise ValueError("repeated or incomplete axis in transpose")
+    new_shape = tuple(a.shape[ax] for ax in axes)
+    if axes == tuple(range(ndim)):
+        return a
+    coords = jnp.asarray(a.coords)[list(axes), :]
+    order = jnp.argsort(_linearize(coords, new_shape))
+    return COO._make(coords[:, order], jnp.asarray(a.data)[order], new_shape, a.fill_value)
 
 
 def union_elemwise(func, a: COO, b: COO):

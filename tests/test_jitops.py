@@ -117,3 +117,30 @@ def test_spgemm_under_jit():
     row_sums, nnz = f(A, B)
     np.testing.assert_allclose(np.asarray(row_sums), (dA @ dB).sum(axis=1), rtol=1e-10)
     assert int(nnz) <= cap
+
+
+def test_transpose_traceable():
+    st = sparse
+    x = st.random((7, 11, 5), density=0.2, random_state=0)
+    f = jax.jit(lambda s: jitops.transpose(s, (2, 0, 1)))
+    out = f(x)
+    ref = x.todense().transpose((2, 0, 1))
+    dense = np.zeros(out.shape)
+    dense[tuple(np.asarray(out.coords))] = np.asarray(out.data)
+    np.testing.assert_allclose(dense, ref)
+    # canonical order out of the sort
+    lin = np.ravel_multi_index(tuple(np.asarray(out.coords)), out.shape)
+    assert np.all(np.diff(lin) > 0)
+    # default axes = reverse; identity is a no-op
+    y = st.random((6, 8), density=0.3, random_state=1)
+    out2 = jax.jit(jitops.transpose)(y)
+    np.testing.assert_allclose(
+        st.COO(np.asarray(out2.coords), np.asarray(out2.data), shape=out2.shape).todense(),
+        y.todense().T,
+    )
+    assert jitops.transpose(y, (0, 1)) is y
+    # grad flows through the value permutation
+    g = jax.grad(lambda dat: jnp.sum(jitops.transpose(st.COO._make(jnp.asarray(y.coords), dat, y.shape, y.fill_value)).data ** 2))(
+        jnp.asarray(y.data)
+    )
+    np.testing.assert_allclose(np.asarray(g), 2 * np.asarray(y.data))
