@@ -150,6 +150,80 @@ def chain_sweep(rng, n):
             report("chain", case, shape)
 
 
+def matmul_sweep(rng, n):
+    for case in range(n):
+        m, k, p = (int(s) for s in rng.integers(1, 40, 3))
+        da = rng.random((m, k)) * (rng.random((m, k)) < rng.uniform(0.05, 0.5))
+        db = rng.random((k, p)) * (rng.random((k, p)) < rng.uniform(0.05, 0.5))
+        if case % 4 == 0:
+            da, db = da.astype(np.float32), db.astype(np.float32)
+        fa = ["coo", "gcxs", "csr", "csc"][case % 4]
+        fb = ["coo", "gcxs", "csc", "csr"][(case + 1) % 4]
+        sa = st.asarray(st.COO.from_numpy(da), format=fa)
+        sb = st.asarray(st.COO.from_numpy(db), format=fb)
+        X = rng.random((int(rng.integers(1, 34)), m))
+        v = rng.random(k)
+        ref = np.float64
+        checks = [
+            (sa @ sb, da @ db, "sp@sp"),
+            (sa @ db, da @ db, "sp@dn"),
+            (X @ sa, X @ da, "dn@sp"),
+            (sa @ v, da @ v, "sp@vec"),
+            (v @ sb, v @ db, "vec@sp"),
+        ]
+        for got, want, tag in checks:
+            gd = got.todense() if hasattr(got, "todense") else got
+            tol = 1e-4 if np.asarray(gd).dtype == np.float32 else 1e-9
+            if not np.allclose(np.asarray(gd, ref), want.astype(ref), atol=tol, rtol=tol):
+                report("matmul", tag, fa, fb, (m, k, p))
+
+
+def gcxs_index_transpose_sweep(rng, n):
+    import scipy.sparse as sp
+
+    from sparse_tpu.core.gcxs import GCXS
+
+    for case in range(n):
+        m, p = (int(s) for s in rng.integers(2, 60, 2))
+        d = rng.random((m, p)) * (rng.random((m, p)) < rng.uniform(0.02, 0.5))
+        x = st.COO.from_numpy(d)
+        g = GCXS.from_coo(x, compressed_axes=(case % 2,))
+
+        def pick(size):
+            r = int(rng.integers(0, 5))
+            if r == 0:
+                return int(rng.integers(-size, size))
+            if r == 1:
+                a, b = sorted(rng.integers(0, size + 1, 2).tolist())
+                return slice(int(a), int(b))
+            if r == 2:
+                cnt = int(rng.integers(0, min(size, 6) + 1))
+                arr = rng.choice(size, cnt, replace=bool(rng.integers(0, 2)))
+                return arr.astype([np.int32, np.int64][case % 2])
+            if r == 3:
+                return rng.random(size) < 0.4
+            return slice(None)
+
+        idx = (pick(m), pick(p))
+        try:
+            ref = d[idx]
+            got = g[idx]
+        except IndexError:
+            # e.g. two advanced indices of incompatible lengths
+            continue
+        gd = got.todense() if hasattr(got, "todense") else got
+        if np.asarray(gd).shape != np.asarray(ref).shape or not np.allclose(np.asarray(gd), ref):
+            report("gcxs-index", case, idx)
+        # transpose / scipy conversion round-trips
+        t = x.T
+        if not (is_canonical(t) and np.allclose(t.todense(), d.T)):
+            report("transpose", case)
+        if x.nnz:
+            refm = sp.coo_matrix((np.asarray(x.data), tuple(np.asarray(x.coords))), shape=x.shape)
+            if (x.tocsr() != refm.tocsr()).nnz or (x.tocsc() != refm.tocsc()).nnz:
+                report("tocsr/tocsc", case)
+
+
 def main():
     rng = np.random.default_rng(2026)
     elemwise_sweep(rng, 1500 * SCALE)
@@ -160,6 +234,10 @@ def main():
     print("indexing sweep done")
     chain_sweep(rng, 400 * SCALE)
     print("chain sweep done")
+    matmul_sweep(rng, 600 * SCALE)
+    print("matmul sweep done")
+    gcxs_index_transpose_sweep(rng, 800 * SCALE)
+    print("gcxs index/transpose sweep done")
     print(f"soak complete: {FAILS} failures")
     sys.exit(1 if FAILS else 0)
 

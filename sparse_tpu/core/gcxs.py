@@ -461,6 +461,10 @@ class GCXS(SparseArray):
         unc_sel = self._classify_axis_sel(index[1 - comp_ax], n_unc)
         if comp_sel is None or unc_sel is None:
             return NotImplemented
+        if comp_sel[0] == "fancy" and unc_sel[0] == "fancy":
+            # two advanced indices select POINTWISE (numpy semantics), not
+            # the outer product this splice-then-filter path computes
+            return NotImplemented
         if unc_sel[0] == "fancy" and (
             unc_sel[1].size > 1 and not np.all(np.diff(unc_sel[1]) > 0)
         ):

@@ -297,3 +297,24 @@ def test_reduce_over_compressed_axes_native(comp):
     g3 = GCXS.from_coo(st.random((10, 12, 14), density=0.05, random_state=2), compressed_axes=(0, 2))
     d3 = g3.todense()
     np.testing.assert_allclose(g3.sum(axis=(0, 2)).todense(), d3.sum(axis=(0, 2)))
+
+
+@pytest.mark.parametrize("comp", [(0,), (1,)])
+def test_getitem_two_advanced_indices_pointwise(comp):
+    # two array-like indices select pointwise (numpy advanced indexing),
+    # never the outer product of the two picks
+    import sparse_tpu as st
+
+    x = st.random((15, 17), density=0.4, random_state=8)
+    g = GCXS.from_coo(x, compressed_axes=comp)
+    d = x.todense()
+    rows = np.array([1, 5, 2, 5])
+    cols = np.array([2, 7, 9, 0])
+    got = g[rows, cols]
+    gv = got.todense() if hasattr(got, "todense") else got
+    np.testing.assert_allclose(gv, d[rows, cols])
+    rowmask = d.sum(axis=1) > 0
+    colpick = np.flatnonzero(d.sum(axis=0) > 0)[: int(rowmask.sum())]
+    got2 = g[rowmask, colpick]
+    gv2 = got2.todense() if hasattr(got2, "todense") else got2
+    np.testing.assert_allclose(gv2, d[rowmask, colpick])
