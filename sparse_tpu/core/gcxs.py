@@ -701,9 +701,17 @@ class GCXS(SparseArray):
 
 
 def _uncompress_indptr_np(indptr):
-    """Row id per stored entry from indptr (vectorized ``repeat``)."""
+    """Row id per stored entry from indptr (native threaded expand, or the
+    vectorized ``repeat`` fallback)."""
+    n_rows = len(indptr) - 1
+    if int(indptr[-1]) >= 65536:
+        from ..native import eager as _eager
+
+        native = _eager.uncompress_indptr(indptr, n_rows)
+        if native is not None:
+            return native
     counts = np.diff(indptr)
-    return np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    return np.repeat(np.arange(n_rows, dtype=np.int64), counts)
 
 
 class _Compressed2d(GCXS):

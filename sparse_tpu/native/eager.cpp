@@ -494,6 +494,124 @@ int st_spgemm_symbolic(const int64_t* pa, const int64_t* ja, int64_t n_rows, con
 SPGEMM_NUMERIC(st_spgemm_numeric_f64, double)
 SPGEMM_NUMERIC(st_spgemm_numeric_f32, float)
 
+// Per-row PRODUCT-count offsets (the ESC upper bound on output nnz):
+// pc_ub[r+1]-pc_ub[r] = sum over A row r's entries of B's row population.
+// O(nnz_a); lets small workloads skip the symbolic phase entirely.
+int st_spgemm_ubcount(const int64_t* pa, const int64_t* ja, int64_t n_rows, const int64_t* pb,
+                      int64_t* pc_ub) {
+  pc_ub[0] = 0;
+  for (int64_t r = 0; r < n_rows; ++r) {
+    int64_t ub = 0;
+    for (int64_t p = pa[r]; p < pa[r + 1]; ++p) {
+      int64_t k = ja[p];
+      ub += pb[k + 1] - pb[k];
+    }
+    pc_ub[r + 1] = pc_ub[r] + ub;
+  }
+  return 0;
+}
+
+// indptr -> row ids (np.repeat(arange, diff(indptr))), threaded over rows
+// (role of reference `_compressed/convert.py:82 uncompress_dimension`).
+int st_uncompress_indptr(const int64_t* pc, int64_t n_rows, int64_t* ic) {
+  int64_t nnz = pc[n_rows];
+  unsigned hw = std::thread::hardware_concurrency();
+  int t = (int)std::min<int64_t>(hw ? hw : 1, nnz >> 19);
+  auto work = [&](int64_t r0, int64_t r1) {
+    for (int64_t r = r0; r < r1; ++r)
+      for (int64_t p = pc[r]; p < pc[r + 1]; ++p) ic[p] = r;
+  };
+  if (t < 2) {
+    work(0, n_rows);
+    return 0;
+  }
+  std::vector<int64_t> s(t + 1, 0);
+  for (int i = 1; i < t; ++i) {
+    int64_t target = nnz * i / t;
+    s[i] = std::upper_bound(pc, pc + n_rows + 1, target) - pc - 1;
+    if (s[i] < s[i - 1]) s[i] = s[i - 1];
+  }
+  s[t] = n_rows;
+  std::vector<std::thread> ts;
+  for (int i = 1; i < t; ++i) ts.emplace_back(work, s[i], s[i + 1]);
+  work(s[0], s[1]);
+  for (auto& th : ts) th.join();
+  return 0;
+}
+
+// One-phase Gustavson: rows write into product-bound slots (pc_ub), then a
+// sequential copy-down compacts jc/vc in place and emits the exact indptr.
+// Wins when the product bound is close to nnz (skips one full pass over
+// both operands); the wrapper falls back to two-phase when the bound blows
+// up (dense-ish rows).
+#define SPGEMM_ONEPHASE(NAME, T)                                                              \
+  int NAME(const int64_t* pa, const int64_t* ja, const T* va, int64_t n_rows,                 \
+           const int64_t* pb, const int64_t* jb, const T* vb, int64_t n_cols,                 \
+           const int64_t* pc_ub, int64_t* pc_out, int64_t* jc, T* vc) {                       \
+    std::vector<int64_t> row_nnz(n_rows, 0);                                                  \
+    int t = spgemm_threads(n_rows, pa[n_rows]);                                               \
+    auto work = [&](int64_t r0, int64_t r1) {                                                 \
+      /* interleaved mark+sum: one cache line per column touch, not two */   \
+      struct Slot {                                                                           \
+        int64_t mark;                                                                         \
+        T sum;                                                                                \
+      };                                                                                      \
+      std::vector<Slot> acc(n_cols, Slot{-1, T(0)});                                          \
+      std::vector<int64_t> touched;                                                           \
+      touched.reserve(256);                                                                   \
+      for (int64_t r = r0; r < r1; ++r) {                                                     \
+        touched.clear();                                                                      \
+        for (int64_t p = pa[r]; p < pa[r + 1]; ++p) {                                         \
+          int64_t k = ja[p];                                                                  \
+          T av = va[p];                                                                       \
+          for (int64_t q = pb[k]; q < pb[k + 1]; ++q) {                                       \
+            int64_t c = jb[q];                                                                \
+            Slot& s = acc[c];                                                                 \
+            if (s.mark != r) {                                                                \
+              s.mark = r;                                                                     \
+              s.sum = av * vb[q];                                                             \
+              touched.push_back(c);                                                           \
+            } else {                                                                          \
+              s.sum += av * vb[q];                                                            \
+            }                                                                                 \
+          }                                                                                   \
+        }                                                                                     \
+        std::sort(touched.begin(), touched.end());                                           \
+        int64_t out = pc_ub[r];                                                               \
+        for (int64_t c : touched) {                                                           \
+          jc[out] = c;                                                                        \
+          vc[out] = acc[c].sum;                                                               \
+          ++out;                                                                              \
+        }                                                                                     \
+        row_nnz[r] = out - pc_ub[r];                                                          \
+      }                                                                                       \
+    };                                                                                        \
+    if (t <= 1) {                                                                             \
+      work(0, n_rows);                                                                        \
+    } else {                                                                                  \
+      auto s = row_splits(pa, n_rows, t);                                                     \
+      std::vector<std::thread> ts;                                                            \
+      for (int i = 1; i < t; ++i) ts.emplace_back(work, s[i], s[i + 1]);                      \
+      work(s[0], s[1]);                                                                       \
+      for (auto& th : ts) th.join();                                                          \
+    }                                                                                         \
+    int64_t dst = 0;                                                                          \
+    pc_out[0] = 0;                                                                            \
+    for (int64_t r = 0; r < n_rows; ++r) {                                                    \
+      int64_t src = pc_ub[r], cnt = row_nnz[r];                                               \
+      if (dst != src && cnt) {                                                                \
+        std::memmove(jc + dst, jc + src, cnt * sizeof(int64_t));                              \
+        std::memmove(vc + dst, vc + src, cnt * sizeof(T));                                    \
+      }                                                                                       \
+      dst += cnt;                                                                             \
+      pc_out[r + 1] = dst;                                                                    \
+    }                                                                                         \
+    return 0;                                                                                 \
+  }
+
+SPGEMM_ONEPHASE(st_spgemm_onephase_f64, double)
+SPGEMM_ONEPHASE(st_spgemm_onephase_f32, float)
+
 // ---------------------------------------------------------------------------
 // Sparse x dense (SpMV / SpMM) — the role of the reference's
 // `_dot_csr_ndarray_type` / `_dot_csc_ndarray_type` Numba kernels

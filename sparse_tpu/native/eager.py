@@ -110,6 +110,17 @@ def get_lib():
                 fn.argtypes = [
                     _i64p, _i64p, vp, ctypes.c_int64, _i64p, _i64p, vp, ctypes.c_int64, _i64p, _i64p, vp,
                 ]
+            lib.st_spgemm_ubcount.restype = ctypes.c_int
+            lib.st_spgemm_ubcount.argtypes = [_i64p, _i64p, ctypes.c_int64, _i64p, _i64p]
+            lib.st_uncompress_indptr.restype = ctypes.c_int
+            lib.st_uncompress_indptr.argtypes = [_i64p, ctypes.c_int64, _i64p]
+            for name, vp in [("st_spgemm_onephase_f64", _f64p), ("st_spgemm_onephase_f32", _f32p)]:
+                fn = getattr(lib, name)
+                fn.restype = ctypes.c_int
+                fn.argtypes = [
+                    _i64p, _i64p, vp, ctypes.c_int64, _i64p, _i64p, vp, ctypes.c_int64,
+                    _i64p, _i64p, _i64p, vp,
+                ]
             vpp = ctypes.c_void_p
             for ts in ("f64", "f32"):
                 vp = _f64p if ts == "f64" else _f32p
@@ -397,6 +408,21 @@ def spgemm_csr(indptr_a, cols_a, vals_a, indptr_b, cols_b, vals_b, n_rows, n_col
     jb = _c64(cols_b)
     va = np.ascontiguousarray(vals_a)
     vb = np.ascontiguousarray(vals_b)
+
+    # one-phase when the ESC product bound is close to the operand sizes:
+    # skip the whole symbolic pass, compact in-kernel
+    pc_ub = np.empty(n_rows + 1, dtype=np.int64)
+    lib.st_spgemm_ubcount(_ip(pa), _ip(ja), n_rows, _ip(pb), _ip(pc_ub))
+    ub_total = int(pc_ub[-1])
+    if ub_total <= max(3 * (va.shape[0] + vb.shape[0]), 1 << 20):
+        pc = np.empty(n_rows + 1, dtype=np.int64)
+        jc = np.empty(ub_total, dtype=np.int64)
+        vc = np.empty(ub_total, dtype=va.dtype)
+        fn = lib.st_spgemm_onephase_f64 if va.dtype == np.float64 else lib.st_spgemm_onephase_f32
+        fn(_ip(pa), _ip(ja), _vp(va), n_rows, _ip(pb), _ip(jb), _vp(vb), n_cols, _ip(pc_ub), _ip(pc), _ip(jc), _vp(vc))
+        nnz_c = int(pc[-1])
+        return pc, jc[:nnz_c], vc[:nnz_c]
+
     row_nnz = np.empty(n_rows, dtype=np.int64)
     lib.st_spgemm_symbolic(_ip(pa), _ip(ja), n_rows, _ip(pb), _ip(jb), n_cols, _ip(row_nnz))
     pc = np.zeros(n_rows + 1, dtype=np.int64)
@@ -427,6 +453,18 @@ def row_reduce_sorted(keys, weights):
     fn = lib.st_row_reduce_sorted_f64 if weights.dtype == np.float64 else lib.st_row_reduce_sorted_f32
     g = fn(_ip(keys), _vp(weights), n, _ip(keys_out), _vp(sums), _ip(counts))
     return keys_out[:g], sums[:g], counts[:g]
+
+
+def uncompress_indptr(indptr, n_rows):
+    """``np.repeat(np.arange(n_rows), np.diff(indptr))`` natively (threaded).
+    Returns int64 row ids or None when the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    pc = _c64(indptr)
+    ic = np.empty(int(pc[-1]), dtype=np.int64)
+    lib.st_uncompress_indptr(_ip(pc), n_rows, _ip(ic))
+    return ic
 
 
 def transpose2d(rows, cols, vals, n_cols, want_rows=True):

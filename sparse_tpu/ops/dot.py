@@ -569,7 +569,9 @@ def _spgemm_native(a_coords, a_data, b_coords, b_data, M, K, N, dt):
     if res is None:  # pragma: no cover - defensive
         return None
     pc, jc, vc = res
-    rows = np.repeat(np.arange(M, dtype=np.int64), np.diff(pc))
+    rows = _native_eager.uncompress_indptr(pc, M)
+    if rows is None:  # pragma: no cover - defensive
+        rows = np.repeat(np.arange(M, dtype=np.int64), np.diff(pc))
     idx_dtype = index_dtype_for(max(M, N))
     coords = np.stack([rows, jc]).astype(idx_dtype, copy=False)
     return COO._make(coords, vc, (M, N), zero_of_dtype(dt))
