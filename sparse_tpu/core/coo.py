@@ -515,7 +515,7 @@ class COO(SparseArray):
             # 2-D transpose is one stable counting scatter — no sort at all
             if (
                 axes == (1, 0)
-                and self.data.dtype in (np.float64, np.float32)
+                and not self.data.dtype.hasobject
                 and self.nnz >= 4096
                 and self.shape[1] <= max(4 * self.nnz, 1 << 22)
             ):

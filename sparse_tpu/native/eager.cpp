@@ -1040,3 +1040,61 @@ TRANSPOSE2D_ABI(f32, float, i64, int64_t)
 TRANSPOSE2D_ABI(f32, float, i32, int32_t)
 
 }  // extern "C"
+
+namespace {
+
+// dtype-agnostic scatter (values moved as opaque bytes) — covers the long
+// tail of dtypes (ints, bool, f16, complex) with the same no-sort strategy
+template <typename I, int SZ>
+void transpose2d_sz(const I* rows, const I* cols, const char* vals, int64_t n, int64_t n_cols,
+                    int64_t* indptr_out, I* rows_out, I* cols_out, char* vals_out) {
+  for (int64_t c = 0; c <= n_cols; ++c) indptr_out[c] = 0;
+  for (int64_t i = 0; i < n; ++i) ++indptr_out[cols[i] + 1];
+  for (int64_t c = 0; c < n_cols; ++c) indptr_out[c + 1] += indptr_out[c];
+  std::vector<int64_t> cursor(indptr_out, indptr_out + n_cols);
+  for (int64_t i = 0; i < n; ++i) {
+    I c = cols[i];
+    int64_t p = cursor[c]++;
+    if (rows_out) rows_out[p] = c;
+    cols_out[p] = rows[i];
+    std::memcpy(vals_out + p * SZ, vals + i * SZ, SZ);
+  }
+}
+
+template <typename I>
+bool transpose2d_bytes(const I* rows, const I* cols, const char* vals, int64_t n,
+                       int64_t n_cols, int64_t itemsize, int64_t* indptr_out, I* rows_out,
+                       I* cols_out, char* vals_out) {
+  switch (itemsize) {
+    case 1: transpose2d_sz<I, 1>(rows, cols, vals, n, n_cols, indptr_out, rows_out, cols_out, vals_out); return true;
+    case 2: transpose2d_sz<I, 2>(rows, cols, vals, n, n_cols, indptr_out, rows_out, cols_out, vals_out); return true;
+    case 4: transpose2d_sz<I, 4>(rows, cols, vals, n, n_cols, indptr_out, rows_out, cols_out, vals_out); return true;
+    case 8: transpose2d_sz<I, 8>(rows, cols, vals, n, n_cols, indptr_out, rows_out, cols_out, vals_out); return true;
+    case 16: transpose2d_sz<I, 16>(rows, cols, vals, n, n_cols, indptr_out, rows_out, cols_out, vals_out); return true;
+  }
+  return false;
+}
+
+}  // namespace
+
+extern "C" {
+
+int st_transpose2d_bytes_i64(const int64_t* rows, const int64_t* cols, const char* vals,
+                             int64_t n, int64_t n_cols, int64_t itemsize, int64_t* indptr_out,
+                             int64_t* rows_out, int64_t* cols_out, char* vals_out) {
+  return transpose2d_bytes<int64_t>(rows, cols, vals, n, n_cols, itemsize, indptr_out, rows_out,
+                                    cols_out, vals_out)
+             ? 0
+             : 1;
+}
+
+int st_transpose2d_bytes_i32(const int32_t* rows, const int32_t* cols, const char* vals,
+                             int64_t n, int64_t n_cols, int64_t itemsize, int64_t* indptr_out,
+                             int32_t* rows_out, int32_t* cols_out, char* vals_out) {
+  return transpose2d_bytes<int32_t>(rows, cols, vals, n, n_cols, itemsize, indptr_out, rows_out,
+                                    cols_out, vals_out)
+             ? 0
+             : 1;
+}
+
+}  // extern "C"

@@ -147,6 +147,12 @@ def get_lib():
                     fn.argtypes = [
                         _i64p, vpp, vp, ctypes.c_int64, vp, ctypes.c_int64, ctypes.c_int64, vp,
                     ]
+            for isuf in ("i64", "i32"):
+                fn = getattr(lib, f"st_transpose2d_bytes_{isuf}")
+                fn.restype = ctypes.c_int
+                fn.argtypes = [
+                    vpp, vpp, vpp, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, _i64p, vpp, vpp, vpp,
+                ]
             _lib = lib
         except Exception:
             _lib = None
@@ -478,7 +484,10 @@ def transpose2d(rows, cols, vals, n_cols, want_rows=True):
     ``want_rows`` is False. Returns None when the native library is
     unavailable or vals isn't f32/f64."""
     lib = get_lib()
-    if lib is None or vals.dtype not in (np.float64, np.float32):
+    if lib is None:
+        return None
+    generic = vals.dtype not in (np.float64, np.float32)
+    if generic and (vals.dtype.hasobject or vals.dtype.itemsize not in (1, 2, 4, 8, 16)):
         return None
     rows = np.ascontiguousarray(rows)
     cols = np.ascontiguousarray(cols)
@@ -494,11 +503,20 @@ def transpose2d(rows, cols, vals, n_cols, want_rows=True):
     rows_t = np.empty(n, dtype=rows.dtype) if want_rows else None
     cols_t = np.empty(n, dtype=rows.dtype)
     vals_t = np.empty(n, dtype=vals.dtype)
-    fn = getattr(lib, f"st_transpose2d_{_suffix(vals.dtype)}_{isuf}")
-    fn(
-        _ivp(rows), _ivp(cols), _vp(vals), n, n_cols, _ip(indptr),
-        _ivp(rows_t) if want_rows else None, _ivp(cols_t), _vp(vals_t),
-    )
+    if generic:
+        fn = getattr(lib, f"st_transpose2d_bytes_{isuf}")
+        rc = fn(
+            _ivp(rows), _ivp(cols), _ivp(vals), n, n_cols, vals.dtype.itemsize, _ip(indptr),
+            _ivp(rows_t) if want_rows else None, _ivp(cols_t), _ivp(vals_t),
+        )
+        if rc:
+            return None
+    else:
+        fn = getattr(lib, f"st_transpose2d_{_suffix(vals.dtype)}_{isuf}")
+        fn(
+            _ivp(rows), _ivp(cols), _vp(vals), n, n_cols, _ip(indptr),
+            _ivp(rows_t) if want_rows else None, _ivp(cols_t), _vp(vals_t),
+        )
     return indptr, rows_t, cols_t, vals_t
 
 

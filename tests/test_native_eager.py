@@ -403,3 +403,23 @@ def test_dense_spmm_csrt_kernel_direct():
     X = rng.standard_normal((M, K))
     out = eager.dense_spmm_csrt(indptr, kids, vals, X, N)
     np.testing.assert_allclose(out, X @ S.todense(), rtol=1e-12)
+
+
+@pytest.mark.parametrize(
+    "dtype", [np.int64, np.int32, np.int8, np.bool_, np.float16, np.complex128, np.uint16]
+)
+def test_transpose2d_generic_dtypes(dtype):
+    # the byte-scatter variant covers every POD dtype with the same
+    # no-sort strategy; verified against the dense oracle
+    rng = np.random.default_rng(3)
+    d = (rng.random((211, 173)) * 4).astype(dtype) * (rng.random((211, 173)) < 0.3).astype(dtype)
+    S = st.COO.from_numpy(d)
+    coords = np.asarray(S.coords)
+    res = eager.transpose2d(coords[0], coords[1], np.asarray(S.data), S.shape[1])
+    assert res is not None
+    _, rows_t, cols_t, vals_t = res
+    ref = st.COO.from_numpy(d.T)
+    np.testing.assert_array_equal(rows_t, np.asarray(ref.coords)[0])
+    np.testing.assert_array_equal(cols_t, np.asarray(ref.coords)[1])
+    np.testing.assert_array_equal(vals_t, np.asarray(ref.data))
+    np.testing.assert_array_equal(S.T.todense(), d.T)
