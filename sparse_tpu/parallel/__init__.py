@@ -11,6 +11,7 @@ from .sharding import (  # noqa: F401
     mttkrp_sharded_ell,
     partition_coo_rows,
     partition_mttkrp_ell,
+    random_partitioned,
     sddmm_sharded,
     spgemm_sharded,
     spmm_2d,

@@ -170,6 +170,77 @@ def partition_coo_rows(coo, n_shards, mesh=None, axis_name="x", balance="rows"):
     return pcoo
 
 
+def random_partitioned(
+    shape,
+    density=None,
+    *,
+    nnz=None,
+    n_shards,
+    mesh=None,
+    axis_name="x",
+    random_state=None,
+    data_rvs=None,
+    dtype=np.float64,
+):
+    """Generate a random row-block-partitioned 2-D COO **shard-directly** —
+    the global (rows, cols, data) triplet is never materialized, so the
+    array can exceed single-host memory (the constructor a pod-scale run
+    needs; ``partition_coo_rows`` by contrast starts from a host COO).
+
+    Distribution matches ``sparse_tpu.random``: exactly
+    ``nnz = round(density * M * K)`` cells drawn uniformly without
+    replacement, split across row blocks by a multivariate hypergeometric
+    (the exact law of a uniform global sample restricted to blocks), then
+    sampled independently inside each block.
+    """
+    from .._utils import _sample_without_replacement
+
+    M, K = shape
+    elements = M * K
+    if density is not None and nnz is not None:
+        raise ValueError("'density' and 'nnz' are mutually exclusive")
+    if density is None and nnz is None:
+        density = 0.01
+    if nnz is None:
+        nnz = int(round(elements * density))
+    if not (0 <= nnz <= elements):
+        raise ValueError(f"cannot generate {nnz} samples from {elements} elements")
+    rng = random_state if isinstance(random_state, np.random.Generator) else np.random.default_rng(random_state)
+
+    block_rows = -(-M // n_shards)
+    extents = np.minimum(block_rows, M - block_rows * np.arange(n_shards)).clip(min=0)
+    cells = (extents * K).astype(np.int64)
+    if nnz:
+        counts = rng.multivariate_hypergeometric(cells, nnz)
+    else:
+        counts = np.zeros(n_shards, dtype=np.int64)
+    cap = max(int(counts.max()), 1)
+
+    out_rows = np.zeros((n_shards, cap), dtype=np.int32)
+    out_cols = np.zeros((n_shards, cap), dtype=np.int32)
+    out_data = np.zeros((n_shards, cap), dtype=dtype)
+    for s in range(n_shards):
+        k = int(counts[s])
+        if not k:
+            continue
+        lin = _sample_without_replacement(rng, int(cells[s]), k)
+        out_rows[s, :k] = (lin // K).astype(np.int32)
+        out_cols[s, :k] = (lin % K).astype(np.int32)
+        out_data[s, :k] = (data_rvs(k) if data_rvs is not None else rng.random(k)).astype(dtype, copy=False)
+
+    pcoo = PartitionedCOO(out_rows, out_cols, out_data, (M, K), block_rows)
+    if mesh is not None:
+        sh = NamedSharding(mesh, P(axis_name, None))
+        pcoo = PartitionedCOO(
+            jax.device_put(jnp.asarray(out_rows), sh),
+            jax.device_put(jnp.asarray(out_cols), sh),
+            jax.device_put(jnp.asarray(out_data), sh),
+            (M, K),
+            block_rows,
+        )
+    return pcoo
+
+
 @functools.cache
 def _spmm_replicated_fn(mesh, axis_name, block_rows):
     def local(rows, cols, data, b):

@@ -288,3 +288,40 @@ def test_mttkrp_sharded_ell_empty_shard():
     dense = np.zeros((I, J, K))
     dense[ci, cj, ck] = tv
     np.testing.assert_allclose(out, np.einsum("ijk,jr,kr->ir", dense, C, D), atol=1e-4)
+
+
+def test_random_partitioned_matches_global_law():
+    # shard-direct generation must agree with global-sample-then-partition
+    # in law: exact nnz, uniform coverage, and identical SpMM oracle result
+    import numpy as np
+
+    from sparse_tpu import parallel
+
+    M, K, n_shards = 40, 24, 8
+    mesh = parallel.make_mesh(8)
+    p = parallel.random_partitioned((M, K), nnz=200, n_shards=n_shards, mesh=mesh, random_state=0)
+    rows = np.asarray(p.rows)
+    cols = np.asarray(p.cols)
+    data = np.asarray(p.data)
+    valid = data != 0
+    assert int(valid.sum()) == 200
+    # local rows in range, cols global
+    for s in range(n_shards):
+        v = valid[s]
+        assert (rows[s][v] >= 0).all() and (rows[s][v] < p.block_rows).all()
+        assert (cols[s][v] >= 0).all() and (cols[s][v] < K).all()
+        # no duplicate cells within a shard
+        lin = rows[s][v].astype(np.int64) * K + cols[s][v]
+        assert len(np.unique(lin)) == v.sum()
+    # SpMM against the densified oracle
+    dense = np.zeros((M, K))
+    for s in range(n_shards):
+        v = valid[s]
+        dense[rows[s][v] + s * p.block_rows, cols[s][v]] = data[s][v]
+    b = np.random.default_rng(1).standard_normal((K, 3))
+    out = parallel.spmm_replicated(p, b, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(out), dense @ b, rtol=1e-12)
+    # density path + statistical sanity: mean count per shard ~ cells share
+    p2 = parallel.random_partitioned((1000, 100), density=0.02, n_shards=8, random_state=2)
+    total = int((np.asarray(p2.data) != 0).sum())
+    assert total == round(1000 * 100 * 0.02)
