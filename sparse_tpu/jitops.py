@@ -40,19 +40,43 @@ __all__ = [
 
 
 def _triplet(a):
+    """(rows, cols, data) from a COO — or a 2-D CSR/CSC-form GCXS pytree
+    (indptr expands to row ids with a static-shape searchsorted; nnz is a
+    static pytree dimension, so this stays traceable)."""
+    from .core.gcxs import GCXS
+
+    if isinstance(a, GCXS):
+        if a.ndim != 2 or a.compressed_axes not in ((0,), (1,)):
+            raise ValueError("traceable ops accept 2-D CSR/CSC-form GCXS")
+        indptr = jnp.asarray(a.indptr)
+        idx = jnp.asarray(a.indices)
+        nnz = idx.shape[0]
+        comp_ids = (
+            jnp.searchsorted(indptr, jnp.arange(nnz, dtype=indptr.dtype), side="right") - 1
+        ).astype(idx.dtype)
+        if a.compressed_axes == (0,):
+            return comp_ids, idx, jnp.asarray(a.data)
+        return idx, comp_ids, jnp.asarray(a.data)
     coords = jnp.asarray(a.coords)
     return coords[0], coords[1], jnp.asarray(a.data)
 
 
 def spmm(a: COO, dense):
-    """``a @ dense`` → dense array; traceable (zero fill assumed)."""
+    """``a @ dense`` → dense array; traceable (zero fill assumed).
+    Accepts a COO or a 2-D CSR/CSC GCXS pytree."""
     r, c, d = _triplet(a)
-    return _kdot.coo_spmm(r, c, d, dense, n_rows=a.shape[0])
+    return _kdot.coo_spmm(r, c, d, dense, n_rows=a.shape[0], rows_sorted=not _is_csc(a))
 
 
 def spmv(a: COO, x):
     r, c, d = _triplet(a)
-    return _kdot.coo_spmv(r, c, d, x, n_rows=a.shape[0])
+    return _kdot.coo_spmv(r, c, d, x, n_rows=a.shape[0], rows_sorted=not _is_csc(a))
+
+
+def _is_csc(a):
+    from .core.gcxs import GCXS
+
+    return isinstance(a, GCXS) and a.compressed_axes == (1,)
 
 
 def sddmm(s: COO, lhs, rhs):

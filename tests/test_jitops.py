@@ -2,6 +2,7 @@
 with grad, on COO pytrees."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -144,3 +145,17 @@ def test_transpose_traceable():
         jnp.asarray(y.data)
     )
     np.testing.assert_allclose(np.asarray(g), 2 * np.asarray(y.data))
+
+
+@pytest.mark.parametrize("comp", [(0,), (1,)])
+def test_spmm_spmv_accept_gcxs_pytrees(comp):
+    from sparse_tpu.core.gcxs import GCXS
+
+    x = sparse.random((30, 40), density=0.2, random_state=4)
+    g = GCXS.from_coo(x, compressed_axes=comp)
+    d = x.todense()
+    b = np.random.default_rng(0).standard_normal((40, 6))
+    out = jax.jit(jitops.spmm)(g, b)
+    np.testing.assert_allclose(np.asarray(out), d @ b, rtol=1e-9)
+    v = np.random.default_rng(1).standard_normal(40)
+    np.testing.assert_allclose(np.asarray(jax.jit(jitops.spmv)(g, v)), d @ v, rtol=1e-9)
