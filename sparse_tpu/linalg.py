@@ -1,0 +1,148 @@
+"""TPU-native iterative solvers over sparse pytrees.
+
+The reference exposes no solvers of its own — its arrays duck-type into
+``scipy.sparse.linalg`` (host, per-iteration dispatch; see
+``sparse/tests/test_backends.py:77-209``). Here the solvers themselves are
+JAX programs: the matrix is a COO/GCXS pytree, the whole iteration runs
+inside one ``lax.while_loop`` under ``jit`` (no host round-trips), and
+everything is differentiable and shardable like any other jitops pipeline.
+
+All solvers assume zero fill. Matrices may be ``COO`` or 2-D CSR/CSC
+``GCXS`` (anything :func:`sparse_tpu.jitops.spmv` accepts), or any callable
+``x -> A @ x`` for matrix-free operators.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from . import jitops
+
+__all__ = ["cg", "bicgstab", "power_iteration"]
+
+
+def _as_matvec(A):
+    if callable(A) and not hasattr(A, "shape"):
+        return A
+    return functools.partial(jitops.spmv, A)
+
+
+def cg(A, b, x0=None, *, tol=1e-8, atol=0.0, maxiter=None, M=None):
+    """Conjugate gradient for symmetric positive-definite ``A``.
+
+    Returns ``(x, info)`` with scipy's convention: ``info == 0`` on
+    convergence (``||r|| <= max(tol * ||b||, atol)``), else the iteration
+    count. ``M`` is an optional preconditioner: a callable ``r -> M @ r``
+    or a diagonal vector (Jacobi).
+    """
+    mv = _as_matvec(A)
+    b = jnp.asarray(b)
+    if maxiter is None:
+        maxiter = 10 * b.shape[0]
+    if M is None:
+        psolve = lambda r: r
+    elif callable(M):
+        psolve = M
+    else:
+        m_diag = jnp.asarray(M)
+        psolve = lambda r: r / m_diag
+    x = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0)
+
+    r = b - mv(x)
+    z = psolve(r)
+    p = z
+    rz = jnp.vdot(r, z)
+    target = jnp.maximum(tol * jnp.linalg.norm(b), atol)
+
+    def cond(state):
+        _, r, _, _, it = state
+        return (jnp.linalg.norm(r) > target) & (it < maxiter)
+
+    def body(state):
+        x, r, p, rz, it = state
+        ap = mv(p)
+        alpha = rz / jnp.vdot(p, ap)
+        x = x + alpha * p
+        r = r - alpha * ap
+        z = psolve(r)
+        rz_new = jnp.vdot(r, z)
+        p = z + (rz_new / rz) * p
+        return x, r, p, rz_new, it + 1
+
+    x, r, _, _, it = lax.while_loop(cond, body, (x, r, p, rz, 0))
+    info = jnp.where(jnp.linalg.norm(r) <= target, 0, it)
+    return x, info
+
+
+def bicgstab(A, b, x0=None, *, tol=1e-8, atol=0.0, maxiter=None):
+    """BiCGSTAB for general (nonsymmetric) ``A``; scipy-style ``(x, info)``."""
+    mv = _as_matvec(A)
+    b = jnp.asarray(b)
+    if maxiter is None:
+        maxiter = 10 * b.shape[0]
+    x = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0)
+
+    r = b - mv(x)
+    r_hat = r
+    rho = alpha = omega = jnp.ones((), b.dtype)
+    v = p = jnp.zeros_like(b)
+    target = jnp.maximum(tol * jnp.linalg.norm(b), atol)
+
+    def cond(state):
+        x, r, *_, it = state
+        return (jnp.linalg.norm(r) > target) & (it < maxiter)
+
+    def body(state):
+        x, r, p, v, rho, alpha, omega, it = state
+        rho_new = jnp.vdot(r_hat, r)
+        beta = (rho_new / rho) * (alpha / omega)
+        p = r + beta * (p - omega * v)
+        v = mv(p)
+        alpha = rho_new / jnp.vdot(r_hat, v)
+        s = r - alpha * v
+        t = mv(s)
+        omega = jnp.vdot(t, s) / jnp.vdot(t, t)
+        x = x + alpha * p + omega * s
+        r = s - omega * t
+        return x, r, p, v, rho_new, alpha, omega, it + 1
+
+    x, r, *_, it = lax.while_loop(cond, body, (x, r, p, v, rho, alpha, omega, 0))
+    info = jnp.where(jnp.linalg.norm(r) <= target, 0, it)
+    return x, info
+
+
+def power_iteration(A, *, key=None, v0=None, tol=1e-9, maxiter=1000):
+    """Dominant eigenpair of ``A`` by normalized power iteration.
+
+    Returns ``(eigenvalue, eigenvector, iterations)``; the whole loop is
+    one device program (the on-device form of the reference's HITS
+    example workload, ``examples/hits_example.py``).
+    """
+    mv = _as_matvec(A)
+    if v0 is None:
+        n = A.shape[0]
+        dt = jnp.asarray(A.data).dtype if hasattr(A, "data") else jnp.float64
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        v0 = jax.random.normal(key, (n,), dtype=dt)
+    v = v0 / jnp.linalg.norm(v0)
+
+    def cond(state):
+        v, v_prev, it = state
+        return (jnp.linalg.norm(v - v_prev) > tol) & (it < maxiter)
+
+    def body(state):
+        v, _, it = state
+        w = mv(v)
+        w = w / jnp.linalg.norm(w)
+        # fix the sign so the convergence test is orientation-free
+        w = w * jnp.sign(jnp.vdot(w, v))
+        return w, v, it + 1
+
+    v, _, it = lax.while_loop(cond, body, (v, jnp.full_like(v, jnp.inf), 0))
+    lam = jnp.vdot(v, mv(v))
+    return lam, v, it

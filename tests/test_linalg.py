@@ -1,0 +1,85 @@
+"""TPU-native iterative solvers (sparse_tpu.linalg) vs scipy/dense oracles.
+
+Role: the reference relies on scipy.sparse.linalg duck-typing
+(`sparse/tests/test_backends.py:77-209`); here the solvers are whole-loop
+jitted device programs over sparse pytrees.
+"""
+
+import numpy as np
+import pytest
+import scipy.sparse.linalg as spla
+
+import jax
+
+import sparse_tpu as sparse
+from sparse_tpu import linalg
+from sparse_tpu.core.gcxs import GCXS
+
+
+@pytest.fixture
+def spd():
+    rng = np.random.default_rng(0)
+    n = 80
+    B = rng.standard_normal((n, n)) * (rng.random((n, n)) < 0.1)
+    dense = B @ B.T + n * np.eye(n)
+    return sparse.COO.from_numpy(dense), dense
+
+
+def test_cg_matches_scipy(spd):
+    A, dense = spd
+    rng = np.random.default_rng(1)
+    b = rng.standard_normal(dense.shape[0])
+    x, info = linalg.cg(A, b, tol=1e-10)
+    assert int(info) == 0
+    np.testing.assert_allclose(np.asarray(x), np.linalg.solve(dense, b), rtol=1e-6)
+    x_sp, info_sp = spla.cg(dense, b, rtol=1e-10)
+    assert info_sp == 0
+    np.testing.assert_allclose(np.asarray(x), x_sp, rtol=1e-5)
+
+
+def test_cg_jacobi_preconditioner_and_gcxs(spd):
+    A, dense = spd
+    b = np.random.default_rng(2).standard_normal(dense.shape[0])
+    g = GCXS.from_coo(A)
+    x, info = linalg.cg(g, b, M=np.diag(dense), tol=1e-10)
+    assert int(info) == 0
+    np.testing.assert_allclose(np.asarray(x), np.linalg.solve(dense, b), rtol=1e-6)
+
+
+def test_cg_whole_loop_jits(spd):
+    A, dense = spd
+    b = np.random.default_rng(3).standard_normal(dense.shape[0])
+    f = jax.jit(lambda A_, b_: linalg.cg(A_, b_, tol=1e-10)[0])
+    np.testing.assert_allclose(np.asarray(f(A, b)), np.linalg.solve(dense, b), rtol=1e-6)
+
+
+def test_bicgstab_nonsymmetric():
+    rng = np.random.default_rng(4)
+    n = 60
+    M = rng.standard_normal((n, n)) * (rng.random((n, n)) < 0.15)
+    dense = M + n * np.eye(n)  # diagonally dominant, nonsymmetric
+    A = sparse.COO.from_numpy(dense)
+    b = rng.standard_normal(n)
+    x, info = linalg.bicgstab(A, b, tol=1e-10)
+    assert int(info) == 0
+    np.testing.assert_allclose(np.asarray(x), np.linalg.solve(dense, b), rtol=1e-6)
+
+
+def test_power_iteration_dominant_pair():
+    rng = np.random.default_rng(5)
+    n = 70
+    B = rng.standard_normal((n, n)) * (rng.random((n, n)) < 0.2)
+    dense = B @ B.T
+    A = sparse.COO.from_numpy(dense)
+    lam, v, it = linalg.power_iteration(A, tol=1e-12, maxiter=5000)
+    w = np.linalg.eigvalsh(dense)
+    np.testing.assert_allclose(float(lam), w[-1], rtol=1e-6)
+    np.testing.assert_allclose(dense @ np.asarray(v), float(lam) * np.asarray(v), rtol=1e-4, atol=1e-6)
+
+
+def test_matrix_free_operator():
+    n = 50
+    diag = np.linspace(1.0, 2.0, n)
+    x, info = linalg.cg(lambda v: diag * v, np.ones(n), tol=1e-12, maxiter=200)
+    assert int(info) == 0
+    np.testing.assert_allclose(np.asarray(x), 1.0 / diag, rtol=1e-8)
