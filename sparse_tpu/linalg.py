@@ -22,13 +22,34 @@ from jax import lax
 
 from . import jitops
 
-__all__ = ["cg", "bicgstab", "power_iteration"]
+__all__ = ["cg", "bicgstab", "power_iteration", "partitioned_matvec"]
+
+
+def partitioned_matvec(pcoo, mesh, axis_name="x"):
+    """``v -> A @ v`` for a mesh-sharded :class:`~sparse_tpu.parallel.PartitionedCOO`.
+
+    Each device contracts its row block against the replicated vector
+    (``spmm_replicated``); the result is the full product, so the returned
+    callable drops straight into :func:`cg`/:func:`bicgstab`/
+    :func:`power_iteration` — the solver iteration itself stays a single
+    device program while the matrix lives sharded across the mesh."""
+    from .parallel import spmm_replicated
+
+    def mv(v):
+        return spmm_replicated(pcoo, v[:, None], mesh, axis_name=axis_name)[:, 0]
+
+    mv.shape = pcoo.shape
+    return mv
 
 
 def _as_matvec(A):
-    if callable(A) and not hasattr(A, "shape"):
+    from .core.base import SparseArray
+
+    if isinstance(A, SparseArray):
+        return functools.partial(jitops.spmv, A)
+    if callable(A):
         return A
-    return functools.partial(jitops.spmv, A)
+    raise TypeError(f"expected a sparse array or a matvec callable, got {type(A)}")
 
 
 def cg(A, b, x0=None, *, tol=1e-8, atol=0.0, maxiter=None, M=None):

@@ -83,3 +83,24 @@ def test_matrix_free_operator():
     x, info = linalg.cg(lambda v: diag * v, np.ones(n), tol=1e-12, maxiter=200)
     assert int(info) == 0
     np.testing.assert_allclose(np.asarray(x), 1.0 / diag, rtol=1e-8)
+
+
+def test_cg_with_mesh_sharded_matrix():
+    # the matrix lives sharded across an 8-device mesh; the CG loop runs
+    # on the replicated vector with a sharded matvec
+    from sparse_tpu import parallel
+
+    rng = np.random.default_rng(7)
+    n = 64
+    B = rng.standard_normal((n, n)) * (rng.random((n, n)) < 0.15)
+    dense = B @ B.T + n * np.eye(n)
+    A = sparse.COO.from_numpy(dense)
+    mesh = parallel.make_mesh(8)
+    p = parallel.partition_coo_rows(A, 8, mesh=mesh)
+    mv = linalg.partitioned_matvec(p, mesh)
+    b = rng.standard_normal(n)
+    x, info = linalg.cg(mv, b, tol=1e-10, maxiter=500)
+    assert int(info) == 0
+    np.testing.assert_allclose(np.asarray(x), np.linalg.solve(dense, b), rtol=1e-6)
+    lam, v, _ = linalg.power_iteration(mv, tol=1e-12, maxiter=5000)
+    np.testing.assert_allclose(float(lam), np.linalg.eigvalsh(dense)[-1], rtol=1e-6)
