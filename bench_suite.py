@@ -173,6 +173,34 @@ def main():
         dt = device_bench(_train_step, (xb,), iters=20)
         rows_out.append(("block_sparse_linear fwd+bwd 8192^2@25% b=512", f"{dt * 1e3:.2f} ms", ""))
 
+    # 6c. whole-loop CG solve on a 5-point Laplacian (on-device solver)
+    if on_tpu:
+        from sparse_tpu import linalg
+
+        side = 256
+        n_l = side * side
+        ii = np.arange(n_l)
+        gi, gj = ii // side, ii % side
+        rows_l = [ii]
+        cols_l = [ii]
+        vals_l = [np.full(n_l, 4.0, np.float32)]
+        for di, dj in ((0, 1), (0, -1), (1, 0), (-1, 0)):
+            ni, nj = gi + di, gj + dj
+            ok = (0 <= ni) & (ni < side) & (0 <= nj) & (nj < side)
+            rows_l.append(ii[ok])
+            cols_l.append((ni * side + nj)[ok])
+            vals_l.append(np.full(int(ok.sum()), -1.0, np.float32))
+        lap = sparse.COO(
+            np.stack([np.concatenate(rows_l), np.concatenate(cols_l)]),
+            np.concatenate(vals_l),
+            shape=(n_l, n_l),
+        )
+        b_l = jnp.asarray(rng.standard_normal(n_l).astype(np.float32))
+        dt = device_bench(
+            lambda bb: linalg.cg(lap, bb, tol=1e-5, maxiter=600)[0], (b_l,), iters=3
+        )
+        rows_out.append((f"CG solve 5-pt Laplacian {side}x{side} (whole-loop jit)", f"{dt * 1e3:.1f} ms", ""))
+
     # 7. host workloads
     a = sparse.random((100000, 100000), density=1e-5, random_state=3)
     b = sparse.random((100000, 100000), density=1e-5, random_state=4)

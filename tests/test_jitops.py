@@ -159,3 +159,28 @@ def test_spmm_spmv_accept_gcxs_pytrees(comp):
     np.testing.assert_allclose(np.asarray(out), d @ b, rtol=1e-9)
     v = np.random.default_rng(1).standard_normal(40)
     np.testing.assert_allclose(np.asarray(jax.jit(jitops.spmv)(g, v)), d @ v, rtol=1e-9)
+
+
+def test_aot_export_roundtrip():
+    # serving path: a jitted sparse pipeline serializes with jax.export and
+    # runs after deserialization (AOT deployment without Python tracing)
+    from jax import export
+
+    x = sparse.random((64, 80), density=0.2, random_state=0)
+    d = x.todense()
+    b = jnp.asarray(np.random.default_rng(0).standard_normal((80, 4)))
+    exported = export.export(jax.jit(jitops.spmm))(x, b)
+    rehydrated = export.deserialize(exported.serialize())
+    np.testing.assert_allclose(np.asarray(rehydrated.call(x, b)), d @ b, rtol=1e-12)
+
+    # a solver with data-dependent control flow exports too
+    from sparse_tpu import linalg
+
+    rng = np.random.default_rng(1)
+    B = rng.standard_normal((40, 40)) * (rng.random((40, 40)) < 0.3)
+    dense = B @ B.T + 40 * np.eye(40)
+    A = sparse.COO.from_numpy(dense)
+    bb = jnp.asarray(rng.standard_normal(40))
+    exp2 = export.export(jax.jit(lambda A_, b_: linalg.cg(A_, b_, tol=1e-10)[0]))(A, bb)
+    out = export.deserialize(exp2.serialize()).call(A, bb)
+    np.testing.assert_allclose(np.asarray(out), np.linalg.solve(dense, np.asarray(bb)), rtol=1e-6)
