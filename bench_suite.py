@@ -199,7 +199,15 @@ def main():
         dt = device_bench(
             lambda bb: linalg.cg(lap, bb, tol=1e-5, maxiter=600)[0], (b_l,), iters=3
         )
-        rows_out.append((f"CG solve 5-pt Laplacian {side}x{side} (whole-loop jit)", f"{dt * 1e3:.1f} ms", ""))
+        _, _, it = linalg.cg(lap, b_l, tol=1e-5, maxiter=600, return_iters=True)
+        n_it = max(int(it), 1)
+        rows_out.append(
+            (
+                f"CG solve 5-pt Laplacian {side}x{side} (whole-loop jit)",
+                f"{dt * 1e3:.1f} ms",
+                f"{n_it} iters, {dt / n_it * 1e3:.2f} ms/iter",
+            )
+        )
 
     # 7. host workloads
     a = sparse.random((100000, 100000), density=1e-5, random_state=3)

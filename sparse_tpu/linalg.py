@@ -52,13 +52,14 @@ def _as_matvec(A):
     raise TypeError(f"expected a sparse array or a matvec callable, got {type(A)}")
 
 
-def cg(A, b, x0=None, *, tol=1e-8, atol=0.0, maxiter=None, M=None):
+def cg(A, b, x0=None, *, tol=1e-8, atol=0.0, maxiter=None, M=None, return_iters=False):
     """Conjugate gradient for symmetric positive-definite ``A``.
 
     Returns ``(x, info)`` with scipy's convention: ``info == 0`` on
     convergence (``||r|| <= max(tol * ||b||, atol)``), else the iteration
     count. ``M`` is an optional preconditioner: a callable ``r -> M @ r``
-    or a diagonal vector (Jacobi).
+    or a diagonal vector (Jacobi). With ``return_iters`` the result is
+    ``(x, info, iterations)``.
     """
     mv = _as_matvec(A)
     b = jnp.asarray(b)
@@ -96,6 +97,8 @@ def cg(A, b, x0=None, *, tol=1e-8, atol=0.0, maxiter=None, M=None):
 
     x, r, _, _, it = lax.while_loop(cond, body, (x, r, p, rz, 0))
     info = jnp.where(jnp.linalg.norm(r) <= target, 0, it)
+    if return_iters:
+        return x, info, it
     return x, info
 
 
