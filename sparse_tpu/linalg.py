@@ -102,12 +102,14 @@ def cg(A, b, x0=None, *, tol=1e-8, atol=0.0, maxiter=None, M=None, return_iters=
     rz = jnp.vdot(r, z)
     target = jnp.maximum(tol * jnp.linalg.norm(b), atol)
 
+    # the residual norm rides in the carry: the cond is a scalar compare,
+    # not an extra full-vector reduction per iteration
     def cond(state):
-        _, r, _, _, it = state
-        return (jnp.linalg.norm(r) > target) & (it < maxiter)
+        *_, rnorm, it = state
+        return (rnorm > target) & (it < maxiter)
 
     def body(state):
-        x, r, p, rz, it = state
+        x, r, p, rz, _, it = state
         ap = mv(p)
         alpha = rz / jnp.vdot(p, ap)
         x = x + alpha * p
@@ -115,10 +117,10 @@ def cg(A, b, x0=None, *, tol=1e-8, atol=0.0, maxiter=None, M=None, return_iters=
         z = psolve(r)
         rz_new = jnp.vdot(r, z)
         p = z + (rz_new / rz) * p
-        return x, r, p, rz_new, it + 1
+        return x, r, p, rz_new, jnp.linalg.norm(r), it + 1
 
-    x, r, _, _, it = lax.while_loop(cond, body, (x, r, p, rz, 0))
-    info = jnp.where(jnp.linalg.norm(r) <= target, 0, it)
+    x, r, _, _, rnorm, it = lax.while_loop(cond, body, (x, r, p, rz, jnp.linalg.norm(r), 0))
+    info = jnp.where(rnorm <= target, 0, it)
     if return_iters:
         return x, info, it
     return x, info
@@ -139,11 +141,11 @@ def bicgstab(A, b, x0=None, *, tol=1e-8, atol=0.0, maxiter=None):
     target = jnp.maximum(tol * jnp.linalg.norm(b), atol)
 
     def cond(state):
-        x, r, *_, it = state
-        return (jnp.linalg.norm(r) > target) & (it < maxiter)
+        *_, rnorm, it = state
+        return (rnorm > target) & (it < maxiter)
 
     def body(state):
-        x, r, p, v, rho, alpha, omega, it = state
+        x, r, p, v, rho, alpha, omega, _, it = state
         rho_new = jnp.vdot(r_hat, r)
         beta = (rho_new / rho) * (alpha / omega)
         p = r + beta * (p - omega * v)
@@ -154,10 +156,12 @@ def bicgstab(A, b, x0=None, *, tol=1e-8, atol=0.0, maxiter=None):
         omega = jnp.vdot(t, s) / jnp.vdot(t, t)
         x = x + alpha * p + omega * s
         r = s - omega * t
-        return x, r, p, v, rho_new, alpha, omega, it + 1
+        return x, r, p, v, rho_new, alpha, omega, jnp.linalg.norm(r), it + 1
 
-    x, r, *_, it = lax.while_loop(cond, body, (x, r, p, v, rho, alpha, omega, 0))
-    info = jnp.where(jnp.linalg.norm(r) <= target, 0, it)
+    x, r, *_, rnorm, it = lax.while_loop(
+        cond, body, (x, r, p, v, rho, alpha, omega, jnp.linalg.norm(r), 0)
+    )
+    info = jnp.where(rnorm <= target, 0, it)
     return x, info
 
 
