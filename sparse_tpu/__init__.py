@@ -219,6 +219,7 @@ from . import jitops  # noqa: E402
 from . import profiling  # noqa: E402
 from .profiling import compiled  # noqa: E402
 from . import linalg  # noqa: E402
+from . import csgraph  # noqa: E402
 
 __version__ = "0.1.0"
 

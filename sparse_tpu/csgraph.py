@@ -1,0 +1,560 @@
+"""TPU-native graph algorithms over sparse adjacency matrices.
+
+The reference ships no graph code of its own — its ecosystem tests push
+sparse arrays through host ``scipy.sparse.csgraph``
+(``sparse/tests/test_backends.py:77-209``: ``connected_components``,
+``laplacian``, ``shortest_path``, BFS, Dijkstra, MST). Here the algorithms
+themselves are device programs built on semiring relaxation over the edge
+list (``segment_min`` of ``dist[src] + w`` per destination — the min-plus
+SpMV): Bellman-Ford shortest paths, frontier BFS, label-propagation
+connected components, and dense Floyd-Warshall each run their whole
+iteration inside one ``lax.while_loop``/``fori_loop`` under ``jit`` with no
+host round-trips. Minimum spanning tree is host-orchestrated Borůvka with
+vectorized rounds (eager API, like construction).
+
+Graph convention (scipy-compatible): stored entries are edges, fill value
+must be zero; ``directed=False`` reads each stored edge both ways (min of
+the two stored directions where both exist).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = [
+    "NegativeCycleError",
+    "bellman_ford",
+    "breadth_first_order",
+    "breadth_first_tree",
+    "connected_components",
+    "dijkstra",
+    "floyd_warshall",
+    "laplacian",
+    "minimum_spanning_tree",
+    "shortest_path",
+]
+
+
+class NegativeCycleError(Exception):
+    """Raised when a negative-weight cycle is reachable in shortest-path routines."""
+
+
+def _graph_triplet(csgraph, *, directed=True, unweighted=False):
+    """Normalize any graph input to host ``(rows, cols, weights, n)``.
+
+    Accepts sparse_tpu arrays (any format), scipy sparse, or a dense
+    ndarray (scipy convention: nonzero entries are edges). With
+    ``directed=False`` the edge list contains both orientations.
+    """
+    import scipy.sparse as sps
+
+    from .core.base import SparseArray
+    from .ops.common import asCOO
+
+    if isinstance(csgraph, SparseArray):
+        coo = asCOO(csgraph)
+        if not np.asarray(coo.fill_value)[()] == 0:
+            raise ValueError("csgraph routines require a zero fill value")
+        rows, cols = np.asarray(coo.coords[0]), np.asarray(coo.coords[1])
+        w = np.asarray(coo.data, dtype=np.float64)
+        n = coo.shape[0]
+        if coo.ndim != 2 or coo.shape[0] != coo.shape[1]:
+            raise ValueError(f"csgraph requires a square 2-D adjacency matrix, got {coo.shape}")
+    elif sps.issparse(csgraph):
+        c = csgraph.tocoo()
+        rows, cols, w = c.row.astype(np.int64), c.col.astype(np.int64), c.data.astype(np.float64)
+        n = c.shape[0]
+    else:
+        a = np.asarray(csgraph)
+        if a.ndim != 2 or a.shape[0] != a.shape[1]:
+            raise ValueError(f"csgraph requires a square 2-D adjacency matrix, got {a.shape}")
+        rows, cols = np.nonzero(a)
+        w = a[rows, cols].astype(np.float64)
+        n = a.shape[0]
+    if unweighted:
+        w = np.ones_like(w)
+    if not directed:
+        rows, cols = np.concatenate([rows, cols]), np.concatenate([cols, rows])
+        w = np.concatenate([w, w])
+    return rows.astype(np.int64), cols.astype(np.int64), w, n
+
+
+# ---------------------------------------------------------------------------
+# min-plus relaxation core (Bellman-Ford)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("n", "maxiter"))
+def _bellman_ford_device(rows, cols, w, dist0, *, n, maxiter):
+    """Fixed-point min-plus relaxation: ``dist[s, v] = min(dist[s, v],
+    min_e(dist[s, rows[e]] + w[e]))`` until unchanged. Returns
+    ``(dist, improved_after_convergence)`` — the flag is True iff one more
+    round still improves (a reachable negative cycle)."""
+
+    def relax(dist):
+        cand = dist[:, rows] + w[None, :]  # (k, nnz)
+        best = jax.ops.segment_min(cand.T, cols, num_segments=n)  # (n, k)
+        return jnp.minimum(dist, best.T)
+
+    def cond(state):
+        _, changed, it = state
+        return changed & (it < maxiter)
+
+    def body(state):
+        dist, _, it = state
+        new = relax(dist)
+        return new, jnp.any(new < dist), it + 1
+
+    dist, _, _ = lax.while_loop(cond, body, (dist0, jnp.bool_(True), 0))
+    has_neg = jnp.any(relax(dist) < dist)
+    return dist, has_neg
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _predecessors_device(rows, cols, w, dist, sources, *, n):
+    """Post-hoc predecessor matrix: ``pred[s, v]`` = the smallest ``u`` with
+    an edge ``u→v`` on a shortest path (``dist[s,u] + w == dist[s,v]``);
+    -9999 for unreachable nodes and for the source itself (scipy's
+    convention)."""
+    k = dist.shape[0]
+    on_path = jnp.isfinite(dist[:, rows]) & (dist[:, rows] + w[None, :] == dist[:, cols])
+    cand = jnp.where(on_path, rows[None, :], n)  # (k, nnz)
+    best = jax.ops.segment_min(cand.T, cols, num_segments=n).T  # (k, n)
+    # segments with no incoming on-path edge hold either our sentinel ``n``
+    # or segment_min's identity (int max) when the node has no edges at all
+    pred = jnp.where(best >= n, -9999, best)
+    src_mask = jnp.arange(n)[None, :] == sources[:, None]
+    return jnp.where(src_mask, -9999, pred).astype(jnp.int32)
+
+
+def _prepare_sources(indices, n):
+    if indices is None:
+        return np.arange(n, dtype=np.int64), True
+    idx = np.atleast_1d(np.asarray(indices, dtype=np.int64))
+    if idx.ndim != 1:
+        raise ValueError("indices must be a scalar or 1-D array of source nodes")
+    return idx % n, np.ndim(indices) == 0 and indices is not None
+
+
+def _shortest_path_bf(
+    csgraph, *, directed, indices, unweighted, return_predecessors, check_negative=True
+):
+    rows, cols, w, n = _graph_triplet(csgraph, directed=directed, unweighted=unweighted)
+    if not directed:
+        # min of the two stored orientations is implied by relaxation itself
+        pass
+    sources, _scalar = _prepare_sources(indices, n)
+    k = sources.shape[0]
+    dist0 = np.full((k, n), np.inf)
+    dist0[np.arange(k), sources] = 0.0
+    if rows.size == 0:
+        dist = jnp.asarray(dist0)
+        has_neg = False
+    else:
+        dist, has_neg = _bellman_ford_device(
+            jnp.asarray(rows),
+            jnp.asarray(cols),
+            jnp.asarray(w),
+            jnp.asarray(dist0),
+            n=n,
+            maxiter=n + 1,
+        )
+        has_neg = bool(has_neg)
+    if check_negative and has_neg:
+        raise NegativeCycleError("negative-weight cycle detected in the graph")
+    if return_predecessors:
+        if rows.size == 0:
+            pred = np.full((k, n), -9999, dtype=np.int32)
+            pred[np.arange(k), sources] = -9999
+            pred = jnp.asarray(pred)
+        else:
+            pred = _predecessors_device(
+                jnp.asarray(rows),
+                jnp.asarray(cols),
+                jnp.asarray(w),
+                dist,
+                jnp.asarray(sources),
+                n=n,
+            )
+        return np.asarray(dist), np.asarray(pred)
+    return np.asarray(dist)
+
+
+def bellman_ford(csgraph, directed=True, indices=None, return_predecessors=False, unweighted=False):
+    """Multi-source Bellman-Ford shortest paths (min-plus relaxation on device).
+
+    Mirrors ``scipy.sparse.csgraph.bellman_ford``: returns the
+    ``(n_sources, n)`` distance matrix (and the predecessor matrix when
+    requested), raising :class:`NegativeCycleError` on reachable negative
+    cycles. The whole relaxation runs in one ``lax.while_loop``.
+    """
+    out = _shortest_path_bf(
+        csgraph,
+        directed=directed,
+        indices=indices,
+        unweighted=unweighted,
+        return_predecessors=return_predecessors,
+    )
+    return _squeeze_sources(out, indices, return_predecessors)
+
+
+def dijkstra(
+    csgraph, directed=True, indices=None, return_predecessors=False, unweighted=False, limit=np.inf
+):
+    """Shortest paths for non-negative weights (scipy-compatible signature).
+
+    On TPU the natural parallel schedule is data-parallel relaxation, not a
+    priority queue, so this validates non-negativity and runs the same
+    device Bellman-Ford as :func:`bellman_ford` (identical results for
+    non-negative graphs); ``limit`` masks distances beyond the horizon to
+    ``inf`` afterwards.
+    """
+    rows, cols, w, _ = _graph_triplet(csgraph, directed=directed, unweighted=unweighted)
+    if rows.size and w.min() < 0:
+        raise ValueError("dijkstra requires non-negative edge weights; use bellman_ford")
+    out = _shortest_path_bf(
+        csgraph,
+        directed=directed,
+        indices=indices,
+        unweighted=unweighted,
+        return_predecessors=return_predecessors,
+        check_negative=False,
+    )
+    if np.isfinite(limit):
+        if return_predecessors:
+            dist, pred = out
+            pred = np.where(dist > limit, -9999, pred)
+            dist = np.where(dist > limit, np.inf, dist)
+            out = (dist, pred)
+        else:
+            out = np.where(out > limit, np.inf, out)
+    return _squeeze_sources(out, indices, return_predecessors)
+
+
+def _squeeze_sources(out, indices, return_predecessors):
+    if indices is not None and np.ndim(indices) == 0:
+        if return_predecessors:
+            return out[0][0], out[1][0]
+        return out[0]
+    return out
+
+
+def shortest_path(
+    csgraph,
+    method="auto",
+    directed=True,
+    return_predecessors=False,
+    unweighted=False,
+    indices=None,
+):
+    """All-pairs / multi-source shortest paths.
+
+    ``method``: 'FW' (dense Floyd-Warshall, all pairs), 'BF'/'D' (edge-list
+    Bellman-Ford relaxation), or 'auto' — FW when all pairs are requested
+    on a small dense-ish graph, BF otherwise.
+    """
+    if method == "auto":
+        rows, _, _, n = _graph_triplet(csgraph, directed=directed)
+        dense_enough = n <= 2048 and rows.size >= n
+        method = "FW" if indices is None and dense_enough else "BF"
+    if method == "FW":
+        if indices is not None:
+            raise ValueError("Floyd-Warshall computes all pairs; indices is unsupported")
+        return floyd_warshall(
+            csgraph, directed=directed, return_predecessors=return_predecessors, unweighted=unweighted
+        )
+    if method in ("BF", "D"):
+        fn = bellman_ford if method == "BF" else dijkstra
+        return fn(
+            csgraph,
+            directed=directed,
+            indices=indices,
+            return_predecessors=return_predecessors,
+            unweighted=unweighted,
+        )
+    raise ValueError(f"unknown method {method!r}; expected 'auto', 'FW', 'BF', or 'D'")
+
+
+# ---------------------------------------------------------------------------
+# Floyd-Warshall (dense, on device)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("track_pred",))
+def _floyd_warshall_device(d0, p0, *, track_pred):
+    n = d0.shape[0]
+
+    def body(k, state):
+        d, p = state
+        via = d[:, k, None] + d[None, k, :]
+        better = via < d
+        new_d = jnp.where(better, via, d)
+        new_p = jnp.where(better, p[None, k, :], p) if track_pred else p
+        return new_d, new_p
+
+    return lax.fori_loop(0, n, body, (d0, p0))
+
+
+def floyd_warshall(csgraph, directed=True, return_predecessors=False, unweighted=False):
+    """All-pairs shortest paths via dense Floyd-Warshall on device.
+
+    O(n²) memory / O(n³) work — the vectorized ``min(D, D[:,k] + D[k,:])``
+    inner step is one fused elementwise pass per ``k`` under ``fori_loop``.
+    Raises :class:`NegativeCycleError` if any diagonal entry goes negative.
+    """
+    rows, cols, w, n = _graph_triplet(csgraph, directed=directed, unweighted=unweighted)
+    d0 = np.full((n, n), np.inf)
+    # parallel edges keep the lightest weight
+    np.minimum.at(d0, (rows, cols), w)
+    np.fill_diagonal(d0, np.minimum(np.diag(d0), 0.0))
+    p0 = np.full((n, n), -9999, dtype=np.int32)
+    p0[rows, cols] = rows
+    np.fill_diagonal(p0, -9999)
+    d, p = _floyd_warshall_device(
+        jnp.asarray(d0), jnp.asarray(p0), track_pred=return_predecessors
+    )
+    d = np.asarray(d)
+    if np.any(np.diag(d) < 0):
+        raise NegativeCycleError("negative-weight cycle detected in the graph")
+    if return_predecessors:
+        return d, np.asarray(p)
+    return d
+
+
+# ---------------------------------------------------------------------------
+# BFS
+# ---------------------------------------------------------------------------
+
+
+def breadth_first_order(csgraph, i_start, directed=True, return_predecessors=True):
+    """BFS node ordering + predecessors from ``i_start``.
+
+    Levels come from the unweighted device Bellman-Ford (one relaxation
+    round per BFS frontier); the returned node order is sorted by
+    ``(level, node id)`` — a valid BFS order (scipy's order additionally
+    depends on its queue/adjacency traversal, so compare by level, not
+    position).
+    """
+    dist, pred = _shortest_path_bf(
+        csgraph,
+        directed=directed,
+        indices=np.asarray(i_start),
+        unweighted=True,
+        return_predecessors=True,
+    )
+    dist, pred = dist[0], pred[0]
+    reachable = np.flatnonzero(np.isfinite(dist))
+    order = reachable[np.argsort(dist[reachable], kind="stable")]
+    if return_predecessors:
+        return order.astype(np.int64), pred
+    return order.astype(np.int64)
+
+
+def breadth_first_tree(csgraph, i_start, directed=True):
+    """The BFS tree as a sparse matrix: edge ``(pred[v], v)`` for every
+    reachable ``v != i_start``, carrying the original edge weight."""
+    from .core.coo import COO
+
+    rows, cols, w, n = _graph_triplet(csgraph, directed=directed)
+    order, pred = breadth_first_order(csgraph, i_start, directed=directed)
+    v = order[order != int(i_start)]
+    u = pred[v]
+    # recover each tree edge's original weight (lightest parallel edge):
+    # lexsort edges by (row, col, weight), searchsorted the linearized key
+    eorder = np.lexsort((w, cols, rows))
+    keys = rows[eorder] * n + cols[eorder]
+    ew = w[eorder]
+    pos = np.searchsorted(keys, u * n + v)
+    data = ew[pos]
+    return COO(np.stack([u, v]), data, shape=(n, n))
+
+
+# ---------------------------------------------------------------------------
+# connected components
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _label_propagation_device(rows, cols, *, n):
+    """Min-label propagation to a fixed point: every node takes the smallest
+    label among itself and its in-neighbors. On a symmetrized edge list the
+    fixed point labels each weakly-connected component by its smallest node
+    id. Converges in ≤ diameter rounds, each one segment-min pass."""
+
+    def cond(state):
+        _, changed = state
+        return changed
+
+    def body(state):
+        labels, _ = state
+        best = jax.ops.segment_min(labels[rows], cols, num_segments=n)
+        new = jnp.minimum(labels, best)
+        return new, jnp.any(new < labels)
+
+    labels0 = jnp.arange(n, dtype=jnp.int64)
+    labels, _ = lax.while_loop(cond, body, (labels0, jnp.bool_(True)))
+    return labels
+
+
+def connected_components(csgraph, directed=True, connection="weak", return_labels=True):
+    """Connected components, scipy-compatible ``(n_components, labels)``.
+
+    Weak components run min-label propagation on device (symmetrized edge
+    list). Strong components use the dense boolean transitive closure by
+    repeated squaring (O(n²) memory — intended for small/medium graphs;
+    use ``connection='weak'`` at scale).
+    """
+    if connection not in ("weak", "strong"):
+        raise ValueError("connection must be 'weak' or 'strong'")
+    if connection == "strong" and directed:
+        labels = _strong_components(csgraph)
+    else:
+        rows, cols, _, n = _graph_triplet(csgraph, directed=False)
+        if rows.size == 0:
+            labels = np.arange(n, dtype=np.int64)
+        else:
+            labels = np.asarray(
+                _label_propagation_device(jnp.asarray(rows), jnp.asarray(cols), n=n)
+            )
+    # representative = smallest node id in the component, so ascending
+    # representative order == first-occurrence order (scipy's labeling)
+    _, labels = np.unique(labels, return_inverse=True)
+    n_components = int(labels.max()) + 1 if labels.size else 0
+    if return_labels:
+        return n_components, labels.astype(np.int32)
+    return n_components
+
+
+@functools.partial(jax.jit, static_argnames=("n", "rounds"))
+def _closure_device(rows, cols, *, n, rounds):
+    reach = jnp.zeros((n, n), dtype=jnp.bool_).at[rows, cols].set(True)
+    reach = reach | jnp.eye(n, dtype=jnp.bool_)
+
+    def body(_, r):
+        rf = r.astype(jnp.float32)
+        return (rf @ rf) > 0
+
+    return lax.fori_loop(0, rounds, body, reach)
+
+
+def _strong_components(csgraph):
+    rows, cols, _, n = _graph_triplet(csgraph, directed=True)
+    if n == 0:
+        return np.arange(0, dtype=np.int64)
+    rounds = max(int(np.ceil(np.log2(max(n, 2)))), 1)
+    reach = np.asarray(
+        _closure_device(jnp.asarray(rows), jnp.asarray(cols), n=n, rounds=rounds)
+    )
+    strong = reach & reach.T
+    return np.argmax(strong, axis=1).astype(np.int64)  # smallest mutual node id
+
+
+# ---------------------------------------------------------------------------
+# Laplacian
+# ---------------------------------------------------------------------------
+
+
+def laplacian(csgraph, normed=False, return_diag=False, use_out_degree=False):
+    """Graph Laplacian ``L = D - A`` (or the symmetric-normalized form), as COO.
+
+    Matches scipy: the input diagonal is ignored, degrees count the
+    remaining entries (in-degree by default, out-degree with
+    ``use_out_degree``), and isolated nodes get degree 1 in the normalized
+    form.
+    """
+    from .core.coo import COO
+
+    rows, cols, w, n = _graph_triplet(csgraph, directed=True)
+    off = rows != cols
+    rows, cols, w = rows[off], cols[off], w[off]
+    deg = np.zeros(n)
+    np.add.at(deg, rows if use_out_degree else cols, w)
+    if normed:
+        isolated = deg == 0
+        dsqrt = np.sqrt(np.where(isolated, 1.0, deg))
+        off_data = -w / (dsqrt[rows] * dsqrt[cols])
+        diag_data = np.where(isolated, 0.0, 1.0)
+        diag_out = 1.0 - isolated.astype(np.float64)
+    else:
+        off_data = -w
+        diag_data = deg
+        diag_out = deg
+    all_rows = np.concatenate([rows, np.arange(n)])
+    all_cols = np.concatenate([cols, np.arange(n)])
+    all_data = np.concatenate([off_data, diag_data])
+    lap = COO(np.stack([all_rows, all_cols]), all_data, shape=(n, n), prune=True)
+    if return_diag:
+        return lap, diag_out
+    return lap
+
+
+# ---------------------------------------------------------------------------
+# minimum spanning tree (Borůvka, vectorized host rounds)
+# ---------------------------------------------------------------------------
+
+
+def minimum_spanning_tree(csgraph, overwrite=False):
+    """Minimum spanning forest via Borůvka's algorithm.
+
+    Each round every component picks its lightest outgoing edge (one
+    vectorized ``minimum.at`` per side — the host analogue of the device
+    segment-min) and components merge by hooking + pointer jumping;
+    ≤ log₂(n) rounds, no per-edge Python loops. Returns the forest as an
+    upper-triangular COO (``tree[min(u,v), max(u,v)] = w``), matching
+    scipy's nnz and total weight.
+    """
+    from .core.coo import COO
+
+    rows, cols, w, n = _graph_triplet(csgraph, directed=False)
+    # undirected: each edge appears both ways; keep one canonical copy
+    keep = rows < cols
+    u, v, w = rows[keep], cols[keep], w[keep]
+    # dedupe parallel edges keeping the lightest (sort by weight, first wins)
+    order = np.lexsort((w, v, u))
+    u, v, w = u[order], v[order], w[order]
+    first = np.ones(u.size, dtype=bool)
+    if u.size:
+        first[1:] = (u[1:] != u[:-1]) | (v[1:] != v[:-1])
+    u, v, w = u[first], v[first], w[first]
+
+    m = u.size
+    # rank: index into the weight-sorted edge list — integer minimum over
+    # ranks == lexicographic (weight, tiebreak) minimum over edges
+    rank_order = np.argsort(w, kind="stable")
+    rank = np.empty(m, dtype=np.int64)
+    rank[rank_order] = np.arange(m)
+
+    comp = np.arange(n, dtype=np.int64)
+    chosen = np.zeros(m, dtype=bool)
+    while True:
+        cu, cv = comp[u], comp[v]
+        cross = cu != cv
+        if not np.any(cross):
+            break
+        best = np.full(n, m, dtype=np.int64)
+        np.minimum.at(best, cu[cross], rank[cross])
+        np.minimum.at(best, cv[cross], rank[cross])
+        sel = rank_order[np.unique(best[best < m])]
+        chosen[sel] = True
+        # hook: the larger component root points at the smaller
+        a, b = comp[u[sel]], comp[v[sel]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        parent = np.arange(n, dtype=np.int64)
+        # multiple hooks may target one root; keep the smallest destination
+        np.minimum.at(parent, hi, lo)
+        # pointer jumping to full compression
+        while True:
+            nxt = parent[parent]
+            if np.array_equal(nxt, parent):
+                break
+            parent = nxt
+        comp = parent[comp]
+
+    tu, tv, tw = u[chosen], v[chosen], w[chosen]
+    return COO(np.stack([tu, tv]), tw, shape=(n, n))

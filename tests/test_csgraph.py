@@ -1,0 +1,301 @@
+"""TPU-native csgraph vs the scipy.sparse.csgraph oracle.
+
+The reference's ecosystem tests run these exact workloads through host
+scipy (``sparse/tests/test_backends.py:77-209``); here the device
+implementations (`sparse_tpu.csgraph`) are checked against scipy on the
+same graphs."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sps
+import scipy.sparse.csgraph as sp_csgraph
+
+import sparse_tpu as sparse
+from sparse_tpu import COO, csgraph
+
+
+def random_graph(n=40, density=0.1, seed=1, weighted=True, directed=True):
+    rng = np.random.default_rng(seed)
+    g = sps.random(n, n, density=density, random_state=seed, data_rvs=lambda k: rng.random(k) + 0.1)
+    g.setdiag(0)
+    g.eliminate_zeros()
+    if not weighted:
+        g.data[:] = 1.0
+    if not directed:
+        g = g.maximum(g.T)
+    return g.tocoo()
+
+
+def as_coo(g):
+    return COO.from_scipy_sparse(g)
+
+
+# ---------------------------------------------------------------------------
+# shortest paths
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("directed", [True, False])
+@pytest.mark.parametrize("method", ["BF", "D", "FW"])
+def test_shortest_path_all_pairs(method, directed):
+    g = random_graph(seed=3, directed=directed)
+    ref = sp_csgraph.shortest_path(g.tocsr(), directed=directed)
+    got = csgraph.shortest_path(as_coo(g), method=method, directed=directed)
+    np.testing.assert_allclose(got, ref, rtol=1e-12, atol=1e-12)
+
+
+def test_shortest_path_indices():
+    g = random_graph(seed=4)
+    src = np.array([0, 7, 13])
+    ref = sp_csgraph.dijkstra(g.tocsr(), indices=src)
+    got = csgraph.dijkstra(as_coo(g), indices=src)
+    np.testing.assert_allclose(got, ref, rtol=1e-12, atol=1e-12)
+
+
+def test_shortest_path_scalar_source_squeezes():
+    g = random_graph(seed=5)
+    ref = sp_csgraph.dijkstra(g.tocsr(), indices=2)
+    got = csgraph.dijkstra(as_coo(g), indices=2)
+    assert got.shape == ref.shape == (g.shape[0],)
+    np.testing.assert_allclose(got, ref)
+
+
+def test_unweighted_distances():
+    g = random_graph(seed=6, weighted=True)
+    ref = sp_csgraph.shortest_path(g.tocsr(), unweighted=True)
+    got = csgraph.bellman_ford(as_coo(g), unweighted=True)
+    np.testing.assert_allclose(got, ref)
+
+
+def test_predecessors_reconstruct_paths():
+    g = random_graph(seed=7)
+    dist, pred = csgraph.dijkstra(as_coo(g), return_predecessors=True)
+    ref = sp_csgraph.dijkstra(g.tocsr())
+    n = g.shape[0]
+    gd = g.toarray()
+    gd[gd == 0] = np.inf
+    for s in range(0, n, 7):
+        for t in range(n):
+            if s == t or not np.isfinite(dist[s, t]):
+                assert pred[s, t] == -9999
+                continue
+            # walk back via predecessors, summing edge weights
+            total, cur, hops = 0.0, t, 0
+            while cur != s:
+                p = pred[s, cur]
+                assert p >= 0
+                total += gd[p, cur]
+                cur = p
+                hops += 1
+                assert hops <= n
+            np.testing.assert_allclose(total, ref[s, t], rtol=1e-12)
+
+
+def test_negative_weights_bellman_ford():
+    row = np.array([0, 1, 2, 0])
+    col = np.array([1, 2, 3, 2])
+    w = np.array([2.0, -1.0, 1.0, 5.0])
+    g = sps.coo_matrix((w, (row, col)), shape=(4, 4))
+    ref = sp_csgraph.bellman_ford(g.tocsr(), indices=0)
+    got = csgraph.bellman_ford(as_coo(g), indices=0)
+    np.testing.assert_allclose(got, ref)
+
+
+def test_negative_cycle_raises():
+    row = np.array([0, 1, 2])
+    col = np.array([1, 2, 0])
+    w = np.array([1.0, -3.0, 1.0])
+    g = as_coo(sps.coo_matrix((w, (row, col)), shape=(3, 3)))
+    with pytest.raises(csgraph.NegativeCycleError):
+        csgraph.bellman_ford(g, indices=0)
+    with pytest.raises(csgraph.NegativeCycleError):
+        csgraph.floyd_warshall(g)
+
+
+def test_dijkstra_rejects_negative():
+    g = as_coo(sps.coo_matrix((np.array([-1.0]), (np.array([0]), np.array([1]))), shape=(2, 2)))
+    with pytest.raises(ValueError, match="non-negative"):
+        csgraph.dijkstra(g)
+
+
+def test_dijkstra_limit():
+    g = random_graph(seed=8)
+    ref = sp_csgraph.dijkstra(g.tocsr(), indices=0, limit=0.5)
+    got = csgraph.dijkstra(as_coo(g), indices=0, limit=0.5)
+    np.testing.assert_allclose(got, ref)
+
+
+def test_floyd_warshall_predecessors():
+    g = random_graph(seed=9, n=25)
+    ref_d, ref_p = sp_csgraph.floyd_warshall(g.tocsr(), return_predecessors=True)
+    got_d, got_p = csgraph.floyd_warshall(as_coo(g), return_predecessors=True)
+    np.testing.assert_allclose(got_d, ref_d)
+    # predecessor matrices may differ on ties; verify validity instead
+    n = g.shape[0]
+    gd = g.toarray()
+    gd[gd == 0] = np.inf
+    for s in range(n):
+        for t in range(n):
+            if s == t or not np.isfinite(got_d[s, t]):
+                assert got_p[s, t] == -9999
+            else:
+                p = got_p[s, t]
+                assert p >= 0
+                np.testing.assert_allclose(got_d[s, p] + gd[p, t], got_d[s, t], rtol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# BFS
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("directed", [True, False])
+def test_breadth_first_order_levels(directed):
+    g = random_graph(seed=10, weighted=False, directed=directed)
+    ref_nodes, ref_pred = sp_csgraph.breadth_first_order(
+        g.tocsr(), i_start=0, directed=directed, return_predecessors=True
+    )
+    nodes, pred = csgraph.breadth_first_order(as_coo(g), 0, directed=directed)
+    assert set(nodes.tolist()) == set(ref_nodes.tolist())
+    # levels must match even though intra-level order may differ
+    ref_levels = sp_csgraph.shortest_path(g.tocsr(), directed=directed, unweighted=True, indices=0)
+    lv = {int(v): ref_levels[int(v)] for v in nodes}
+    seq = [lv[int(v)] for v in nodes]
+    assert seq == sorted(seq)
+    for v in nodes[1:]:
+        p = pred[int(v)]
+        assert p >= 0 and ref_levels[p] + 1 == ref_levels[int(v)]
+
+
+def test_breadth_first_tree():
+    g = random_graph(seed=11, weighted=True, directed=False)
+    tree = csgraph.breadth_first_tree(as_coo(g), 0, directed=False)
+    ref_levels = sp_csgraph.shortest_path(g.tocsr(), directed=False, unweighted=True, indices=0)
+    reachable = np.isfinite(ref_levels).sum()
+    assert tree.nnz == reachable - 1
+    tu, tv = np.asarray(tree.coords[0]), np.asarray(tree.coords[1])
+    gd = g.toarray()
+    for a, b, w in zip(tu, tv, np.asarray(tree.data)):
+        assert ref_levels[a] + 1 == ref_levels[b]
+        np.testing.assert_allclose(w, gd[a, b])
+
+
+# ---------------------------------------------------------------------------
+# connected components
+# ---------------------------------------------------------------------------
+
+
+def test_connected_components_weak_matches_scipy():
+    g = random_graph(seed=12, n=60, density=0.02)
+    ref_n, ref_labels = sp_csgraph.connected_components(g.tocsr(), directed=True, connection="weak")
+    got_n, got_labels = csgraph.connected_components(as_coo(g), directed=True, connection="weak")
+    assert got_n == ref_n
+    np.testing.assert_array_equal(got_labels, ref_labels)
+
+
+def test_connected_components_undirected():
+    g = random_graph(seed=13, n=50, density=0.03, directed=False)
+    ref_n, ref_labels = sp_csgraph.connected_components(g.tocsr(), directed=False)
+    got_n, got_labels = csgraph.connected_components(as_coo(g), directed=False)
+    assert got_n == ref_n
+    np.testing.assert_array_equal(got_labels, ref_labels)
+
+
+def test_connected_components_strong():
+    g = random_graph(seed=14, n=30, density=0.06)
+    ref_n, ref_labels = sp_csgraph.connected_components(g.tocsr(), connection="strong")
+    got_n, got_labels = csgraph.connected_components(as_coo(g), connection="strong")
+    assert got_n == ref_n
+    # label values may differ (scipy uses Tarjan ordering); partition must match
+    for c in range(got_n):
+        members = got_labels == c
+        assert len(set(ref_labels[members].tolist())) == 1
+
+
+def test_connected_components_empty_graph():
+    g = COO(np.zeros((2, 0), dtype=np.int64), np.zeros(0), shape=(5, 5))
+    n, labels = csgraph.connected_components(g)
+    assert n == 5
+    np.testing.assert_array_equal(labels, np.arange(5))
+
+
+# ---------------------------------------------------------------------------
+# laplacian
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("normed", [False, True])
+def test_laplacian(normed):
+    g = random_graph(seed=15, directed=False)
+    ref = sp_csgraph.laplacian(g.tocsr(), normed=normed).toarray()
+    got = csgraph.laplacian(as_coo(g), normed=normed)
+    assert isinstance(got, COO)
+    np.testing.assert_allclose(got.todense(), ref, rtol=1e-12, atol=1e-12)
+
+
+def test_laplacian_return_diag():
+    g = random_graph(seed=16, directed=False)
+    ref, ref_d = sp_csgraph.laplacian(g.tocsr(), return_diag=True)
+    got, got_d = csgraph.laplacian(as_coo(g), return_diag=True)
+    np.testing.assert_allclose(got.todense(), ref.toarray())
+    np.testing.assert_allclose(got_d, ref_d)
+
+
+# ---------------------------------------------------------------------------
+# minimum spanning tree
+# ---------------------------------------------------------------------------
+
+
+def test_minimum_spanning_tree_matches_scipy():
+    # distinct weights -> the MST is unique, so exact comparison is valid
+    rng = np.random.default_rng(17)
+    n = 50
+    g = sps.random(n, n, density=0.15, random_state=17)
+    g.data = rng.permutation(g.data.size).astype(np.float64) + 1.0
+    g = g.maximum(g.T).tocoo()
+    ref = sp_csgraph.minimum_spanning_tree(g.tocsr())
+    got = csgraph.minimum_spanning_tree(as_coo(g))
+    assert got.nnz == ref.nnz
+    np.testing.assert_allclose(got.data.sum(), ref.data.sum())
+    # symmetrized adjacency of the two trees must be identical
+    ref_sym = (ref + ref.T).toarray()
+    got_d = got.todense()
+    np.testing.assert_allclose(got_d + got_d.T, ref_sym)
+
+
+def test_minimum_spanning_forest_disconnected():
+    # two disjoint cliques -> forest with (n1-1)+(n2-1) edges
+    b1 = np.ones((4, 4)) - np.eye(4)
+    b2 = np.ones((3, 3)) - np.eye(3)
+    dense = np.zeros((7, 7))
+    dense[:4, :4] = b1
+    dense[4:, 4:] = b2
+    ref = sp_csgraph.minimum_spanning_tree(sps.csr_matrix(dense))
+    got = csgraph.minimum_spanning_tree(COO.from_numpy(dense))
+    assert got.nnz == ref.nnz == 5
+    np.testing.assert_allclose(got.data.sum(), ref.data.sum())
+
+
+# ---------------------------------------------------------------------------
+# input formats
+# ---------------------------------------------------------------------------
+
+
+def test_accepts_gcxs_scipy_and_dense():
+    g = random_graph(seed=18)
+    ref = sp_csgraph.shortest_path(g.tocsr(), indices=0)
+    for inp in (sparse.CSR.from_scipy_sparse(g.tocsr()), g.tocsr(), g.toarray()):
+        got = csgraph.shortest_path(inp, method="BF", indices=0)
+        np.testing.assert_allclose(got, ref)
+
+
+def test_rejects_nonzero_fill():
+    g = sparse.full((3, 3), 2.5)
+    with pytest.raises(ValueError, match="zero fill"):
+        csgraph.shortest_path(g, method="BF", indices=0)
+
+
+def test_rejects_nonsquare():
+    g = sparse.random((3, 4), density=0.5)
+    with pytest.raises(ValueError, match="square"):
+        csgraph.connected_components(g)
