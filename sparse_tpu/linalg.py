@@ -22,7 +22,7 @@ from jax import lax
 
 from . import jitops
 
-__all__ = ["cg", "bicgstab", "power_iteration", "partitioned_matvec"]
+__all__ = ["cg", "bicgstab", "gmres", "power_iteration", "partitioned_matvec"]
 
 
 def partitioned_matvec(pcoo, mesh, axis_name="x"):
@@ -161,6 +161,75 @@ def bicgstab(A, b, x0=None, *, tol=1e-8, atol=0.0, maxiter=None):
     x, r, *_, rnorm, it = lax.while_loop(
         cond, body, (x, r, p, v, rho, alpha, omega, jnp.linalg.norm(r), 0)
     )
+    info = jnp.where(rnorm <= target, 0, it)
+    return x, info
+
+
+def gmres(A, b, x0=None, *, tol=1e-8, atol=0.0, restart=20, maxiter=None, M=None):
+    """Restarted GMRES(m) for general ``A``; scipy-style ``(x, info)``.
+
+    Each restart cycle runs ``restart`` Arnoldi steps (modified
+    Gram-Schmidt) and solves the small least-squares problem on the
+    Hessenberg matrix; the outer restart loop is a ``lax.while_loop``, so
+    the whole solve is one device program. ``maxiter`` counts restart
+    cycles (scipy's outer-iteration convention); ``M`` is a right
+    preconditioner: a callable ``v -> M @ v`` or a diagonal vector.
+    """
+    mv = _as_matvec(A)
+    b = jnp.asarray(b)
+    n = b.shape[0]
+    m = min(restart, n)
+    if maxiter is None:
+        maxiter = max(10 * n // m, 10)
+    if M is None:
+        psolve = lambda v: v
+    elif callable(M):
+        psolve = M
+    else:
+        m_diag = jnp.asarray(M)
+        psolve = lambda v: v / m_diag
+    x = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0)
+    target = jnp.maximum(tol * jnp.linalg.norm(b), atol)
+    eps = jnp.finfo(b.dtype).eps
+
+    def arnoldi_cycle(x):
+        r = b - mv(x)
+        beta = jnp.linalg.norm(r)
+        # guard the normalization: a converged residual produces a zero
+        # basis vector, and the cycle becomes a no-op update
+        v0 = r / jnp.where(beta > 0, beta, 1.0)
+        V0 = jnp.zeros((m + 1, n), b.dtype).at[0].set(v0)
+        H0 = jnp.zeros((m + 1, m), b.dtype)
+
+        def step(j, state):
+            V, H = state
+            w = mv(psolve(V[j]))
+            # modified Gram-Schmidt against all m+1 rows; rows > j are zero
+            # so the masked dot products contribute nothing
+            mask = (jnp.arange(m + 1) <= j).astype(b.dtype)
+            h = (V @ w) * mask
+            w = w - h @ V
+            hnext = jnp.linalg.norm(w)
+            w = w / jnp.where(hnext > eps, hnext, 1.0)
+            V = V.at[j + 1].set(jnp.where(hnext > eps, w, jnp.zeros_like(w)))
+            H = H.at[:, j].set(h).at[j + 1, j].set(hnext)
+            return V, H
+
+        V, H = lax.fori_loop(0, m, step, (V0, H0))
+        rhs = jnp.zeros(m + 1, b.dtype).at[0].set(beta)
+        y, *_ = jnp.linalg.lstsq(H, rhs)
+        return x + psolve(y @ V[:m])
+
+    def cond(state):
+        x, it = state
+        return (jnp.linalg.norm(b - mv(x)) > target) & (it < maxiter)
+
+    def body(state):
+        x, it = state
+        return arnoldi_cycle(x), it + 1
+
+    x, it = lax.while_loop(cond, body, (x, 0))
+    rnorm = jnp.linalg.norm(b - mv(x))
     info = jnp.where(rnorm <= target, 0, it)
     return x, info
 

@@ -65,6 +65,57 @@ def test_bicgstab_nonsymmetric():
     np.testing.assert_allclose(np.asarray(x), np.linalg.solve(dense, b), rtol=1e-6)
 
 
+def test_gmres_nonsymmetric():
+    rng = np.random.default_rng(7)
+    n = 60
+    M = rng.standard_normal((n, n)) * (rng.random((n, n)) < 0.15)
+    dense = M + n * np.eye(n)
+    A = sparse.COO.from_numpy(dense)
+    b = rng.standard_normal(n)
+    x, info = linalg.gmres(A, b, tol=1e-10)
+    assert int(info) == 0
+    np.testing.assert_allclose(np.asarray(x), np.linalg.solve(dense, b), rtol=1e-6)
+    x_sp, info_sp = spla.gmres(dense, b, rtol=1e-10)
+    assert info_sp == 0
+    np.testing.assert_allclose(np.asarray(x), x_sp, rtol=1e-5)
+
+
+def test_gmres_restart_and_preconditioner():
+    rng = np.random.default_rng(8)
+    n = 100
+    M = rng.standard_normal((n, n)) * (rng.random((n, n)) < 0.1)
+    dense = M + 4 * n * np.eye(n)
+    A = sparse.COO.from_numpy(dense)
+    b = rng.standard_normal(n)
+    # small restart forces multiple outer cycles; Jacobi preconditioner
+    x, info = linalg.gmres(A, b, restart=8, M=np.diag(dense), tol=1e-10)
+    assert int(info) == 0
+    np.testing.assert_allclose(np.asarray(x), np.linalg.solve(dense, b), rtol=1e-6)
+
+
+def test_gmres_whole_loop_jits_and_matrix_free():
+    rng = np.random.default_rng(9)
+    n = 50
+    dense = rng.standard_normal((n, n)) * 0.1 + n * np.eye(n)
+    b = rng.standard_normal(n)
+    dense_j = np.asarray(dense)
+    mv = lambda v: dense_j @ v
+    f = jax.jit(lambda b_: linalg.gmres(mv, b_, tol=1e-10)[0])
+    np.testing.assert_allclose(np.asarray(f(b)), np.linalg.solve(dense, b), rtol=1e-6)
+
+
+def test_gmres_converged_start_is_noop():
+    rng = np.random.default_rng(10)
+    n = 30
+    dense = rng.standard_normal((n, n)) * 0.1 + n * np.eye(n)
+    A = sparse.COO.from_numpy(dense)
+    b = rng.standard_normal(n)
+    x_exact = np.linalg.solve(dense, b)
+    x, info = linalg.gmres(A, b, x0=x_exact, tol=1e-8)
+    assert int(info) == 0
+    np.testing.assert_allclose(np.asarray(x), x_exact, rtol=1e-10)
+
+
 def test_power_iteration_dominant_pair():
     rng = np.random.default_rng(5)
     n = 70
