@@ -116,6 +116,68 @@ def test_gmres_converged_start_is_noop():
     np.testing.assert_allclose(np.asarray(x), x_exact, rtol=1e-10)
 
 
+def test_eigsh_matches_scipy(spd):
+    A, dense = spd
+    vals, vecs = linalg.eigsh(A, k=4)
+    ref = np.sort(np.linalg.eigvalsh(dense))[-4:]
+    np.testing.assert_allclose(np.asarray(vals), ref, rtol=1e-8)
+    # Ritz vectors: A v = lambda v
+    for i in range(4):
+        v = np.asarray(vecs[:, i])
+        np.testing.assert_allclose(dense @ v, float(vals[i]) * v, rtol=1e-6, atol=1e-8)
+    vals_sp = spla.eigsh(dense, k=4, return_eigenvectors=False)
+    np.testing.assert_allclose(np.asarray(vals), np.sort(vals_sp), rtol=1e-7)
+
+
+def test_eigsh_smallest(spd):
+    A, dense = spd
+    vals, _ = linalg.eigsh(A, k=3, which="SA", ncv=dense.shape[0])
+    ref = np.sort(np.linalg.eigvalsh(dense))[:3]
+    np.testing.assert_allclose(np.asarray(vals), ref, rtol=1e-7)
+
+
+def test_eigsh_largest_magnitude_indefinite():
+    rng = np.random.default_rng(11)
+    n = 60
+    B = rng.standard_normal((n, n)) * (rng.random((n, n)) < 0.2)
+    dense = (B + B.T) / 2  # symmetric indefinite
+    A = sparse.COO.from_numpy(dense)
+    vals, _ = linalg.eigsh(A, k=3, which="LM", ncv=n)
+    ew = np.linalg.eigvalsh(dense)
+    ref = np.sort(ew[np.argsort(np.abs(ew))[-3:]])
+    np.testing.assert_allclose(np.asarray(vals), ref, rtol=1e-7)
+
+
+def test_svds_matches_scipy():
+    rng = np.random.default_rng(12)
+    m, n = 80, 50
+    dense = rng.standard_normal((m, n)) * (rng.random((m, n)) < 0.15)
+    A = sparse.COO.from_numpy(dense)
+    U, s, Vh = linalg.svds(A, k=3, ncv=n)
+    ref = np.sort(np.linalg.svd(dense, compute_uv=False))[-3:]
+    np.testing.assert_allclose(np.asarray(s), ref, rtol=1e-7)
+    # factorization property on the leading triplets
+    for i in range(3):
+        np.testing.assert_allclose(
+            dense @ np.asarray(Vh[i]),
+            float(s[i]) * np.asarray(U[:, i]),
+            rtol=1e-6,
+            atol=1e-8,
+        )
+
+
+def test_eigsh_gcxs_and_validation(spd):
+    A, dense = spd
+    g = GCXS.from_coo(A)
+    vals, _ = linalg.eigsh(g, k=2)
+    ref = np.sort(np.linalg.eigvalsh(dense))[-2:]
+    np.testing.assert_allclose(np.asarray(vals), ref, rtol=1e-8)
+    with pytest.raises(ValueError, match="k must be"):
+        linalg.eigsh(A, k=dense.shape[0])
+    with pytest.raises(ValueError, match="which"):
+        linalg.eigsh(A, k=2, which="XX")
+
+
 def test_power_iteration_dominant_pair():
     rng = np.random.default_rng(5)
     n = 70
