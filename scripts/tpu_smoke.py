@@ -148,8 +148,57 @@ def main():
     db = np.zeros((200, 250)); db[rb, cb] = vb
     ok &= check("esc_spgemm (traceable)", got, da @ db, tol=1e-3)
 
+    # csgraph device loops (min-plus relaxation / label propagation)
+    import scipy.sparse as sps
+    import scipy.sparse.csgraph as sp_csgraph
+
+    from sparse_tpu import COO, csgraph, linalg
+
+    gs = sps.random(1500, 1500, density=0.004, random_state=3, data_rvs=lambda k: rng.random(k).astype(np.float32) + 0.1)
+    gs.setdiag(0)
+    gs.eliminate_zeros()
+    gcoo = COO.from_scipy_sparse(gs.tocoo())
+    ref_d = sp_csgraph.dijkstra(gs.tocsr(), indices=[0, 5, 11])
+    got_d = csgraph.dijkstra(gcoo, indices=np.array([0, 5, 11]))
+    fin = np.isfinite(ref_d)
+    ok &= check("csgraph bellman-ford dists", np.where(fin, got_d, 0), np.where(fin, ref_d, 0), tol=1e-4)
+    ok &= check("csgraph reach mask", np.isfinite(got_d), fin, tol=0.5)
+    rn, rl = sp_csgraph.connected_components(gs.tocsr(), connection="weak")
+    gn, gl = csgraph.connected_components(gcoo, connection="weak")
+    ok &= check("csgraph components", np.array([gn] + list(gl)), np.array([rn] + list(rl)), tol=0.5)
+
+    # linalg whole-loop solvers on device (f32)
+    lap = sp_csgraph.laplacian((gs + gs.T).tocsr()).tocoo()
+    Asolve = COO.from_scipy_sparse((lap + 0.5 * sps.eye(1500)).tocoo().astype(np.float32))
+    bvec = rng.random(1500, dtype=np.float32)
+    # expected vector is [1, 1] so the relative-error check is meaningful
+    # (info and residual are shifted by 1: converged == exactly 1.0)
+    xs, info = linalg.cg(Asolve, jnp.asarray(bvec), tol=1e-5)
+    res = np.asarray(sparse_residual(Asolve, xs, bvec))
+    ok &= check("linalg.cg f32 solve", np.array([1.0 + float(info), 1.0 + res]), np.array([1.0, 1.0]), tol=2e-4)
+    xg, infog = linalg.gmres(Asolve, jnp.asarray(bvec), tol=1e-4, restart=30)
+    resg = np.asarray(sparse_residual(Asolve, xg, bvec))
+    ok &= check("linalg.gmres f32 solve", np.array([1.0 + float(infog), 1.0 + resg]), np.array([1.0, 1.0]), tol=2e-3)
+    evals, _ = linalg.eigsh(Asolve, k=2, ncv=40)
+    ref_ev = np.sort(spla_eigsh_top2(lap, 0.5))
+    ok &= check("linalg.eigsh f32", np.asarray(evals), ref_ev, tol=1e-2)
+
     print("ALL OK" if ok else "FAILURES PRESENT")
     sys.exit(0 if ok else 1)
+
+
+def sparse_residual(A, x, b):
+    """||Ax - b|| / ||b|| via the dense oracle on host."""
+    Ad = A.todense().astype(np.float64)
+    return np.linalg.norm(Ad @ np.asarray(x, np.float64) - b) / np.linalg.norm(b)
+
+
+def spla_eigsh_top2(lap, shift):
+    import scipy.sparse as sps
+    import scipy.sparse.linalg as spla
+
+    shifted = (lap + shift * sps.eye(lap.shape[0])).tocsr()
+    return spla.eigsh(shifted, k=2, return_eigenvectors=False)
 
 
 if __name__ == "__main__":

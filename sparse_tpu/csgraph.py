@@ -45,6 +45,16 @@ class NegativeCycleError(Exception):
     """Raised when a negative-weight cycle is reachable in shortest-path routines."""
 
 
+def _device_float():
+    """f64 on the CPU backend (numpy-parity eager semantics); f32 on
+    accelerators, where XLA:TPU has no native f64."""
+    return jnp.float64 if jax.default_backend() == "cpu" else jnp.float32
+
+
+def _device_int():
+    return jnp.int64 if jax.default_backend() == "cpu" else jnp.int32
+
+
 def _graph_triplet(csgraph, *, directed=True, unweighted=False):
     """Normalize any graph input to host ``(rows, cols, weights, n)``.
 
@@ -151,20 +161,16 @@ def _shortest_path_bf(
         pass
     sources, _scalar = _prepare_sources(indices, n)
     k = sources.shape[0]
-    dist0 = np.full((k, n), np.inf)
+    fdt, idt = _device_float(), _device_int()
+    dist0 = np.full((k, n), np.inf, dtype=fdt)
     dist0[np.arange(k), sources] = 0.0
+    rj, cj = jnp.asarray(rows, dtype=idt), jnp.asarray(cols, dtype=idt)
+    wj = jnp.asarray(w, dtype=fdt)
     if rows.size == 0:
         dist = jnp.asarray(dist0)
         has_neg = False
     else:
-        dist, has_neg = _bellman_ford_device(
-            jnp.asarray(rows),
-            jnp.asarray(cols),
-            jnp.asarray(w),
-            jnp.asarray(dist0),
-            n=n,
-            maxiter=n + 1,
-        )
+        dist, has_neg = _bellman_ford_device(rj, cj, wj, jnp.asarray(dist0), n=n, maxiter=n + 1)
         has_neg = bool(has_neg)
     if check_negative and has_neg:
         raise NegativeCycleError("negative-weight cycle detected in the graph")
@@ -175,12 +181,7 @@ def _shortest_path_bf(
             pred = jnp.asarray(pred)
         else:
             pred = _predecessors_device(
-                jnp.asarray(rows),
-                jnp.asarray(cols),
-                jnp.asarray(w),
-                dist,
-                jnp.asarray(sources),
-                n=n,
+                rj, cj, wj, dist, jnp.asarray(sources, dtype=idt), n=n
             )
         return np.asarray(dist), np.asarray(pred)
     return np.asarray(dist)
@@ -309,7 +310,7 @@ def floyd_warshall(csgraph, directed=True, return_predecessors=False, unweighted
     Raises :class:`NegativeCycleError` if any diagonal entry goes negative.
     """
     rows, cols, w, n = _graph_triplet(csgraph, directed=directed, unweighted=unweighted)
-    d0 = np.full((n, n), np.inf)
+    d0 = np.full((n, n), np.inf, dtype=_device_float())
     # parallel edges keep the lightest weight
     np.minimum.at(d0, (rows, cols), w)
     np.fill_diagonal(d0, np.minimum(np.diag(d0), 0.0))
@@ -397,7 +398,7 @@ def _label_propagation_device(rows, cols, *, n):
         new = jnp.minimum(labels, best)
         return new, jnp.any(new < labels)
 
-    labels0 = jnp.arange(n, dtype=jnp.int64)
+    labels0 = jnp.arange(n, dtype=rows.dtype)
     labels, _ = lax.while_loop(cond, body, (labels0, jnp.bool_(True)))
     return labels
 
@@ -419,8 +420,11 @@ def connected_components(csgraph, directed=True, connection="weak", return_label
         if rows.size == 0:
             labels = np.arange(n, dtype=np.int64)
         else:
+            idt = _device_int()
             labels = np.asarray(
-                _label_propagation_device(jnp.asarray(rows), jnp.asarray(cols), n=n)
+                _label_propagation_device(
+                    jnp.asarray(rows, dtype=idt), jnp.asarray(cols, dtype=idt), n=n
+                )
             )
     # representative = smallest node id in the component, so ascending
     # representative order == first-occurrence order (scipy's labeling)
@@ -448,8 +452,11 @@ def _strong_components(csgraph):
     if n == 0:
         return np.arange(0, dtype=np.int64)
     rounds = max(int(np.ceil(np.log2(max(n, 2)))), 1)
+    idt = _device_int()
     reach = np.asarray(
-        _closure_device(jnp.asarray(rows), jnp.asarray(cols), n=n, rounds=rounds)
+        _closure_device(
+            jnp.asarray(rows, dtype=idt), jnp.asarray(cols, dtype=idt), n=n, rounds=rounds
+        )
     )
     strong = reach & reach.T
     return np.argmax(strong, axis=1).astype(np.int64)  # smallest mutual node id

@@ -225,18 +225,33 @@ def gmres(A, b, x0=None, *, tol=1e-8, atol=0.0, restart=20, maxiter=None, M=None
 
         V, H = lax.fori_loop(0, m, step, (V0, H0))
         rhs = jnp.zeros(m + 1, b.dtype).at[0].set(beta)
-        y, *_ = jnp.linalg.lstsq(H, rhs)
-        return x + psolve(y @ V[:m])
+        # least squares via reduced QR + triangular solve, not lstsq: the
+        # SVD custom call inside a while_loop crashes libtpu's
+        # TransposeFolding pass (null-buffer check), and QR also hands us
+        # the residual norm for free: ||rhs||^2 - ||Q^T rhs||^2
+        Q, R = jnp.linalg.qr(H)
+        qtr = Q.T @ rhs
+        rdiag = jnp.abs(jnp.diagonal(R))
+        # happy breakdown leaves trailing zero columns; a tiny ridge on the
+        # dead diagonal entries keeps the solve finite (qtr is ~0 there)
+        ridge = jnp.where(rdiag > eps * jnp.maximum(jnp.max(rdiag), 1.0), 0.0, 1.0)
+        y = jax.scipy.linalg.solve_triangular(R + jnp.diag(ridge), qtr, lower=False)
+        rnorm = jnp.sqrt(jnp.maximum(jnp.vdot(rhs, rhs) - jnp.vdot(qtr, qtr), 0.0))
+        # the new residual norm is the small-problem LS residual (GMRES
+        # identity); carrying it keeps the while cond a scalar compare
+        return x + psolve(y @ V[:m]), rnorm
 
     def cond(state):
-        x, it = state
-        return (jnp.linalg.norm(b - mv(x)) > target) & (it < maxiter)
+        *_, rnorm, it = state
+        return (rnorm > target) & (it < maxiter)
 
     def body(state):
-        x, it = state
-        return arnoldi_cycle(x), it + 1
+        x, _, it = state
+        x, rnorm = arnoldi_cycle(x)
+        return x, rnorm, it + 1
 
-    x, it = lax.while_loop(cond, body, (x, 0))
+    r0 = jnp.linalg.norm(b - mv(x))
+    x, _, it = lax.while_loop(cond, body, (x, r0, 0))
     rnorm = jnp.linalg.norm(b - mv(x))
     info = jnp.where(rnorm <= target, 0, it)
     return x, info
