@@ -28,6 +28,9 @@ __all__ = [
     "gmres",
     "eigsh",
     "svds",
+    "expm_multiply",
+    "norm",
+    "spsolve",
     "power_iteration",
     "partitioned_matvec",
 ]
@@ -212,11 +215,16 @@ def gmres(A, b, x0=None, *, tol=1e-8, atol=0.0, restart=20, maxiter=None, M=None
         def step(j, state):
             V, H = state
             w = mv(psolve(V[j]))
-            # modified Gram-Schmidt against all m+1 rows; rows > j are zero
-            # so the masked dot products contribute nothing
+            # CGS2: classical Gram-Schmidt with one correction pass — a
+            # single pass loses orthogonality by O(kappa) per step and the
+            # basis degenerates well before m ~ 50; rows > j are zero so
+            # the masked dot products contribute nothing
             mask = (jnp.arange(m + 1) <= j).astype(b.dtype)
             h = (V @ w) * mask
             w = w - h @ V
+            h2 = (V @ w) * mask
+            w = w - h2 @ V
+            h = h + h2
             hnext = jnp.linalg.norm(w)
             w = w / jnp.where(hnext > eps, hnext, 1.0)
             V = V.at[j + 1].set(jnp.where(hnext > eps, w, jnp.zeros_like(w)))
@@ -362,6 +370,113 @@ def svds(A, k=6, *, ncv=None, key=None):
     AV = jnp.stack([mv(V[:, i]) for i in range(k)], axis=1)
     U = AV / jnp.where(s > 0, s, 1.0)[None, :]
     return U, s, V.T
+
+
+def expm_multiply(A, b, *, t=1.0, m=30):
+    """``exp(t A) @ b`` without forming the (dense) matrix exponential.
+
+    Krylov approximation: build an ``m``-step Arnoldi basis of ``A`` at
+    ``b`` (device fori-loop, modified Gram-Schmidt) and lift the small
+    Hessenberg exponential back: ``||b|| · V exp(t H) e1`` — the standard
+    polynomial-Krylov scheme. Exact when ``m >= n``; raise ``m`` for large
+    ``|t| * ||A||``. Works for general (nonsymmetric) ``A``; the matrix
+    may be a sparse pytree or a matvec callable (pass ``n`` implicitly via
+    ``b``).
+    """
+    mv = _as_matvec(A)
+    b = jnp.asarray(b)
+    n = b.shape[0]
+    m = min(m, n)
+    beta = jnp.linalg.norm(b)
+    eps = jnp.finfo(b.dtype).eps
+    v0 = b / jnp.where(beta > 0, beta, 1.0)
+    V0 = jnp.zeros((m + 1, n), b.dtype).at[0].set(v0)
+    H0 = jnp.zeros((m + 1, m), b.dtype)
+
+    def step(j, state):
+        V, H = state
+        w = mv(V[j])
+        # CGS2 (see gmres): one correction pass keeps the basis orthonormal
+        mask = (jnp.arange(m + 1) <= j).astype(b.dtype)
+        h = (V @ w) * mask
+        w = w - h @ V
+        h2 = (V @ w) * mask
+        w = w - h2 @ V
+        h = h + h2
+        hnext = jnp.linalg.norm(w)
+        w = w / jnp.where(hnext > eps, hnext, 1.0)
+        V = V.at[j + 1].set(jnp.where(hnext > eps, w, jnp.zeros_like(w)))
+        H = H.at[:, j].set(h).at[j + 1, j].set(hnext)
+        return V, H
+
+    V, H = lax.fori_loop(0, m, step, (V0, H0))
+    # small dense exponential (Pade + scaling-squaring on device)
+    eHt = jax.scipy.linalg.expm(t * H[:m, :m])
+    return beta * (eHt[:, 0] @ V[:m])
+
+
+def norm(A, ord="fro", axis=None):
+    """Matrix/vector norm of a sparse array (scipy.sparse.linalg.norm parity).
+
+    ``ord``: 'fro' (default), 1, inf, or 0-like variants over an ``axis``.
+    Requires zero fill (norms of a nonzero-fill array densify).
+    """
+    import numpy as np
+
+    from .core.base import SparseArray
+    from .ops.common import asCOO
+
+    if not isinstance(A, SparseArray):
+        raise TypeError("norm expects a sparse array")
+    if not np.asarray(A.fill_value)[()] == 0:
+        raise ValueError("norm requires a zero fill value")
+    coo = asCOO(A)
+    data = np.asarray(coo.data)
+    if axis is None:
+        if ord in ("fro", "f", None, 2) and coo.ndim != 1:
+            return float(np.sqrt((np.abs(data) ** 2).sum()))
+        if coo.ndim == 1:
+            if ord in (None, 2, "fro", "f"):
+                return float(np.sqrt((np.abs(data) ** 2).sum()))
+            if ord == 1:
+                return float(np.abs(data).sum())
+            if ord == np.inf:
+                return float(np.abs(data).max(initial=0.0))
+            raise ValueError(f"invalid norm order {ord!r} for vectors")
+        if coo.ndim != 2:
+            raise ValueError("matrix norms require a 2-D array")
+        if ord == 1:  # max column sum
+            return float(abs(coo).sum(axis=0).todense().max(initial=0.0))
+        if ord == np.inf:  # max row sum
+            return float(abs(coo).sum(axis=1).todense().max(initial=0.0))
+        raise ValueError(f"invalid norm order {ord!r}")
+    # axis-wise reductions return dense vectors like scipy
+    if ord in (None, 2, "fro", "f"):
+        return np.sqrt((abs(coo) ** 2).sum(axis=axis).todense())
+    if ord == 1:
+        return abs(coo).sum(axis=axis).todense()
+    if ord == np.inf:
+        return abs(coo).max(axis=axis).todense()
+    raise ValueError(f"invalid norm order {ord!r}")
+
+
+def spsolve(A, b):
+    """Direct solve ``A x = b`` via the host sparse LU (SuperLU through
+    scipy) — the eager-path bridge for small/medium systems.
+
+    The reference reaches ``spsolve`` only by duck-typing into scipy
+    (``sparse/tests/test_backends.py:88-95``); this wrapper makes the same
+    workflow first-class. For large systems prefer the device-native
+    iterative solvers (:func:`cg`, :func:`gmres`, :func:`bicgstab`).
+    """
+    import numpy as np
+    import scipy.sparse.linalg as spla
+
+    from .core.base import SparseArray
+
+    if not isinstance(A, SparseArray):
+        raise TypeError("spsolve expects a sparse array")
+    return spla.spsolve(A.to_scipy_sparse().tocsr(), np.asarray(b))
 
 
 def _eigsh_callable(op, n, k, *, ncv=None, key=None, dtype=jnp.float64):

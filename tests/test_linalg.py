@@ -178,6 +178,66 @@ def test_eigsh_gcxs_and_validation(spd):
         linalg.eigsh(A, k=2, which="XX")
 
 
+def test_expm_multiply_matches_scipy():
+    rng = np.random.default_rng(13)
+    n = 60
+    dense = rng.standard_normal((n, n)) * (rng.random((n, n)) < 0.1) * 0.3
+    A = sparse.COO.from_numpy(dense)
+    b = rng.standard_normal(n)
+    got = linalg.expm_multiply(A, b, m=n)
+    ref = spla.expm_multiply(scipy_csr(dense), b)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-8)
+    # scaled time, truncated Krylov
+    got_t = linalg.expm_multiply(A, b, t=0.5, m=40)
+    ref_t = spla.expm_multiply(0.5 * scipy_csr(dense), b)
+    np.testing.assert_allclose(np.asarray(got_t), ref_t, rtol=1e-6)
+
+
+def test_expm_multiply_long_krylov_stays_orthogonal():
+    # regression: single-pass classical Gram-Schmidt lost orthogonality by
+    # m≈80 on a graph Laplacian and exp(tH) blew up by 1e15; CGS2 holds
+    import scipy.sparse as sps
+
+    from sparse_tpu import csgraph
+
+    g = sps.random(200, 200, density=0.04, random_state=5)
+    g = g.maximum(g.T)
+    L = csgraph.laplacian(sparse.COO.from_scipy_sparse(g.tocoo()))
+    sig = np.random.default_rng(0).standard_normal(200)
+    got = linalg.expm_multiply(L, sig, t=-1.0, m=80)
+    ref = spla.expm_multiply(-1.0 * L.to_scipy_sparse().tocsr(), sig)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-6, atol=1e-10)
+
+
+def scipy_csr(dense):
+    import scipy.sparse
+
+    return scipy.sparse.csr_matrix(dense)
+
+
+def test_norm_matches_scipy():
+    rng = np.random.default_rng(14)
+    dense = rng.standard_normal((40, 30)) * (rng.random((40, 30)) < 0.2)
+    A = sparse.COO.from_numpy(dense)
+    s = scipy_csr(dense)
+    np.testing.assert_allclose(linalg.norm(A), spla.norm(s))
+    np.testing.assert_allclose(linalg.norm(A, 1), spla.norm(s, 1))
+    np.testing.assert_allclose(linalg.norm(A, np.inf), spla.norm(s, np.inf))
+    np.testing.assert_allclose(linalg.norm(A, 1, axis=0), spla.norm(s, 1, axis=0))
+    np.testing.assert_allclose(linalg.norm(A, np.inf, axis=1), spla.norm(s, np.inf, axis=1))
+    with pytest.raises(ValueError, match="zero fill"):
+        linalg.norm(sparse.full((3, 3), 1.0))
+
+
+def test_spsolve_bridge(spd):
+    A, dense = spd
+    b = np.random.default_rng(15).standard_normal(dense.shape[0])
+    x = linalg.spsolve(A, b)
+    np.testing.assert_allclose(x, np.linalg.solve(dense, b), rtol=1e-8)
+    g = GCXS.from_coo(A)
+    np.testing.assert_allclose(linalg.spsolve(g, b), x, rtol=1e-10)
+
+
 def test_power_iteration_dominant_pair():
     rng = np.random.default_rng(5)
     n = 70
