@@ -132,9 +132,23 @@ def check_fill_value(arr, accept_fv, func_name=""):
 
 
 def check_zero_fill_value(*args, func_name=""):
+    # fill_value is immutable after construction, so the bitwise zero test
+    # is memoized per instance — this check guards every matmul/dot call
+    # and the broadcast machinery in `equivalent` is measurable at eager
+    # call rates
     for arr in args:
         if hasattr(arr, "fill_value"):
-            check_fill_value(arr, 0, func_name=func_name)
+            ok = getattr(arr, "_fv_is_zero_memo", None)
+            if ok is None:
+                ok = bool(np.all(equivalent(arr.fill_value, 0)))
+                try:
+                    arr._fv_is_zero_memo = ok
+                except AttributeError:
+                    pass
+            if not ok:
+                raise ValueError(
+                    f"{func_name or 'This operation'} requires a fill value in [0], got {arr.fill_value!s}."
+                )
 
 
 def check_consistent_fill_value(arrays):

@@ -213,8 +213,19 @@ def _broadcast_batched(x, shape):
 
 def _has_nan(x):
     if isinstance(x, SparseArray):
-        data = np.asarray(getattr(x, "data", np.empty(0)))
-        return bool(np.issubdtype(data.dtype, np.floating) and np.isnan(data).any())
+        data = getattr(x, "data", None)
+        # memoized per (instance, data buffer): the NaN warning scan reads
+        # all of `data` on every matmul otherwise
+        memo = getattr(x, "_nan_memo", None)
+        if memo is not None and memo[0] is data:
+            return memo[1]
+        arr = np.asarray(data) if data is not None else np.empty(0)
+        res = bool(np.issubdtype(arr.dtype, np.floating) and np.isnan(arr).any())
+        try:
+            x._nan_memo = (data, res)
+        except AttributeError:
+            pass
+        return res
     x = np.asarray(x)
     return bool(np.issubdtype(x.dtype, np.floating) and np.isnan(x).any())
 
@@ -234,6 +245,15 @@ def dot(a, b):
             return res.todense()[()] if isinstance(res, SparseArray) else res
         res = (b * a).sum()
         return res.todense()[()] if isinstance(res, SparseArray) else res
+
+    # 2-D fast paths: skip tensordot's transpose/reshape generality (all
+    # no-ops for already-2-D operands) and dispatch straight to the kernel —
+    # eager matvec/matmul call rates make the wrapper chain measurable
+    if a.ndim == 2 and b.ndim in (1, 2) and a.shape[1] == b.shape[0]:
+        if isinstance(a, SparseArray) and isinstance(b, np.ndarray):
+            return _dot(a, b)
+        if isinstance(a, np.ndarray) and isinstance(b, SparseArray) and b.ndim == 2:
+            return _dot(a, b)
 
     a_axis = -1
     b_axis = -2
@@ -395,7 +415,17 @@ def _spmm_dense_native(a, b):
     if isinstance(a, COO) and a.ndim == 2:
         coords = np.asarray(a.coords)
         data = np.asarray(a.data).astype(dt, copy=False)
-        indptr = build_indptr(coords[0], a.shape[0])
+        # memoize the row indptr on the (canonical, immutable) COO: solver
+        # loops and repeated eager matmuls hit the same matrix every call
+        memo = getattr(a, "_indptr_memo", None)
+        if memo is not None and memo[0] is a.coords:
+            indptr = memo[1]
+        else:
+            indptr = build_indptr(coords[0], a.shape[0])
+            try:
+                a._indptr_memo = (a.coords, indptr)
+            except AttributeError:
+                pass
         return _native_eager.csr_spmm_dense(indptr, coords[1], data, b, a.shape[0])
     return None
 
