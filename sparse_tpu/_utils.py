@@ -52,6 +52,12 @@ def equivalent(x, y, /, loose=False):
 
     # single-pass bit compare through a matching-width unsigned view
     bits = {2: np.uint16, 4: np.uint32, 8: np.uint64}[np.dtype(dt).itemsize]
+    if y.ndim == 0:
+        # scalar rhs (the `_prune`/fill-check shape): one vectorized compare
+        # against the scalar's bit pattern, no broadcast materialization
+        xb = np.ascontiguousarray(x.astype(dt, copy=False))
+        yb = y.astype(dt).reshape(1).view(bits)[0]
+        return xb.view(bits) == yb
     shape = np.broadcast_shapes(x.shape, y.shape)
     xb = np.ascontiguousarray(np.broadcast_to(x.astype(dt), shape))
     yb = np.ascontiguousarray(np.broadcast_to(y.astype(dt), shape))
