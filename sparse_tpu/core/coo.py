@@ -450,7 +450,12 @@ class COO(SparseArray):
             # canonical row-major order IS csr order: indptr is one bincount
             from ..native import build_indptr
 
-            indptr = build_indptr(coords[0], self.shape[0])
+            memo = getattr(self, "_indptr_memo", None)
+            if memo is not None and memo[0] is self.coords:
+                indptr = memo[1]
+            else:
+                indptr = build_indptr(coords[0], self.shape[0])
+                self._indptr_memo = (self.coords, indptr)
             indices = coords[1]
             if indices.dtype.itemsize < 4:
                 indices = indices.astype(np.int32)
@@ -522,9 +527,14 @@ class COO(SparseArray):
                 src = np.asarray(self.coords)
                 res = _eager.transpose2d(src[0], src[1], np.asarray(self.data), self.shape[1])
                 if res is not None:
-                    _, rows_t, cols_t, vals = res
+                    indptr_t, rows_t, cols_t, vals = res
                     new_coords = np.stack([rows_t, cols_t]).astype(src.dtype, copy=False)
-                    return COO._make(new_coords, vals, shape, self.fill_value)
+                    out = COO._make(new_coords, vals, shape, self.fill_value)
+                    # the counting scatter computed the result's row indptr
+                    # as a byproduct — seed the memo so tocsr()/matmul skip
+                    # rebuilding it
+                    out._indptr_memo = (out.coords, indptr_t)
+                    return out
             coords = np.asarray(self.coords)[list(axes), :]
             # coords are known in-bounds and dedup'd; only the re-sort is
             # needed — skip the ctor's validation passes via the native
