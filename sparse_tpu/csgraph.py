@@ -30,6 +30,7 @@ from jax import lax
 __all__ = [
     "NegativeCycleError",
     "bellman_ford",
+    "bellman_ford_partitioned",
     "breadth_first_order",
     "breadth_first_tree",
     "connected_components",
@@ -280,6 +281,86 @@ def shortest_path(
             unweighted=unweighted,
         )
     raise ValueError(f"unknown method {method!r}; expected 'auto', 'FW', 'BF', or 'D'")
+
+
+@functools.cache
+def _bellman_ford_sharded_fn(mesh, axis_name, n, maxiter):
+    from jax.sharding import PartitionSpec as P
+
+    def local(rows_l, cols_l, w_l, dist0):
+        # rows/cols/w: this device's edge shard; dist: replicated (k, n).
+        # Each relaxation round is a local segment-min over the shard's
+        # edges followed by one pmin across the mesh — the distributed
+        # min-plus SpMV. Padding edges carry +inf weights (min no-ops).
+        def relax(dist):
+            cand = dist[:, rows_l] + w_l[None, :]
+            best = jax.ops.segment_min(cand.T, cols_l, num_segments=n)
+            best = lax.pmin(best, axis_name)
+            return jnp.minimum(dist, best.T)
+
+        def cond(state):
+            _, changed, it = state
+            return changed & (it < maxiter)
+
+        def body(state):
+            dist, _, it = state
+            new = relax(dist)
+            # dist is replicated after pmin, so `changed` agrees everywhere
+            return new, jnp.any(new < dist), it + 1
+
+        dist, _, _ = lax.while_loop(cond, body, (dist0, jnp.bool_(True), 0))
+        has_neg = jnp.any(relax(dist) < dist)
+        return dist, has_neg
+
+    return jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(axis_name), P(axis_name), P(axis_name), P()),
+            out_specs=(P(), P()),
+        )
+    )
+
+
+def bellman_ford_partitioned(
+    csgraph, mesh, *, indices=None, directed=True, unweighted=False,
+    return_predecessors=False, axis_name="x",
+):
+    """Multi-source Bellman-Ford with the edge list partitioned across a
+    device mesh.
+
+    Each device relaxes its edge shard (local segment-min) and the shards
+    combine with one ``pmin`` per round; the whole iteration runs inside a
+    single ``shard_map``-ped ``lax.while_loop``. The distance matrix stays
+    replicated — the partitioned axis is nnz, which is where graph scale
+    lives. Results match :func:`bellman_ford` exactly.
+    """
+    rows, cols, w, n = _graph_triplet(csgraph, directed=directed, unweighted=unweighted)
+    sources, _ = _prepare_sources(indices, n)
+    k = sources.shape[0]
+    fdt, idt = _device_float(), _device_int()
+    n_dev = int(np.prod([mesh.shape[a] for a in (axis_name if isinstance(axis_name, tuple) else (axis_name,))]))
+    cap = max(-(-rows.size // n_dev), 1)
+    pad = cap * n_dev - rows.size
+    rows_p = np.concatenate([rows, np.zeros(pad, dtype=rows.dtype)]).astype(idt)
+    cols_p = np.concatenate([cols, np.zeros(pad, dtype=cols.dtype)]).astype(idt)
+    w_p = np.concatenate([w, np.full(pad, np.inf)]).astype(fdt)
+    dist0 = np.full((k, n), np.inf, dtype=fdt)
+    dist0[np.arange(k), sources] = 0.0
+
+    f = _bellman_ford_sharded_fn(mesh, axis_name, n, n + 1)
+    dist, has_neg = f(jnp.asarray(rows_p), jnp.asarray(cols_p), jnp.asarray(w_p), jnp.asarray(dist0))
+    if bool(has_neg):
+        raise NegativeCycleError("negative-weight cycle detected in the graph")
+    if return_predecessors:
+        pred = _predecessors_device(
+            jnp.asarray(rows.astype(idt)), jnp.asarray(cols.astype(idt)),
+            jnp.asarray(w.astype(fdt)), dist, jnp.asarray(sources.astype(idt)), n=n,
+        )
+        out = (np.asarray(dist), np.asarray(pred))
+    else:
+        out = np.asarray(dist)
+    return _squeeze_sources(out, indices, return_predecessors)
 
 
 # ---------------------------------------------------------------------------

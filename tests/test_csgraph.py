@@ -277,6 +277,42 @@ def test_minimum_spanning_forest_disconnected():
 
 
 # ---------------------------------------------------------------------------
+# partitioned (mesh-sharded) relaxation
+# ---------------------------------------------------------------------------
+
+
+def test_bellman_ford_partitioned_matches_single_device():
+    from sparse_tpu.parallel import make_mesh
+
+    mesh = make_mesh(8)
+    g = random_graph(seed=21, n=80, density=0.05)
+    A = as_coo(g)
+    src = np.array([0, 3, 9])
+    ref = csgraph.bellman_ford(A, indices=src)
+    got = csgraph.bellman_ford_partitioned(A, mesh, indices=src)
+    np.testing.assert_array_equal(got, ref)
+    # predecessors + scalar-source squeeze
+    d1, p1 = csgraph.bellman_ford_partitioned(A, mesh, indices=2, return_predecessors=True)
+    d2, p2 = csgraph.bellman_ford(A, indices=2, return_predecessors=True)
+    np.testing.assert_array_equal(d1, d2)
+    np.testing.assert_array_equal(p1, p2)
+
+
+def test_bellman_ford_partitioned_negative_cycle():
+    from sparse_tpu.parallel import make_mesh
+
+    import scipy.sparse as sps2
+
+    mesh = make_mesh(8)
+    row = np.array([0, 1, 2])
+    col = np.array([1, 2, 0])
+    w = np.array([1.0, -3.0, 1.0])
+    g = as_coo(sps2.coo_matrix((w, (row, col)), shape=(3, 3)))
+    with pytest.raises(csgraph.NegativeCycleError):
+        csgraph.bellman_ford_partitioned(g, mesh, indices=0)
+
+
+# ---------------------------------------------------------------------------
 # input formats
 # ---------------------------------------------------------------------------
 
