@@ -34,11 +34,16 @@ __all__ = [
     "breadth_first_order",
     "breadth_first_tree",
     "connected_components",
+    "depth_first_order",
+    "depth_first_tree",
     "dijkstra",
     "floyd_warshall",
     "laplacian",
+    "maximum_bipartite_matching",
     "minimum_spanning_tree",
+    "reverse_cuthill_mckee",
     "shortest_path",
+    "structural_rank",
 ]
 
 
@@ -56,7 +61,7 @@ def _device_int():
     return jnp.int64 if jax.default_backend() == "cpu" else jnp.int32
 
 
-def _graph_triplet(csgraph, *, directed=True, unweighted=False):
+def _graph_triplet(csgraph, *, directed=True, unweighted=False, square=True):
     """Normalize any graph input to host ``(rows, cols, weights, n)``.
 
     Accepts sparse_tpu arrays (any format), scipy sparse, or a dense
@@ -75,7 +80,7 @@ def _graph_triplet(csgraph, *, directed=True, unweighted=False):
         rows, cols = np.asarray(coo.coords[0]), np.asarray(coo.coords[1])
         w = np.asarray(coo.data, dtype=np.float64)
         n = coo.shape[0]
-        if coo.ndim != 2 or coo.shape[0] != coo.shape[1]:
+        if coo.ndim != 2 or (square and coo.shape[0] != coo.shape[1]):
             raise ValueError(f"csgraph requires a square 2-D adjacency matrix, got {coo.shape}")
     elif sps.issparse(csgraph):
         c = csgraph.tocoo()
@@ -83,7 +88,7 @@ def _graph_triplet(csgraph, *, directed=True, unweighted=False):
         n = c.shape[0]
     else:
         a = np.asarray(csgraph)
-        if a.ndim != 2 or a.shape[0] != a.shape[1]:
+        if a.ndim != 2 or (square and a.shape[0] != a.shape[1]):
             raise ValueError(f"csgraph requires a square 2-D adjacency matrix, got {a.shape}")
         rows, cols = np.nonzero(a)
         w = a[rows, cols].astype(np.float64)
@@ -455,6 +460,158 @@ def breadth_first_tree(csgraph, i_start, directed=True):
     pos = np.searchsorted(keys, u * n + v)
     data = ew[pos]
     return COO(np.stack([u, v]), data, shape=(n, n))
+
+
+def _csr_adjacency(csgraph, *, directed=True):
+    """Host CSR adjacency (indptr, indices, n) for the traversal orders."""
+    rows, cols, _, n = _graph_triplet(csgraph, directed=directed)
+    order = np.lexsort((cols, rows))
+    rows_s, cols_s = rows[order], cols[order]
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.add.at(indptr, rows_s + 1, 1)
+    np.cumsum(indptr, out=indptr)
+    return indptr, cols_s, n
+
+
+def depth_first_order(csgraph, i_start, directed=True, return_predecessors=True):
+    """DFS preorder + predecessors from ``i_start`` (scipy-compatible).
+
+    DFS is inherently sequential, so this is a host stack walk over the
+    CSR adjacency (one array reversal per visited node, matching scipy's
+    visit order: neighbors are explored in index order).
+    """
+    indptr, indices, n = _csr_adjacency(csgraph, directed=directed)
+    i_start = int(i_start) % n
+    visited = np.zeros(n, dtype=bool)
+    pred = np.full(n, -9999, dtype=np.int32)
+    order = []
+    # stack of (node, iterator position) frames, but array-sliced: push
+    # neighbors in reverse so the lowest index pops first like scipy
+    stack = [i_start]
+    stack_pred = [-9999]
+    while stack:
+        v = stack.pop()
+        p = stack_pred.pop()
+        if visited[v]:
+            continue
+        visited[v] = True
+        if p >= 0:
+            pred[v] = p
+        order.append(v)
+        nbrs = indices[indptr[v] : indptr[v + 1]]
+        fresh = nbrs[~visited[nbrs]][::-1]
+        stack.extend(fresh.tolist())
+        stack_pred.extend([v] * fresh.size)
+    node_array = np.array(order, dtype=np.int64)
+    if return_predecessors:
+        return node_array, pred
+    return node_array
+
+
+def depth_first_tree(csgraph, i_start, directed=True):
+    """The DFS tree as a sparse matrix (edge ``(pred[v], v)`` with the
+    original weight), mirroring :func:`breadth_first_tree`."""
+    from .core.coo import COO
+
+    rows, cols, w, n = _graph_triplet(csgraph, directed=directed)
+    order, pred = depth_first_order(csgraph, i_start, directed=directed)
+    v = order[order != int(i_start) % n]
+    u = pred[v]
+    eorder = np.lexsort((w, cols, rows))
+    keys = rows[eorder] * n + cols[eorder]
+    ew = w[eorder]
+    pos = np.searchsorted(keys, u.astype(np.int64) * n + v)
+    return COO(np.stack([u.astype(np.int64), v]), ew[pos], shape=(n, n))
+
+
+def reverse_cuthill_mckee(csgraph, symmetric_mode=False):
+    """Bandwidth-reducing node permutation (RCM).
+
+    BFS from minimum-degree seeds, visiting neighbors in increasing-degree
+    order, then reversed — the standard preconditioner-friendly ordering
+    for the iterative solvers in :mod:`sparse_tpu.linalg`. Host algorithm
+    (sequential by nature); the graph is symmetrized unless
+    ``symmetric_mode``.
+    """
+    indptr, indices, n = _csr_adjacency(csgraph, directed=bool(symmetric_mode))
+    degree = np.diff(indptr)
+    visited = np.zeros(n, dtype=bool)
+    order = np.empty(n, dtype=np.int64)
+    pos = 0
+    # component seeds in min-degree order
+    seeds = np.argsort(degree, kind="stable")
+    for seed in seeds:
+        if visited[seed]:
+            continue
+        visited[seed] = True
+        order[pos] = seed
+        pos += 1
+        head = pos - 1
+        while head < pos:
+            v = order[head]
+            head += 1
+            nbrs = indices[indptr[v] : indptr[v + 1]]
+            fresh = nbrs[~visited[nbrs]]
+            if fresh.size:
+                fresh = np.unique(fresh)
+                fresh = fresh[np.argsort(degree[fresh], kind="stable")]
+                visited[fresh] = True
+                order[pos : pos + fresh.size] = fresh
+                pos += fresh.size
+    return order[::-1].copy()
+
+
+def maximum_bipartite_matching(graph, perm_type="row"):
+    """Maximum matching of the bipartite graph whose biadjacency matrix is
+    ``graph`` (Kuhn's augmenting-path algorithm on the host).
+
+    scipy's convention: ``perm_type='row'`` returns, for each column, the
+    matched row (length ``n_cols``, -1 when unmatched); ``'column'``
+    returns, for each row, the matched column (length ``n_rows``).
+    """
+    rows, cols, _, _ = _graph_triplet(graph, directed=True, square=False)
+    n_rows, n_cols = graph.shape
+    order = np.lexsort((cols, rows))
+    rows_s, cols_s = rows[order], cols[order]
+    indptr = np.zeros(n_rows + 1, dtype=np.int64)
+    np.add.at(indptr, rows_s + 1, 1)
+    np.cumsum(indptr, out=indptr)
+
+    match_col = np.full(n_cols, -1, dtype=np.int64)  # col -> row
+    match_row = np.full(n_rows, -1, dtype=np.int64)  # row -> col
+
+    def augment(r, seen):
+        for c in cols_s[indptr[r] : indptr[r + 1]]:
+            if seen[c]:
+                continue
+            seen[c] = True
+            if match_col[c] < 0 or augment(match_col[c], seen):
+                match_col[c] = r
+                match_row[r] = c
+                return True
+        return False
+
+    import sys as _sys
+
+    old_limit = _sys.getrecursionlimit()
+    _sys.setrecursionlimit(max(old_limit, n_rows + n_cols + 100))
+    try:
+        for r in range(n_rows):
+            if match_row[r] < 0:
+                augment(r, np.zeros(n_cols, dtype=bool))
+    finally:
+        _sys.setrecursionlimit(old_limit)
+    if perm_type == "row":
+        return match_col.astype(np.int32)
+    if perm_type == "column":
+        return match_row.astype(np.int32)
+    raise ValueError("perm_type must be 'row' or 'column'")
+
+
+def structural_rank(graph):
+    """Structural rank = size of the maximum bipartite matching of the
+    sparsity pattern (scipy-compatible)."""
+    return int((maximum_bipartite_matching(graph, perm_type="column") >= 0).sum())
 
 
 # ---------------------------------------------------------------------------

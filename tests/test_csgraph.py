@@ -181,6 +181,70 @@ def test_breadth_first_tree():
 
 
 # ---------------------------------------------------------------------------
+# DFS / RCM / matching
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("directed", [True, False])
+def test_depth_first_order_matches_scipy(directed):
+    g = random_graph(seed=30, weighted=False, directed=directed)
+    ref_nodes, ref_pred = sp_csgraph.depth_first_order(
+        g.tocsr(), i_start=0, directed=directed, return_predecessors=True
+    )
+    nodes, pred = csgraph.depth_first_order(as_coo(g), 0, directed=directed)
+    np.testing.assert_array_equal(nodes, ref_nodes)
+    np.testing.assert_array_equal(pred, ref_pred)
+
+
+def test_depth_first_tree():
+    g = random_graph(seed=31, weighted=True, directed=False)
+    ref = sp_csgraph.depth_first_tree(g.tocsr(), 0, directed=False)
+    got = csgraph.depth_first_tree(as_coo(g), 0, directed=False)
+    assert got.nnz == ref.nnz
+    np.testing.assert_allclose(got.todense(), ref.toarray())
+
+
+def test_reverse_cuthill_mckee_reduces_bandwidth():
+    g = random_graph(seed=32, n=120, density=0.03, directed=False)
+    perm = csgraph.reverse_cuthill_mckee(as_coo(g))
+    assert sorted(perm.tolist()) == list(range(120))
+
+    def bandwidth(mat):
+        coo = mat.tocoo()
+        return int(np.abs(coo.row - coo.col).max()) if coo.nnz else 0
+
+    permuted = g.tocsr()[perm][:, perm]
+    ref_perm = sp_csgraph.reverse_cuthill_mckee(g.tocsr().astype(np.float64))
+    ref_permuted = g.tocsr()[ref_perm][:, ref_perm]
+    # orderings may differ on ties; ours must be in scipy's ballpark
+    assert bandwidth(permuted) <= max(int(1.3 * bandwidth(ref_permuted)) + 5, 20)
+    assert bandwidth(permuted) < bandwidth(g)
+
+
+@pytest.mark.parametrize("shape", [(30, 40), (40, 30), (25, 25)])
+def test_maximum_bipartite_matching(shape):
+    g = sps.random(*shape, density=0.1, random_state=7, data_rvs=lambda k: np.ones(k))
+    ref_row = sp_csgraph.maximum_bipartite_matching(g.tocsr(), perm_type="row")
+    ref_col = sp_csgraph.maximum_bipartite_matching(g.tocsr(), perm_type="column")
+    got_row = csgraph.maximum_bipartite_matching(COO.from_scipy_sparse(g.tocoo()), perm_type="row")
+    got_col = csgraph.maximum_bipartite_matching(COO.from_scipy_sparse(g.tocoo()), perm_type="column")
+    assert got_row.shape == ref_row.shape and got_col.shape == ref_col.shape
+    # matchings are not unique: compare cardinality and validity
+    assert (got_row >= 0).sum() == (ref_row >= 0).sum()
+    dense = g.toarray() != 0
+    for c, r in enumerate(got_row):
+        if r >= 0:
+            assert dense[r, c] and got_col[r] == c
+
+
+def test_structural_rank():
+    g = sps.random(50, 50, density=0.05, random_state=8)
+    assert csgraph.structural_rank(COO.from_scipy_sparse(g.tocoo())) == sp_csgraph.structural_rank(
+        g.tocsr()
+    )
+
+
+# ---------------------------------------------------------------------------
 # connected components
 # ---------------------------------------------------------------------------
 
