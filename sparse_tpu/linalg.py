@@ -27,6 +27,7 @@ __all__ = [
     "bicgstab",
     "gmres",
     "eigsh",
+    "lobpcg",
     "svds",
     "expm_multiply",
     "norm",
@@ -370,6 +371,41 @@ def svds(A, k=6, *, ncv=None, key=None):
     AV = jnp.stack([mv(V[:, i]) for i in range(k)], axis=1)
     U = AV / jnp.where(s > 0, s, 1.0)[None, :]
     return U, s, V.T
+
+
+def lobpcg(A, k=4, *, X=None, maxiter=100, tol=None, key=None, n=None):
+    """Top-``k`` (largest) eigenpairs via block LOBPCG.
+
+    Wraps ``jax.experimental.sparse.linalg.lobpcg_standard`` with a block
+    matvec over the sparse pytree (one SpMM per iteration — MXU-friendly,
+    unlike the vector-at-a-time Lanczos in :func:`eigsh`). Returns
+    ``(eigenvalues, eigenvectors, iterations)`` with eigenvalues ascending.
+    """
+    from jax.experimental.sparse.linalg import lobpcg_standard
+
+    from .core.base import SparseArray
+
+    if isinstance(A, SparseArray):
+        n = A.shape[0]
+        op = functools.partial(jitops.spmm, A)
+        dt = jnp.asarray(A.data).dtype
+    elif callable(A):
+        if n is None and X is None:
+            raise ValueError("lobpcg with a matvec callable needs `n` or an explicit `X`")
+        n = X.shape[0] if n is None else n
+        op = lambda V: jax.vmap(A, in_axes=1, out_axes=1)(V)
+        dt = jnp.float64
+    else:
+        raise TypeError(f"expected a sparse array or matvec callable, got {type(A)}")
+    if not 0 < k < n // 2:
+        raise ValueError(f"lobpcg requires 0 < k < n/2; got k={k}, n={n}")
+    if X is None:
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        X = jax.random.normal(key, (n, k), dtype=dt)
+    theta, U, iters = lobpcg_standard(op, jnp.asarray(X), m=maxiter, tol=tol)
+    order = jnp.argsort(theta)
+    return theta[order], U[:, order], iters
 
 
 def expm_multiply(A, b, *, t=1.0, m=30):

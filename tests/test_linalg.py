@@ -178,6 +178,18 @@ def test_eigsh_gcxs_and_validation(spd):
         linalg.eigsh(A, k=2, which="XX")
 
 
+def test_lobpcg_top_eigenpairs(spd):
+    A, dense = spd
+    vals, vecs, iters = linalg.lobpcg(A, k=3, maxiter=200)
+    ref = np.sort(np.linalg.eigvalsh(dense))[-3:]
+    np.testing.assert_allclose(np.asarray(vals), ref, rtol=1e-6)
+    for i in range(3):
+        v = np.asarray(vecs[:, i])
+        np.testing.assert_allclose(dense @ v, float(vals[i]) * v, rtol=1e-4, atol=1e-6)
+    with pytest.raises(ValueError, match="lobpcg requires"):
+        linalg.lobpcg(A, k=dense.shape[0])
+
+
 def test_expm_multiply_matches_scipy():
     rng = np.random.default_rng(13)
     n = 60
