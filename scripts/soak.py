@@ -224,6 +224,71 @@ def gcxs_index_transpose_sweep(rng, n):
                 report("tocsr/tocsc", case)
 
 
+def csgraph_linalg_sweep(rng, n):
+    """Random graphs/systems vs the scipy oracles: shortest paths (incl.
+    negative weights + cycle detection), components, MST, structural rank,
+    and a CG/GMRES solve per round."""
+    import scipy.sparse as sps
+    import scipy.sparse.csgraph as spc
+    import scipy.sparse.linalg as spla
+
+    from sparse_tpu import csgraph, linalg
+
+    for i in range(n):
+        nn = int(rng.integers(5, 120))
+        density = float(rng.uniform(0.01, 0.2))
+        directed = bool(rng.integers(0, 2))
+        neg = bool(rng.integers(0, 4) == 0)
+        g = sps.random(nn, nn, density=density, random_state=int(rng.integers(1 << 30)))
+        g.setdiag(0)
+        g.eliminate_zeros()
+        if g.nnz == 0:
+            continue
+        g.data = rng.random(g.nnz) + 0.05
+        if neg:
+            g.data[rng.random(g.nnz) < 0.2] -= 0.5
+        A = st.COO.from_scipy_sparse(g.tocoo())
+        src = int(rng.integers(0, nn))
+        try:
+            got = csgraph.bellman_ford(A, indices=src, directed=directed)
+            err = None
+        except csgraph.NegativeCycleError:
+            got, err = None, "neg"
+        try:
+            ref = spc.bellman_ford(g.tocsr(), indices=src, directed=directed)
+            ref_err = None
+        except spc.NegativeCycleError:
+            ref, ref_err = None, "neg"
+        if err != ref_err:
+            report("csgraph-bf-cycle", i, nn, density, err, ref_err)
+        elif err is None:
+            fin = np.isfinite(ref)
+            if not (np.isfinite(got) == fin).all() or not np.allclose(got[fin], ref[fin]):
+                report("csgraph-bf", i, nn, density)
+        gn, gl = csgraph.connected_components(A, directed=directed, connection="weak")
+        rn, rl = spc.connected_components(g.tocsr(), directed=directed, connection="weak")
+        if gn != rn or not (gl == rl).all():
+            report("csgraph-cc", i, nn, density)
+        und = g.maximum(g.T)
+        if und.nnz and und.data.min() > 0:
+            t1 = csgraph.minimum_spanning_tree(st.COO.from_scipy_sparse(und.tocoo()))
+            t2 = spc.minimum_spanning_tree(und.tocsr())
+            if t1.nnz != t2.nnz or not np.isclose(t1.data.sum(), t2.data.sum()):
+                report("csgraph-mst", i, nn, density)
+        if csgraph.structural_rank(A) != spc.structural_rank(g.tocsr()):
+            report("csgraph-rank", i, nn)
+        # solvers on a diagonally-dominant shifted system
+        spd = (und + (abs(und).sum(axis=1).max() + 1.0) * sps.eye(nn)).tocsr()
+        As = st.COO.from_scipy_sparse(spd.tocoo())
+        b = rng.standard_normal(nn)
+        x, info = linalg.cg(As, b, tol=1e-10)
+        if int(info) != 0 or not np.allclose(spd @ np.asarray(x), b, atol=1e-6 * max(np.abs(b).max(), 1)):
+            report("linalg-cg", i, nn)
+        x, info = linalg.gmres(As, b, tol=1e-9, restart=int(rng.integers(3, 40)))
+        if int(info) != 0 or not np.allclose(spd @ np.asarray(x), b, atol=1e-5 * max(np.abs(b).max(), 1)):
+            report("linalg-gmres", i, nn)
+
+
 def main():
     rng = np.random.default_rng(2026)
     elemwise_sweep(rng, 1500 * SCALE)
@@ -238,6 +303,8 @@ def main():
     print("matmul sweep done")
     gcxs_index_transpose_sweep(rng, 800 * SCALE)
     print("gcxs index/transpose sweep done")
+    csgraph_linalg_sweep(rng, 60 * SCALE)
+    print("csgraph/linalg sweep done")
     print(f"soak complete: {FAILS} failures")
     sys.exit(1 if FAILS else 0)
 
