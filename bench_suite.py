@@ -209,6 +209,28 @@ def main():
             )
         )
 
+    # 6b. csgraph: multi-source Bellman-Ford to convergence on device
+    from sparse_tpu.csgraph import _bellman_ford_device
+
+    n_g, e_g, k_src = 1 << 17, 1 << 20, 8
+    gr = jnp.asarray(rng.integers(0, n_g, e_g).astype(np.int32))
+    gc = jnp.asarray(rng.integers(0, n_g, e_g).astype(np.int32))
+    gw = jnp.asarray(rng.random(e_g, dtype=np.float32) + 0.05)
+    d0 = np.full((k_src, n_g), np.inf, np.float32)
+    d0[np.arange(k_src), np.arange(k_src)] = 0.0
+    dt = device_bench(
+        lambda r_, c_, dd0, ww: _bellman_ford_device(r_, c_, ww, dd0, n=n_g, maxiter=64)[0],
+        (gr, gc, jnp.asarray(d0), gw),
+        iters=10,
+    )
+    rows_out.append(
+        (
+            "Bellman-Ford 131k nodes 1M edges 8 sources (to fixpoint)",
+            f"{dt * 1e3:.2f} ms",
+            f"{e_g * k_src / dt / 1e6:.0f}M edge-relax/s/round-bound",
+        )
+    )
+
     # 7. host workloads
     a = sparse.random((100000, 100000), density=1e-5, random_state=3)
     b = sparse.random((100000, 100000), density=1e-5, random_state=4)

@@ -486,19 +486,24 @@ class COO(SparseArray):
         """``(indptr, row_ids, vals)`` — the CSC of a canonical 2-D COO,
         equivalently the CSR buffers of its transpose (native counting
         scatter, no sort). None when the native library is unavailable or
-        the dtype isn't f32/f64. Cached under ``enable_caching``."""
+        the dtype isn't f32/f64. Memoized on the instance (buffers are
+        immutable after construction; the memo costs one extra
+        indices+data copy, the price scipy users pay for holding a
+        csr/csc pair)."""
+        memo = getattr(self, "_csc_memo", None)
+        if memo is not None and memo[0] is self.coords:
+            return memo[1]
+        from ..native import eager as _eager
 
-        def compute():
-            from ..native import eager as _eager
-
-            coords = np.asarray(self.coords)
-            res = _eager.transpose2d(coords[0], coords[1], np.asarray(self.data), self.shape[1], want_rows=False)
-            if res is None:
-                return None
+        coords = np.asarray(self.coords)
+        res = _eager.transpose2d(coords[0], coords[1], np.asarray(self.data), self.shape[1], want_rows=False)
+        if res is None:
+            out = None
+        else:
             indptr, _, row_ids, vals = res
-            return indptr, row_ids, vals
-
-        return self._cached(("csc_buffers",), compute)
+            out = (indptr, row_ids, vals)
+        self._csc_memo = (self.coords, out)
+        return out
 
     # -- structural ops -----------------------------------------------------------------
     def transpose(self, axes=None):

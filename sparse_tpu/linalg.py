@@ -54,6 +54,18 @@ def partitioned_matvec(pcoo, mesh, axis_name="x"):
     return mv
 
 
+def _under_trace():
+    """True when called inside a jit/scan trace — staging host-side layout
+    builds there would cache tracers on the array (leak) and bloat the
+    traced graph."""
+    try:
+        from jax._src.core import trace_state_clean
+
+        return not trace_state_clean()
+    except ImportError:
+        return isinstance(jnp.zeros(()) + 0, jax.core.Tracer)
+
+
 def _as_matvec(A):
     import numpy as np
 
@@ -63,11 +75,14 @@ def _as_matvec(A):
     if isinstance(A, SparseArray):
         # a concrete 2-D zero-fill COO upgrades to the block-ELL one-hot-MXU
         # SpMV — ~3x over the segment-scatter form per iteration on TPU
-        # (5-pt Laplacian 256^2: 1.24 vs 3.86 ms); tracer pytrees (cg called
-        # inside an outer jit) keep the general kernel
+        # (5-pt Laplacian 256^2: 1.24 vs 3.86 ms); tracer pytrees or calls
+        # under an outer trace (cg inside jit/scan — building the layout
+        # there would stage it and leak tracers into the COO's cache) keep
+        # the general kernel
         if (
             isinstance(A, COO)
             and A.ndim == 2
+            and not _under_trace()
             and isinstance(A.data, np.ndarray)
             and isinstance(np.asarray(A.fill_value)[()], (int, float, np.floating, np.integer))
             and np.asarray(A.fill_value)[()] == 0

@@ -467,7 +467,7 @@ def _dense_spmm(a, b):
         # scatter SpMV saves — take the gather path only when the row count
         # amortizes it or the buffers are already memoized
         want_csc = data.dtype in (np.float64, np.float32) and (
-            m_rows >= 4 or (b_coo._cache is not None and ("csc_buffers",) in b_coo._cache)
+            m_rows >= 4 or getattr(b_coo, "_csc_memo", None) is not None
         )
         csc = b_coo._csc_buffers() if want_csc else None
         if csc is not None:

@@ -65,6 +65,20 @@ def test_bicgstab_nonsymmetric():
     np.testing.assert_allclose(np.asarray(x), np.linalg.solve(dense, b), rtol=1e-6)
 
 
+def test_cg_traced_then_eager_no_tracer_leak(spd):
+    # regression: the block-ELL auto-upgrade used to build (and cache) the
+    # layout while under an outer jit trace, leaking tracers into the COO's
+    # cache; the next eager call then raised UnexpectedTracerError
+    A, dense = spd
+    b = np.random.default_rng(6).standard_normal(dense.shape[0])
+    f = jax.jit(lambda b_: linalg.cg(A, b_, tol=1e-10)[0])
+    x1 = f(b)
+    x2, info = linalg.cg(A, b, tol=1e-10)
+    assert int(info) == 0
+    np.testing.assert_allclose(np.asarray(x1), np.linalg.solve(dense, b), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(x2), np.linalg.solve(dense, b), rtol=1e-6)
+
+
 def test_gmres_nonsymmetric():
     rng = np.random.default_rng(7)
     n = 60

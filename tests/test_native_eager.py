@@ -386,10 +386,11 @@ def test_dense_at_sparse_all_row_counts(m_rows):
 def test_dense_at_sparse_cached_csc_buffers():
     rng = np.random.default_rng(5)
     K, N = 150, 60
-    S = st.random((K, N), density=0.1, random_state=rng).enable_caching()
+    S = st.random((K, N), density=0.1, random_state=rng)
     X = rng.standard_normal((8, K))
     first = X @ S
-    assert ("csc_buffers",) in S._cache
+    # the CSC buffers memoize on the instance and are reused by later calls
+    assert getattr(S, "_csc_memo", None) is not None and S._csc_memo[0] is S.coords
     xv = rng.standard_normal(K)
     np.testing.assert_allclose(xv @ S, xv @ S.todense(), rtol=1e-12)
     np.testing.assert_allclose(first, X @ S.todense(), rtol=1e-12)
