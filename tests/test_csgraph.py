@@ -283,6 +283,37 @@ def test_connected_components_empty_graph():
     np.testing.assert_array_equal(labels, np.arange(5))
 
 
+def test_pagerank_matches_networkx_formula():
+    # oracle: dense damped power iteration to convergence
+    g = random_graph(seed=40, n=50, density=0.08)
+    A = as_coo(g)
+    scores, iters = csgraph.pagerank(A, alpha=0.85, tol=1e-14)
+    n = g.shape[0]
+    W = g.toarray()
+    out = W.sum(1)
+    dangling = out == 0
+    P = np.divide(W, out[:, None], out=np.zeros_like(W), where=out[:, None] > 0)
+    p = np.full(n, 1.0 / n)
+    for _ in range(1000):
+        new = 0.85 * (P.T @ p + p[dangling].sum() / n) + 0.15 / n
+        if np.abs(new - p).sum() < 1e-15:
+            p = new
+            break
+        p = new
+    np.testing.assert_allclose(scores, p, rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(scores.sum(), 1.0, rtol=1e-10)
+
+
+def test_pagerank_personalized():
+    g = random_graph(seed=41, n=30, density=0.1)
+    pers = np.zeros(30)
+    pers[:3] = 1.0
+    scores, _ = csgraph.pagerank(as_coo(g), personalize=pers, tol=1e-13)
+    base, _ = csgraph.pagerank(as_coo(g), tol=1e-13)
+    assert scores[:3].sum() > base[:3].sum()  # teleport mass concentrates
+    np.testing.assert_allclose(scores.sum(), 1.0, rtol=1e-9)
+
+
 # ---------------------------------------------------------------------------
 # laplacian
 # ---------------------------------------------------------------------------
