@@ -133,6 +133,56 @@ def _bellman_ford_device(rows, cols, w, dist0, *, n, maxiter):
     return dist, has_neg
 
 
+def _build_dest_ell(rows, cols, w, n, idt, fdt, *, width_cap=256):
+    """Per-destination ELL layout for min-plus relaxation: ``src (n, L)``
+    and ``w (n, L)`` with +inf padding, so ``new[v] = min_L(dist[src] + w)``
+    is a dense min-reduce — no scatter (XLA scatter-min serializes on TPU;
+    the ELL form measured ~40x faster on the bench graph). Returns None for
+    degree-skewed graphs where the padded width would blow up memory."""
+    if rows.size == 0:
+        return None
+    counts = np.bincount(cols, minlength=n)
+    L = int(counts.max())
+    mean = rows.size / max(n, 1)
+    if L > max(32, 8 * mean) and L > width_cap:
+        return None
+    order = np.argsort(cols, kind="stable")
+    cs, rs, ws = cols[order], rows[order], w[order]
+    within = np.arange(rows.size) - np.concatenate([[0], np.cumsum(counts)])[:-1][cs]
+    e_src = np.zeros((n, L), dtype=idt)
+    e_w = np.full((n, L), np.inf, dtype=fdt)
+    e_src[cs, within] = rs
+    e_w[cs, within] = ws.astype(fdt)
+    return e_src, e_w
+
+
+@functools.partial(jax.jit, static_argnames=("maxiter",))
+def _bellman_ford_device_ell(e_src, e_w, dist0, *, maxiter):
+    """Fixed-point min-plus relaxation over the per-destination ELL layout
+    (see :func:`_build_dest_ell`): per round one row gather of the distance
+    table plus a dense min over the padded in-edge axis."""
+
+    def relax(dist):
+        distT = dist.T  # (n, k): 1 row gather per edge instead of k scalars
+        g = jnp.take(distT, e_src.reshape(-1), axis=0).reshape(*e_src.shape, -1)
+        cand = g + e_w[:, :, None]  # (n, L, k); padding is +inf
+        best = jnp.min(cand, axis=1)  # (n, k)
+        return jnp.minimum(dist, best.T)
+
+    def cond(state):
+        _, changed, it = state
+        return changed & (it < maxiter)
+
+    def body(state):
+        dist, _, it = state
+        new = relax(dist)
+        return new, jnp.any(new < dist), it + 1
+
+    dist, _, _ = lax.while_loop(cond, body, (dist0, jnp.bool_(True), 0))
+    has_neg = jnp.any(relax(dist) < dist)
+    return dist, has_neg
+
+
 @functools.partial(jax.jit, static_argnames=("n",))
 def _predecessors_device(rows, cols, w, dist, sources, *, n):
     """Post-hoc predecessor matrix: ``pred[s, v]`` = the smallest ``u`` with
@@ -177,7 +227,14 @@ def _shortest_path_bf(
         dist = jnp.asarray(dist0)
         has_neg = False
     else:
-        dist, has_neg = _bellman_ford_device(rj, cj, wj, jnp.asarray(dist0), n=n, maxiter=n + 1)
+        ell = _build_dest_ell(rows, cols, w, n, idt, fdt)
+        if ell is not None:
+            e_src, e_w = ell
+            dist, has_neg = _bellman_ford_device_ell(
+                jnp.asarray(e_src), jnp.asarray(e_w), jnp.asarray(dist0), maxiter=n + 1
+            )
+        else:
+            dist, has_neg = _bellman_ford_device(rj, cj, wj, jnp.asarray(dist0), n=n, maxiter=n + 1)
         has_neg = bool(has_neg)
     if check_negative and has_neg:
         raise NegativeCycleError("negative-weight cycle detected in the graph")
