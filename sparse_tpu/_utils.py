@@ -138,22 +138,26 @@ def check_fill_value(arr, accept_fv, func_name=""):
 
 
 def check_zero_fill_value(*args, func_name=""):
-    # fill_value is immutable after construction, so the bitwise zero test
-    # is memoized per instance — this check guards every matmul/dot call
-    # and the broadcast machinery in `equivalent` is measurable at eager
-    # call rates
+    # the bitwise zero test is memoized per instance, KEYED on the
+    # fill_value object identity: shallow-copy constructors (e.g.
+    # GCXS(other, fill_value=...)) copy __dict__ — and the memo with it —
+    # then reassign fill_value, so an unkeyed memo would let a nonzero
+    # fill slip through the guard that fronts every matmul/dot call
     for arr in args:
         if hasattr(arr, "fill_value"):
-            ok = getattr(arr, "_fv_is_zero_memo", None)
-            if ok is None:
-                ok = bool(np.all(equivalent(arr.fill_value, 0)))
+            fv = arr.fill_value
+            memo = getattr(arr, "_fv_is_zero_memo", None)
+            if memo is not None and memo[0] is fv:
+                ok = memo[1]
+            else:
+                ok = bool(np.all(equivalent(fv, 0)))
                 try:
-                    arr._fv_is_zero_memo = ok
+                    arr._fv_is_zero_memo = (fv, ok)
                 except AttributeError:
                     pass
             if not ok:
                 raise ValueError(
-                    f"{func_name or 'This operation'} requires a fill value in [0], got {arr.fill_value!s}."
+                    f"{func_name or 'This operation'} requires a fill value in [0], got {fv!s}."
                 )
 
 

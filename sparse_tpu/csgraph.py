@@ -85,6 +85,8 @@ def _graph_triplet(csgraph, *, directed=True, unweighted=False, square=True):
             raise ValueError(f"csgraph requires a square 2-D adjacency matrix, got {coo.shape}")
     elif sps.issparse(csgraph):
         c = csgraph.tocoo()
+        if square and c.shape[0] != c.shape[1]:
+            raise ValueError(f"csgraph requires a square 2-D adjacency matrix, got {c.shape}")
         rows, cols, w = c.row.astype(np.int64), c.col.astype(np.int64), c.data.astype(np.float64)
         n = c.shape[0]
     else:
@@ -200,19 +202,40 @@ def _predecessors_device(rows, cols, w, dist, sources, *, n):
     return jnp.where(src_mask, -9999, pred).astype(jnp.int32)
 
 
+def _canon_index(i, n, what="index"):
+    """Numpy-style index canonicalization: negatives wrap once, anything
+    outside [-n, n) raises (a silently wrapped bad index would compute
+    paths from the wrong node)."""
+    i = int(i)
+    if not -n <= i < n:
+        raise ValueError(f"{what} {i} out of range for a graph with {n} nodes")
+    return i % n
+
+
 def _prepare_sources(indices, n):
     if indices is None:
         return np.arange(n, dtype=np.int64), True
     idx = np.atleast_1d(np.asarray(indices, dtype=np.int64))
     if idx.ndim != 1:
         raise ValueError("indices must be a scalar or 1-D array of source nodes")
+    if idx.size and (idx.min() < -n or idx.max() >= n):
+        raise ValueError(f"source indices out of range for a graph with {n} nodes")
     return idx % n, np.ndim(indices) == 0 and indices is not None
 
 
 def _shortest_path_bf(
-    csgraph, *, directed, indices, unweighted, return_predecessors, check_negative=True
+    csgraph,
+    *,
+    directed,
+    indices,
+    unweighted,
+    return_predecessors,
+    check_negative=True,
+    require_nonnegative=False,
 ):
     rows, cols, w, n = _graph_triplet(csgraph, directed=directed, unweighted=unweighted)
+    if require_nonnegative and rows.size and w.min() < 0:
+        raise ValueError("dijkstra requires non-negative edge weights; use bellman_ford")
     if not directed:
         # min of the two stored orientations is implied by relaxation itself
         pass
@@ -280,9 +303,6 @@ def dijkstra(
     non-negative graphs); ``limit`` masks distances beyond the horizon to
     ``inf`` afterwards.
     """
-    rows, cols, w, _ = _graph_triplet(csgraph, directed=directed, unweighted=unweighted)
-    if rows.size and w.min() < 0:
-        raise ValueError("dijkstra requires non-negative edge weights; use bellman_ford")
     out = _shortest_path_bf(
         csgraph,
         directed=directed,
@@ -290,6 +310,7 @@ def dijkstra(
         unweighted=unweighted,
         return_predecessors=return_predecessors,
         check_negative=False,
+        require_nonnegative=True,
     )
     if np.isfinite(limit):
         if return_predecessors:
@@ -507,8 +528,9 @@ def breadth_first_tree(csgraph, i_start, directed=True):
     from .core.coo import COO
 
     rows, cols, w, n = _graph_triplet(csgraph, directed=directed)
-    order, pred = breadth_first_order(csgraph, i_start, directed=directed)
-    v = order[order != int(i_start)]
+    start = _canon_index(i_start, n, "i_start")
+    order, pred = breadth_first_order(csgraph, start, directed=directed)
+    v = order[order != start]
     u = pred[v]
     # recover each tree edge's original weight (lightest parallel edge):
     # lexsort edges by (row, col, weight), searchsorted the linearized key
@@ -539,7 +561,7 @@ def depth_first_order(csgraph, i_start, directed=True, return_predecessors=True)
     visit order: neighbors are explored in index order).
     """
     indptr, indices, n = _csr_adjacency(csgraph, directed=directed)
-    i_start = int(i_start) % n
+    i_start = _canon_index(i_start, n, "i_start")
     visited = np.zeros(n, dtype=bool)
     pred = np.full(n, -9999, dtype=np.int32)
     order = []
@@ -572,8 +594,9 @@ def depth_first_tree(csgraph, i_start, directed=True):
     from .core.coo import COO
 
     rows, cols, w, n = _graph_triplet(csgraph, directed=directed)
-    order, pred = depth_first_order(csgraph, i_start, directed=directed)
-    v = order[order != int(i_start) % n]
+    start = _canon_index(i_start, n, "i_start")
+    order, pred = depth_first_order(csgraph, start, directed=directed)
+    v = order[order != start]
     u = pred[v]
     eorder = np.lexsort((w, cols, rows))
     keys = rows[eorder] * n + cols[eorder]
@@ -835,7 +858,8 @@ def laplacian(csgraph, normed=False, return_diag=False, use_out_degree=False):
         dsqrt = np.sqrt(np.where(isolated, 1.0, deg))
         off_data = -w / (dsqrt[rows] * dsqrt[cols])
         diag_data = np.where(isolated, 0.0, 1.0)
-        diag_out = 1.0 - isolated.astype(np.float64)
+        # scipy returns the sqrt-degree scaling vector (isolated nodes -> 1)
+        diag_out = dsqrt
     else:
         off_data = -w
         diag_data = deg

@@ -37,6 +37,13 @@ __all__ = [
 ]
 
 
+def _vdot(x, y):
+    """Conjugating inner product as an elementwise multiply + reduce — never
+    lowered through the MXU, so f32 operands are not truncated to bf16 on
+    TPU (the failure mode CLAUDE.md's precision rule guards against)."""
+    return jnp.sum(jnp.conj(x) * y)
+
+
 def partitioned_matvec(pcoo, mesh, axis_name="x"):
     """``v -> A @ v`` for a mesh-sharded :class:`~sparse_tpu.parallel.PartitionedCOO`.
 
@@ -126,7 +133,7 @@ def cg(A, b, x0=None, *, tol=1e-8, atol=0.0, maxiter=None, M=None, return_iters=
     r = b - mv(x)
     z = psolve(r)
     p = z
-    rz = jnp.vdot(r, z)
+    rz = _vdot(r, z)
     target = jnp.maximum(tol * jnp.linalg.norm(b), atol)
 
     # the residual norm rides in the carry: the cond is a scalar compare,
@@ -138,11 +145,11 @@ def cg(A, b, x0=None, *, tol=1e-8, atol=0.0, maxiter=None, M=None, return_iters=
     def body(state):
         x, r, p, rz, _, it = state
         ap = mv(p)
-        alpha = rz / jnp.vdot(p, ap)
+        alpha = rz / _vdot(p, ap)
         x = x + alpha * p
         r = r - alpha * ap
         z = psolve(r)
-        rz_new = jnp.vdot(r, z)
+        rz_new = _vdot(r, z)
         p = z + (rz_new / rz) * p
         return x, r, p, rz_new, jnp.linalg.norm(r), it + 1
 
@@ -173,14 +180,14 @@ def bicgstab(A, b, x0=None, *, tol=1e-8, atol=0.0, maxiter=None):
 
     def body(state):
         x, r, p, v, rho, alpha, omega, _, it = state
-        rho_new = jnp.vdot(r_hat, r)
+        rho_new = _vdot(r_hat, r)
         beta = (rho_new / rho) * (alpha / omega)
         p = r + beta * (p - omega * v)
         v = mv(p)
-        alpha = rho_new / jnp.vdot(r_hat, v)
+        alpha = rho_new / _vdot(r_hat, v)
         s = r - alpha * v
         t = mv(s)
-        omega = jnp.vdot(t, s) / jnp.vdot(t, t)
+        omega = _vdot(t, s) / _vdot(t, t)
         x = x + alpha * p + omega * s
         r = s - omega * t
         return x, r, p, v, rho_new, alpha, omega, jnp.linalg.norm(r), it + 1
@@ -234,12 +241,14 @@ def gmres(A, b, x0=None, *, tol=1e-8, atol=0.0, restart=20, maxiter=None, M=None
             # CGS2: classical Gram-Schmidt with one correction pass — a
             # single pass loses orthogonality by O(kappa) per step and the
             # basis degenerates well before m ~ 50; rows > j are zero so
-            # the masked dot products contribute nothing
+            # the masked dot products contribute nothing. HIGHEST matmul
+            # precision: the default TPU matmul truncates f32 to bf16,
+            # exactly the orthogonality these GEMVs exist to preserve.
             mask = (jnp.arange(m + 1) <= j).astype(b.dtype)
-            h = (V @ w) * mask
-            w = w - h @ V
-            h2 = (V @ w) * mask
-            w = w - h2 @ V
+            h = jnp.dot(V, w, precision=_HI) * mask
+            w = w - jnp.dot(h, V, precision=_HI)
+            h2 = jnp.dot(V, w, precision=_HI) * mask
+            w = w - jnp.dot(h2, V, precision=_HI)
             h = h + h2
             hnext = jnp.linalg.norm(w)
             w = w / jnp.where(hnext > eps, hnext, 1.0)
@@ -254,16 +263,16 @@ def gmres(A, b, x0=None, *, tol=1e-8, atol=0.0, restart=20, maxiter=None, M=None
         # TransposeFolding pass (null-buffer check), and QR also hands us
         # the residual norm for free: ||rhs||^2 - ||Q^T rhs||^2
         Q, R = jnp.linalg.qr(H)
-        qtr = Q.T @ rhs
+        qtr = jnp.dot(Q.T, rhs, precision=_HI)
         rdiag = jnp.abs(jnp.diagonal(R))
         # happy breakdown leaves trailing zero columns; a tiny ridge on the
         # dead diagonal entries keeps the solve finite (qtr is ~0 there)
         ridge = jnp.where(rdiag > eps * jnp.maximum(jnp.max(rdiag), 1.0), 0.0, 1.0)
         y = jax.scipy.linalg.solve_triangular(R + jnp.diag(ridge), qtr, lower=False)
-        rnorm = jnp.sqrt(jnp.maximum(jnp.vdot(rhs, rhs) - jnp.vdot(qtr, qtr), 0.0))
+        rnorm = jnp.sqrt(jnp.maximum(_vdot(rhs, rhs) - _vdot(qtr, qtr), 0.0))
         # the new residual norm is the small-problem LS residual (GMRES
         # identity); carrying it keeps the while cond a scalar compare
-        return x + psolve(y @ V[:m]), rnorm
+        return x + psolve(jnp.dot(y, V[:m], precision=_HI)), rnorm
 
     def cond(state):
         *_, rnorm, it = state
@@ -281,29 +290,46 @@ def gmres(A, b, x0=None, *, tol=1e-8, atol=0.0, restart=20, maxiter=None, M=None
     return x, info
 
 
-def _lanczos(mv, v0, m):
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _lanczos(mv, v0, m, defl=None):
     """``m``-step Lanczos with full reorthogonalization.
 
     Returns the basis ``V (m, n)`` and tridiagonal coefficients
     ``(alpha (m,), beta (m-1,))``. Full reorthogonalization (two extra
     matvec-free GEMVs per step against the static basis) keeps Ritz pairs
     clean without the bookkeeping of selective schemes — on TPU the extra
-    GEMVs are MXU work, the right trade."""
+    GEMVs are MXU work, the right trade. ``defl`` (d, n) is an optional
+    orthonormal deflation basis: every Lanczos vector is also
+    orthogonalized against it, confining the recurrence to its orthogonal
+    complement (used by the eigsh restarts). All GEMVs run at
+    ``precision=HIGHEST`` — the default TPU matmul truncates f32 operands
+    to bf16, which is exactly the orthogonality these passes exist to
+    preserve."""
     n = v0.shape[0]
     dt = v0.dtype
     eps = jnp.finfo(dt).eps
-    v = v0 / jnp.linalg.norm(v0)
+
+    def orth_defl(w):
+        if defl is None:
+            return w
+        return w - jnp.dot(jnp.dot(defl, w, precision=_HI), defl, precision=_HI)
+
+    v = orth_defl(v0)
+    v = v / jnp.maximum(jnp.linalg.norm(v), eps)
     V0 = jnp.zeros((m, n), dt).at[0].set(v)
 
     def step(j, state):
         V, alpha, beta = state
         w = mv(V[j])
-        a = jnp.vdot(V[j], w)
+        a = jnp.dot(V[j], w, precision=_HI)
         w = w - a * V[j]
         # full reorthogonalization against rows 0..j (rows > j are zero)
         mask = (jnp.arange(m) <= j).astype(dt)
-        w = w - ((V @ w) * mask) @ V
-        w = w - ((V @ w) * mask) @ V
+        w = w - jnp.dot(jnp.dot(V, w, precision=_HI) * mask, V, precision=_HI)
+        w = w - jnp.dot(jnp.dot(V, w, precision=_HI) * mask, V, precision=_HI)
+        w = orth_defl(w)
         b = jnp.linalg.norm(w)
         v_next = w / jnp.where(b > eps, b, 1.0)
         V = lax.cond(
@@ -322,66 +348,116 @@ def _lanczos(mv, v0, m):
     return V, alpha, beta
 
 
+def _eigsh_mv(mv, n, k, *, which="LM", m, key, dtype, v0=None):
+    """Restarted-deflated Lanczos core shared by :func:`eigsh`,
+    :func:`svds`, and the spectral :func:`norm`.
+
+    Each restart runs a fixed-budget Lanczos confined to the orthogonal
+    complement of the Ritz vectors found so far, so eigenvalue
+    multiplicities and early (happy) breakdowns yield genuine extra
+    eigenpairs instead of the spurious zero pairs a single zero-padded
+    Krylov build produces. Ritz pairs supported only by dead (zero-padded)
+    directions are filtered by their mass on live basis rows.
+    """
+    found_vals: list = []
+    found_vecs: list = []
+    import numpy as np
+
+    for restart in range(k + 2):
+        if v0 is None or restart > 0:
+            key, sub = jax.random.split(key)
+            v0 = jax.random.normal(sub, (n,), dtype=dtype)
+        defl = (
+            jnp.asarray(np.stack(found_vecs)) if found_vecs else None
+        )  # (d, n) orthonormal
+        V, alpha, beta = _lanczos(mv, jnp.asarray(v0), m, defl=defl)
+        T = jnp.diag(alpha) + jnp.diag(beta, 1) + jnp.diag(beta, -1)
+        theta, S = jnp.linalg.eigh(T)
+        live = (jnp.linalg.norm(V, axis=1) > 0.5).astype(S.dtype)
+        support = np.asarray(jnp.sum(S * S * live[:, None], axis=0))
+        vecs = np.asarray(jnp.dot(S.T, V, precision=_HI))  # rows = Ritz vectors
+        theta = np.asarray(theta)
+        valid = support > 0.5
+        if not valid.any():
+            break
+        for j in np.flatnonzero(valid):
+            vrow = vecs[j]
+            nrm = np.linalg.norm(vrow)
+            if nrm == 0:
+                continue
+            found_vals.append(theta[j])
+            found_vecs.append(vrow / nrm)
+        if len(found_vals) >= k:
+            break
+        v0 = None
+    if len(found_vals) < k:
+        raise RuntimeError(
+            f"Lanczos found only {len(found_vals)} eigenpairs after restarts; raise ncv"
+        )
+    vals = np.asarray(found_vals)
+    vecs = np.stack(found_vecs)
+    if which == "LM":
+        order = np.argsort(np.abs(vals))[-k:]
+        idx = order[np.argsort(vals[order])]
+    elif which == "LA":
+        idx = np.argsort(vals)[-k:]
+    elif which == "SA":
+        idx = np.argsort(vals)[:k]
+    else:
+        raise ValueError(f"which must be 'LM', 'LA', or 'SA'; got {which!r}")
+    return jnp.asarray(vals[idx]), jnp.asarray(vecs[idx].T)
+
+
 def eigsh(A, k=6, *, which="LM", v0=None, ncv=None, key=None):
     """Top-``k`` eigenpairs of a symmetric sparse matrix via Lanczos.
 
-    The whole Krylov build runs on device (:func:`_lanczos`: fori-loop
-    steps, full reorthogonalization); the small tridiagonal problem is one
-    ``jnp.linalg.eigh``. ``which``: 'LM' (largest magnitude), 'LA'
-    (largest algebraic), 'SA' (smallest algebraic). Returns
+    The Krylov builds run on device (:func:`_lanczos`: fori-loop steps,
+    full reorthogonalization at HIGHEST matmul precision); the small
+    tridiagonal problem is one ``jnp.linalg.eigh``. Degenerate spectra
+    (eigenvalue multiplicity, early breakdown) are handled by deflated
+    restarts. ``which``: 'LM' (largest magnitude), 'LA' (largest
+    algebraic), 'SA' (smallest algebraic). Returns
     ``(eigenvalues, eigenvectors)`` in scipy's ascending order. Fixed
-    Krylov budget ``ncv`` (default ``min(n, max(4k, 40))``) rather than
-    scipy's implicit restarts — raise ``ncv`` for clustered spectra.
+    Krylov budget ``ncv`` (default ``min(n, max(4k, 40))``) per restart —
+    raise ``ncv`` for clustered spectra.
     """
     mv = _as_matvec(A)
     n = A.shape[0]
     if not 0 < k < n:
         raise ValueError(f"k must be in (0, n); got k={k}, n={n}")
-    m = min(n, max(4 * k, 40)) if ncv is None else min(max(ncv, k + 1), n)
-    if v0 is None:
-        if key is None:
-            key = jax.random.PRNGKey(0)
-        dt = jnp.asarray(A.data).dtype if hasattr(A, "data") else jnp.float64
-        v0 = jax.random.normal(key, (n,), dtype=dt)
-    else:
-        v0 = jnp.asarray(v0)
-
-    V, alpha, beta = _lanczos(mv, v0, m)
-    T = jnp.diag(alpha) + jnp.diag(beta, 1) + jnp.diag(beta, -1)
-    theta, S = jnp.linalg.eigh(T)  # ascending
-    if which == "LM":
-        order = jnp.argsort(jnp.abs(theta))[-k:]
-        idx = order[jnp.argsort(theta[order])]
-    elif which == "LA":
-        idx = jnp.arange(m - k, m)
-    elif which == "SA":
-        idx = jnp.arange(k)
-    else:
+    if which not in ("LM", "LA", "SA"):
         raise ValueError(f"which must be 'LM', 'LA', or 'SA'; got {which!r}")
-    vals = theta[idx]
-    vecs = (S[:, idx].T @ V).T  # Ritz vectors, columns like scipy
-    vecs = vecs / jnp.linalg.norm(vecs, axis=0, keepdims=True)
-    return vals, vecs
+    m = min(n, max(4 * k, 40)) if ncv is None else min(max(ncv, k + 1), n)
+    dt = jnp.asarray(A.data).dtype if hasattr(A, "data") else jnp.float64
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    return _eigsh_mv(mv, n, k, which=which, m=m, key=key, dtype=dt, v0=v0)
 
 
 def svds(A, k=6, *, ncv=None, key=None):
     """Top-``k`` singular triplets of a sparse matrix, scipy-ordered
     ``(U, s, Vh)`` with ``s`` ascending.
 
-    Runs :func:`eigsh` Lanczos on the Gram operator ``v -> Aᵀ(A v)`` (the
-    two SpMVs stay on device per step) and recovers the left vectors as
-    ``A V / s``. The squared conditioning is fine for well-separated
-    leading singular values; raise ``ncv`` otherwise.
+    Runs the deflated-restart Lanczos on the Gram operator
+    ``v -> Aᵀ(A v)`` (the two SpMVs stay on device per step) and recovers
+    the left vectors as ``A V / s``. The squared conditioning is fine for
+    well-separated leading singular values; raise ``ncv`` otherwise.
     """
     from .core.base import SparseArray
 
     if not isinstance(A, SparseArray):
         raise TypeError("svds requires a sparse array (needs Aᵀ for the Gram operator)")
+    n_min = min(A.shape)
+    if not 0 < k < n_min:
+        raise ValueError(f"k must be in (0, min(A.shape)); got k={k}, shape={A.shape}")
     mv = _as_matvec(A)
     mvt = _as_matvec(A.transpose())
     n_cols = A.shape[1]
     dt = jnp.asarray(A.data).dtype
-    vals, V = _eigsh_callable(lambda v: mvt(mv(v)), n_cols, k, ncv=ncv, key=key, dtype=dt)
+    m = min(n_cols, max(4 * k, 40)) if ncv is None else min(max(ncv, k + 1), n_cols)
+    vals, V = _eigsh_mv(
+        lambda v: mvt(mv(v)), n_cols, k, which="LA", m=m, key=jax.random.PRNGKey(0), dtype=dt
+    )
     s = jnp.sqrt(jnp.clip(vals, 0))
     AV = jnp.stack([mv(V[:, i]) for i in range(k)], axis=1)
     U = AV / jnp.where(s > 0, s, 1.0)[None, :]
@@ -447,12 +523,12 @@ def expm_multiply(A, b, *, t=1.0, m=30):
     def step(j, state):
         V, H = state
         w = mv(V[j])
-        # CGS2 (see gmres): one correction pass keeps the basis orthonormal
+        # CGS2 at HIGHEST precision (see gmres): keeps the basis orthonormal
         mask = (jnp.arange(m + 1) <= j).astype(b.dtype)
-        h = (V @ w) * mask
-        w = w - h @ V
-        h2 = (V @ w) * mask
-        w = w - h2 @ V
+        h = jnp.dot(V, w, precision=_HI) * mask
+        w = w - jnp.dot(h, V, precision=_HI)
+        h2 = jnp.dot(V, w, precision=_HI) * mask
+        w = w - jnp.dot(h2, V, precision=_HI)
         h = h + h2
         hnext = jnp.linalg.norm(w)
         w = w / jnp.where(hnext > eps, hnext, 1.0)
@@ -463,7 +539,7 @@ def expm_multiply(A, b, *, t=1.0, m=30):
     V, H = lax.fori_loop(0, m, step, (V0, H0))
     # small dense exponential (Pade + scaling-squaring on device)
     eHt = jax.scipy.linalg.expm(t * H[:m, :m])
-    return beta * (eHt[:, 0] @ V[:m])
+    return beta * jnp.dot(eHt[:, 0], V[:m], precision=_HI)
 
 
 def norm(A, ord="fro", axis=None):
@@ -484,8 +560,6 @@ def norm(A, ord="fro", axis=None):
     coo = asCOO(A)
     data = np.asarray(coo.data)
     if axis is None:
-        if ord in ("fro", "f", None, 2) and coo.ndim != 1:
-            return float(np.sqrt((np.abs(data) ** 2).sum()))
         if coo.ndim == 1:
             if ord in (None, 2, "fro", "f"):
                 return float(np.sqrt((np.abs(data) ** 2).sum()))
@@ -496,6 +570,14 @@ def norm(A, ord="fro", axis=None):
             raise ValueError(f"invalid norm order {ord!r} for vectors")
         if coo.ndim != 2:
             raise ValueError("matrix norms require a 2-D array")
+        if ord in ("fro", "f", None):
+            return float(np.sqrt((np.abs(data) ** 2).sum()))
+        if ord == 2:
+            # spectral norm (scipy parity): largest singular value
+            if min(coo.shape) <= 2 or coo.nnz == 0:
+                return float(np.linalg.norm(coo.todense(), 2))
+            _, s, _ = svds(coo, k=1)
+            return float(s[0])
         if ord == 1:  # max column sum
             return float(abs(coo).sum(axis=0).todense().max(initial=0.0))
         if ord == np.inf:  # max row sum
@@ -530,22 +612,6 @@ def spsolve(A, b):
     return spla.spsolve(A.to_scipy_sparse().tocsr(), np.asarray(b))
 
 
-def _eigsh_callable(op, n, k, *, ncv=None, key=None, dtype=jnp.float64):
-    """eigsh over a bare callable with explicit dimension ``n``."""
-    m = min(n, max(4 * k, 40)) if ncv is None else min(max(ncv, k + 1), n)
-    if key is None:
-        key = jax.random.PRNGKey(0)
-    v0 = jax.random.normal(key, (n,), dtype=dtype)
-    V, alpha, beta = _lanczos(op, v0, m)
-    T = jnp.diag(alpha) + jnp.diag(beta, 1) + jnp.diag(beta, -1)
-    theta, S = jnp.linalg.eigh(T)
-    idx = jnp.arange(m - k, m)
-    vals = theta[idx]
-    vecs = (S[:, idx].T @ V).T
-    vecs = vecs / jnp.linalg.norm(vecs, axis=0, keepdims=True)
-    return vals, vecs
-
-
 def power_iteration(A, *, key=None, v0=None, tol=1e-9, maxiter=1000):
     """Dominant eigenpair of ``A`` by normalized power iteration.
 
@@ -571,9 +637,9 @@ def power_iteration(A, *, key=None, v0=None, tol=1e-9, maxiter=1000):
         w = mv(v)
         w = w / jnp.linalg.norm(w)
         # fix the sign so the convergence test is orientation-free
-        w = w * jnp.sign(jnp.vdot(w, v))
+        w = w * jnp.sign(_vdot(w, v))
         return w, v, it + 1
 
     v, _, it = lax.while_loop(cond, body, (v, jnp.full_like(v, jnp.inf), 0))
-    lam = jnp.vdot(v, mv(v))
+    lam = _vdot(v, mv(v))
     return lam, v, it

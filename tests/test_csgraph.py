@@ -430,3 +430,39 @@ def test_rejects_nonsquare():
     g = sparse.random((3, 4), density=0.5)
     with pytest.raises(ValueError, match="square"):
         csgraph.connected_components(g)
+    # scipy-sparse inputs validate too (regression: that branch skipped it)
+    import scipy.sparse as sps3
+
+    with pytest.raises(ValueError, match="square"):
+        csgraph.bellman_ford(sps3.random(5, 3, density=0.5, random_state=0), indices=0)
+
+
+def test_out_of_range_sources_raise():
+    g = random_graph(seed=50, n=5, density=0.5)
+    A = as_coo(g)
+    with pytest.raises(ValueError, match="out of range"):
+        csgraph.bellman_ford(A, indices=7)
+    with pytest.raises(ValueError, match="out of range"):
+        csgraph.dijkstra(A, indices=[0, 5])
+    with pytest.raises(ValueError, match="out of range"):
+        csgraph.breadth_first_order(A, 9)
+    # negatives wrap once, numpy-style
+    ref = csgraph.bellman_ford(A, indices=4)
+    got = csgraph.bellman_ford(A, indices=-1)
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_breadth_first_tree_negative_start():
+    g = random_graph(seed=51, n=20, density=0.2, directed=False)
+    t1 = csgraph.breadth_first_tree(as_coo(g), -1, directed=False)
+    t2 = csgraph.breadth_first_tree(as_coo(g), 19, directed=False)
+    np.testing.assert_allclose(t1.todense(), t2.todense())
+
+
+def test_laplacian_normed_return_diag_matches_scipy():
+    # regression: returned a 0/1 indicator instead of scipy's sqrt-degree vector
+    g = random_graph(seed=52, directed=False)
+    ref, ref_d = sp_csgraph.laplacian(g.tocsr(), normed=True, return_diag=True)
+    got, got_d = csgraph.laplacian(as_coo(g), normed=True, return_diag=True)
+    np.testing.assert_allclose(got.todense(), ref.toarray(), atol=1e-12)
+    np.testing.assert_allclose(got_d, ref_d)

@@ -130,6 +130,52 @@ def test_gmres_converged_start_is_noop():
     np.testing.assert_allclose(np.asarray(x), x_exact, rtol=1e-10)
 
 
+def test_zero_fill_memo_keyed_on_fill_value(spd):
+    # regression: the zero-fill check memo survived GCXS's shallow-copy
+    # constructor, letting a nonzero-fill matmul silently compute garbage
+    A, dense = spd
+    g = GCXS.from_coo(A)
+    b = np.ones(dense.shape[0])
+    g @ b  # seeds the memo with fill 0.0
+    g2 = GCXS(g, fill_value=1.0)
+    with pytest.raises(ValueError, match="fill value"):
+        g2 @ b
+
+
+def test_eigsh_degenerate_spectrum():
+    # regression: a single zero-padded Lanczos build reported spurious ~0
+    # eigenvalues when the Krylov space broke down early (multiplicity)
+    A = sparse.COO.from_numpy(np.eye(10))
+    vals, vecs = linalg.eigsh(A, k=2)
+    np.testing.assert_allclose(np.asarray(vals), [1.0, 1.0], rtol=1e-10)
+    # eigenvectors orthonormal and valid
+    V = np.asarray(vecs)
+    np.testing.assert_allclose(V.T @ V, np.eye(2), atol=1e-8)
+    # repeated dominant eigenvalue in a non-trivial matrix
+    D = np.diag([5.0, 5.0, 2.0, 1.0, 0.5, 0.25])
+    vals2, _ = linalg.eigsh(sparse.COO.from_numpy(D), k=3)
+    np.testing.assert_allclose(np.asarray(vals2), [2.0, 5.0, 5.0], rtol=1e-9)
+
+
+def test_svds_k_validation():
+    A = sparse.random((10, 3), density=0.5, random_state=0)
+    with pytest.raises(ValueError, match="k must be"):
+        linalg.svds(A, k=6)
+    with pytest.raises(ValueError, match="k must be"):
+        linalg.svds(A, k=3)
+
+
+def test_norm_spectral(spd):
+    import scipy.sparse.linalg as spla2
+
+    A, dense = spd
+    got = linalg.norm(A, 2)
+    ref = np.linalg.norm(dense, 2)
+    np.testing.assert_allclose(got, ref, rtol=1e-8)
+    s = A.to_scipy_sparse().tocsr()
+    np.testing.assert_allclose(got, spla2.norm(s, 2), rtol=1e-7)
+
+
 def test_eigsh_matches_scipy(spd):
     A, dense = spd
     vals, vecs = linalg.eigsh(A, k=4)
