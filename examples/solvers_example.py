@@ -58,11 +58,10 @@ def main():
     np.testing.assert_allclose(P @ np.asarray(xg), b, atol=1e-6 * np.abs(b).max())
 
     # spectral: top eigenpairs vs dense eigh — the Poisson spectrum is
-    # heavily clustered near 8 (gaps ~ 1/n), so use a full Krylov budget on
-    # a small grid where Lanczos is exact
-    As = poisson_2d(12)
-    vals, vecs = linalg.eigsh(As, k=4, ncv=As.shape[0])
-    ref = np.sort(np.linalg.eigvalsh(As.todense()))[-4:]
+    # heavily clustered near 8 (gaps ~ 1/n); the residual-gated deflated
+    # restarts resolve it with the default budget
+    vals, vecs = linalg.eigsh(A, k=4)
+    ref = np.sort(np.linalg.eigvalsh(dense))[-4:]
     np.testing.assert_allclose(np.asarray(vals), ref, rtol=1e-8)
 
     # direct-solve bridge agrees with the iterative path

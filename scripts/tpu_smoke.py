@@ -181,6 +181,7 @@ def main():
     ok &= check("linalg.gmres f32 solve", np.array([1.0 + float(infog), 1.0 + resg]), np.array([1.0, 1.0]), tol=2e-3)
     evals, _ = linalg.eigsh(Asolve, k=2, ncv=40)
     ref_ev = np.sort(spla_eigsh_top2(lap, 0.5))
+    print("    eigsh got", np.asarray(evals), "ref", ref_ev)
     ok &= check("linalg.eigsh f32", np.asarray(evals), ref_ev, tol=1e-2)
 
     print("ALL OK" if ok else "FAILURES PRESENT")

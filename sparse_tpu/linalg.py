@@ -226,9 +226,7 @@ def gmres(A, b, x0=None, *, tol=1e-8, atol=0.0, restart=20, maxiter=None, M=None
     target = jnp.maximum(tol * jnp.linalg.norm(b), atol)
     eps = jnp.finfo(b.dtype).eps
 
-    def arnoldi_cycle(x):
-        r = b - mv(x)
-        beta = jnp.linalg.norm(r)
+    def arnoldi_cycle(x, r, beta):
         # guard the normalization: a converged residual produces a zero
         # basis vector, and the cycle becomes a no-op update
         v0 = r / jnp.where(beta > 0, beta, 1.0)
@@ -269,23 +267,25 @@ def gmres(A, b, x0=None, *, tol=1e-8, atol=0.0, restart=20, maxiter=None, M=None
         # dead diagonal entries keeps the solve finite (qtr is ~0 there)
         ridge = jnp.where(rdiag > eps * jnp.maximum(jnp.max(rdiag), 1.0), 0.0, 1.0)
         y = jax.scipy.linalg.solve_triangular(R + jnp.diag(ridge), qtr, lower=False)
-        rnorm = jnp.sqrt(jnp.maximum(_vdot(rhs, rhs) - _vdot(qtr, qtr), 0.0))
-        # the new residual norm is the small-problem LS residual (GMRES
-        # identity); carrying it keeps the while cond a scalar compare
-        return x + psolve(jnp.dot(y, V[:m], precision=_HI)), rnorm
+        return x + psolve(jnp.dot(y, V[:m], precision=_HI))
 
     def cond(state):
-        *_, rnorm, it = state
-        return (rnorm > target) & (it < maxiter)
+        *_, beta, it = state
+        return (beta > target) & (it < maxiter)
 
     def body(state):
-        x, _, it = state
-        x, rnorm = arnoldi_cycle(x)
-        return x, rnorm, it + 1
+        x, r, beta, it = state
+        x = arnoldi_cycle(x, r, beta)
+        # the TRUE residual, one extra matvec per cycle: the GMRES-identity
+        # estimate ||rhs - H y|| undershoots by the basis's orthonormality
+        # loss (~7x observed at restart≈10), terminating a cycle early; the
+        # cond itself stays a scalar compare (a matvec inside the while
+        # cond crashes libtpu's TransposeFolding pass)
+        r = b - mv(x)
+        return x, r, jnp.linalg.norm(r), it + 1
 
-    r0 = jnp.linalg.norm(b - mv(x))
-    x, _, it = lax.while_loop(cond, body, (x, r0, 0))
-    rnorm = jnp.linalg.norm(b - mv(x))
+    r0 = b - mv(x)
+    x, _, rnorm, it = lax.while_loop(cond, body, (x, r0, jnp.linalg.norm(r0), 0))
     info = jnp.where(rnorm <= target, 0, it)
     return x, info
 
@@ -339,60 +339,121 @@ def _lanczos(mv, v0, m, defl=None):
             V,
         )
         alpha = alpha.at[j].set(a)
-        beta = lax.cond(j + 1 < m, lambda bta: bta.at[j].set(b), lambda bta: bta, beta)
+        # beta has length m: beta[m-1] is the edge coupling out of the
+        # Krylov block — the Lanczos residual estimate needs it
+        beta = beta.at[j].set(b)
         return V, alpha, beta
 
-    V, alpha, beta = lax.fori_loop(
-        0, m, step, (V0, jnp.zeros(m, dt), jnp.zeros(max(m - 1, 0), dt))
-    )
+    V, alpha, beta = lax.fori_loop(0, m, step, (V0, jnp.zeros(m, dt), jnp.zeros(m, dt)))
     return V, alpha, beta
 
 
-def _eigsh_mv(mv, n, k, *, which="LM", m, key, dtype, v0=None):
+def _eigsh_mv(mv, n, k, *, which="LM", m, key, dtype, v0=None, tol=None):
     """Restarted-deflated Lanczos core shared by :func:`eigsh`,
     :func:`svds`, and the spectral :func:`norm`.
 
     Each restart runs a fixed-budget Lanczos confined to the orthogonal
-    complement of the Ritz vectors found so far, so eigenvalue
-    multiplicities and early (happy) breakdowns yield genuine extra
-    eigenpairs instead of the spurious zero pairs a single zero-padded
-    Krylov build produces. Ritz pairs supported only by dead (zero-padded)
-    directions are filtered by their mass on live basis rows.
+    complement of the converged Ritz vectors, so eigenvalue multiplicities,
+    happy breakdowns, AND clustered spectra all resolve: only pairs whose
+    Lanczos residual estimate ``|beta_edge * S[last, j]|`` meets ``tol``
+    are accepted and deflated; unconverged cluster siblings are re-found by
+    later (deflated) restarts instead of being returned at 1% error. Ritz
+    pairs supported only by dead (zero-padded) rows are filtered by their
+    mass on live rows.
     """
+    import numpy as np
+    import warnings
+
+    if tol is None:
+        tol = 1e-8 if jnp.finfo(dtype).bits >= 64 else 1e-4
     found_vals: list = []
     found_vecs: list = []
-    import numpy as np
+    spare_vals: list = []
+    spare_vecs: list = []
+    spare_res: list = []
 
-    for restart in range(k + 2):
+    def metric(vals_arr):
+        # larger metric == more wanted by `which`
+        if which == "LM":
+            return np.abs(vals_arr)
+        if which == "LA":
+            return np.asarray(vals_arr)
+        return -np.asarray(vals_arr)
+
+    for restart in range(2 * k + 8):
         if v0 is None or restart > 0:
             key, sub = jax.random.split(key)
             v0 = jax.random.normal(sub, (n,), dtype=dtype)
-        defl = (
-            jnp.asarray(np.stack(found_vecs)) if found_vecs else None
-        )  # (d, n) orthonormal
+        defl = jnp.asarray(np.stack(found_vecs)) if found_vecs else None
         V, alpha, beta = _lanczos(mv, jnp.asarray(v0), m, defl=defl)
-        T = jnp.diag(alpha) + jnp.diag(beta, 1) + jnp.diag(beta, -1)
+        T = jnp.diag(alpha) + jnp.diag(beta[:-1], 1) + jnp.diag(beta[:-1], -1)
         theta, S = jnp.linalg.eigh(T)
-        live = (jnp.linalg.norm(V, axis=1) > 0.5).astype(S.dtype)
+        live_mask = np.asarray(jnp.linalg.norm(V, axis=1) > 0.5)
+        live = jnp.asarray(live_mask.astype(np.float64), dtype=S.dtype)
         support = np.asarray(jnp.sum(S * S * live[:, None], axis=0))
         vecs = np.asarray(jnp.dot(S.T, V, precision=_HI))  # rows = Ritz vectors
         theta = np.asarray(theta)
+        Snp = np.asarray(S)
+        beta_np = np.asarray(beta)
+        lr = int(np.flatnonzero(live_mask).max()) if live_mask.any() else 0
+        res = np.abs(beta_np[lr] * Snp[lr, :])
         valid = support > 0.5
         if not valid.any():
             break
+        scale = max(np.abs(theta[valid]).max(), 1.0)
+        made_progress = False
+        round_unconverged = []
         for j in np.flatnonzero(valid):
             vrow = vecs[j]
             nrm = np.linalg.norm(vrow)
             if nrm == 0:
                 continue
-            found_vals.append(theta[j])
-            found_vecs.append(vrow / nrm)
+            if res[j] <= tol * scale:
+                found_vals.append(theta[j])
+                found_vecs.append(vrow / nrm)
+                made_progress = True
+            else:
+                round_unconverged.append(theta[j])
+                spare_vals.append(theta[j])
+                spare_vecs.append(vrow / nrm)
+                spare_res.append(res[j])
         if len(found_vals) >= k:
-            break
+            if m >= n:
+                break
+            # done only when no unconverged Ritz candidate from this round
+            # beats the k-th selected value in the `which` direction —
+            # Lanczos also converges isolated interior/opposite-end pairs,
+            # which must not displace a not-yet-converged wanted extreme
+            thr = np.sort(metric(np.asarray(found_vals)))[-k]
+            comp = metric(np.asarray(round_unconverged)).max() if round_unconverged else -np.inf
+            if comp <= thr + tol * scale:
+                break
+        if not made_progress:
+            if m >= n:
+                # full-space build and still nothing converged: give up and
+                # keep the best unconverged pairs
+                break
+            # the budget can't converge anything in this subspace (clustered
+            # spectrum) — double the Krylov budget and retry, the restarted
+            # form of scipy's "raise ncv"
+            m = min(2 * m, n)
         v0 = None
     if len(found_vals) < k:
-        raise RuntimeError(
-            f"Lanczos found only {len(found_vals)} eigenpairs after restarts; raise ncv"
+        missing = k - len(found_vals)
+        if spare_vals:
+            order = np.argsort(spare_res)[:missing]
+            for j in order:
+                found_vals.append(spare_vals[j])
+                found_vecs.append(spare_vecs[j])
+        if len(found_vals) < k:
+            raise RuntimeError(
+                f"Lanczos found only {len(found_vals)} eigenpairs after restarts; raise ncv"
+            )
+        warnings.warn(
+            f"eigsh: {missing} of {k} Ritz pairs did not reach tol={tol:g}; "
+            "raise ncv for clustered spectra",
+            RuntimeWarning,
+            stacklevel=3,
         )
     vals = np.asarray(found_vals)
     vecs = np.stack(found_vecs)
@@ -408,7 +469,7 @@ def _eigsh_mv(mv, n, k, *, which="LM", m, key, dtype, v0=None):
     return jnp.asarray(vals[idx]), jnp.asarray(vecs[idx].T)
 
 
-def eigsh(A, k=6, *, which="LM", v0=None, ncv=None, key=None):
+def eigsh(A, k=6, *, which="LM", v0=None, ncv=None, key=None, tol=None):
     """Top-``k`` eigenpairs of a symmetric sparse matrix via Lanczos.
 
     The Krylov builds run on device (:func:`_lanczos`: fori-loop steps,
@@ -431,10 +492,10 @@ def eigsh(A, k=6, *, which="LM", v0=None, ncv=None, key=None):
     dt = jnp.asarray(A.data).dtype if hasattr(A, "data") else jnp.float64
     if key is None:
         key = jax.random.PRNGKey(0)
-    return _eigsh_mv(mv, n, k, which=which, m=m, key=key, dtype=dt, v0=v0)
+    return _eigsh_mv(mv, n, k, which=which, m=m, key=key, dtype=dt, v0=v0, tol=tol)
 
 
-def svds(A, k=6, *, ncv=None, key=None):
+def svds(A, k=6, *, ncv=None, key=None, tol=None):
     """Top-``k`` singular triplets of a sparse matrix, scipy-ordered
     ``(U, s, Vh)`` with ``s`` ascending.
 
@@ -456,7 +517,7 @@ def svds(A, k=6, *, ncv=None, key=None):
     dt = jnp.asarray(A.data).dtype
     m = min(n_cols, max(4 * k, 40)) if ncv is None else min(max(ncv, k + 1), n_cols)
     vals, V = _eigsh_mv(
-        lambda v: mvt(mv(v)), n_cols, k, which="LA", m=m, key=jax.random.PRNGKey(0), dtype=dt
+        lambda v: mvt(mv(v)), n_cols, k, which="LA", m=m, key=jax.random.PRNGKey(0), dtype=dt, tol=tol
     )
     s = jnp.sqrt(jnp.clip(vals, 0))
     AV = jnp.stack([mv(V[:, i]) for i in range(k)], axis=1)

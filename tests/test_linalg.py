@@ -157,6 +157,67 @@ def test_eigsh_degenerate_spectrum():
     np.testing.assert_allclose(np.asarray(vals2), [2.0, 5.0, 5.0], rtol=1e-9)
 
 
+def test_eigsh_clustered_spectrum_default_budget():
+    # regression: the fixed-budget Lanczos silently returned Ritz values
+    # ~1.5% off on the clustered 2-D Poisson spectrum; the residual-gated
+    # restarts with adaptive budget doubling converge it
+    side = 20
+    n = side * side
+    idx = np.arange(n).reshape(side, side)
+    rows, cols, vals = [np.arange(n)], [np.arange(n)], [np.full(n, 4.0)]
+    for di, dj in ((0, 1), (1, 0)):
+        a = idx[: side - di, : side - dj].ravel()
+        bb = idx[di:, dj:].ravel()
+        rows += [a, bb]
+        cols += [bb, a]
+        vals += [np.full(a.size, -1.0)] * 2
+    A = sparse.COO(
+        np.stack([np.concatenate(rows), np.concatenate(cols)]), np.concatenate(vals), shape=(n, n)
+    )
+    got, _ = linalg.eigsh(A, k=4)
+    ref = np.sort(np.linalg.eigvalsh(A.todense()))[-4:]
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-8)
+
+
+def test_eigsh_interior_competitor_f32():
+    # regression (captured from the TPU smoke): an isolated interior
+    # eigenvalue (1.35) converges before the clustered second-top (17.26);
+    # the restart loop must keep going while an unconverged Ritz candidate
+    # beats the current k-th selected value, not stop at "k accepted"
+    import os
+
+    import scipy.sparse as sps
+
+    path = os.path.join(os.path.dirname(__file__), "data", "eigsh_f32_interior_competitor.npz")
+    S = sps.load_npz(path)
+    A = sparse.COO.from_scipy_sparse(S.tocoo())
+    assert A.dtype == np.float32
+    vals, _ = linalg.eigsh(A, k=2, ncv=40)
+    ref = np.sort(np.linalg.eigvalsh(S.toarray().astype(np.float64)))[-2:]
+    np.testing.assert_allclose(np.asarray(vals), ref, rtol=1e-4)
+
+
+def test_gmres_true_residual_termination():
+    # regression: the GMRES-identity residual estimate undershot the true
+    # residual by ~7x at small restarts, exiting with info!=0 at residuals
+    # just above target; the loop now carries the true residual
+    rng = np.random.default_rng(0)
+    import scipy.sparse as sps
+
+    for seed, nn, restart in [(1, 16, 11), (2, 76, 9), (3, 108, 10)]:
+        g = sps.random(nn, nn, density=0.1, random_state=seed)
+        g.setdiag(0)
+        g.eliminate_zeros()
+        g.data = rng.random(g.nnz) + 0.05
+        und = g.maximum(g.T)
+        spd = (und + (abs(und).sum(axis=1).max() + 1.0) * sps.eye(nn)).tocsr()
+        As = sparse.COO.from_scipy_sparse(spd.tocoo())
+        b = rng.standard_normal(nn)
+        x, info = linalg.gmres(As, b, tol=1e-9, restart=restart)
+        assert int(info) == 0
+        np.testing.assert_allclose(spd @ np.asarray(x), b, atol=1e-8 * max(np.abs(b).max(), 1))
+
+
 def test_svds_k_validation():
     A = sparse.random((10, 3), density=0.5, random_state=0)
     with pytest.raises(ValueError, match="k must be"):
