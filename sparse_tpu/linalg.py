@@ -30,6 +30,7 @@ __all__ = [
     "lobpcg",
     "svds",
     "expm_multiply",
+    "lsqr",
     "norm",
     "spsolve",
     "power_iteration",
@@ -558,6 +559,54 @@ def lobpcg(A, k=4, *, X=None, maxiter=100, tol=None, key=None, n=None):
     theta, U, iters = lobpcg_standard(op, jnp.asarray(X), m=maxiter, tol=tol)
     order = jnp.argsort(theta)
     return theta[order], U[:, order], iters
+
+
+def lsqr(A, b, *, tol=1e-8, atol=0.0, maxiter=None):
+    """Least-squares ``min ||A x - b||_2`` for (rectangular) sparse ``A``
+    via CGLS — the conjugate-gradient form of LSQR (same Krylov space),
+    whole-loop jitted like the other solvers.
+
+    Returns ``(x, info)``: ``info == 0`` when the normal-equation residual
+    satisfies ``||Aᵀ(b - A x)|| <= max(tol * ||Aᵀ b||, atol)``, else the
+    iteration count. Consistent square systems converge to the solution;
+    inconsistent overdetermined systems to the least-squares minimizer.
+    """
+    from .core.base import SparseArray
+
+    if isinstance(A, SparseArray):
+        mv = _as_matvec(A)
+        mvt = _as_matvec(A.transpose())
+        n_cols = A.shape[1]
+    else:
+        raise TypeError("lsqr expects a sparse array (needs Aᵀ)")
+    b = jnp.asarray(b)
+    if maxiter is None:
+        maxiter = 10 * max(A.shape)
+    x = jnp.zeros(n_cols, b.dtype)
+    r = b
+    s = mvt(r)
+    p = s
+    gamma = _vdot(s, s)
+    target = jnp.maximum(tol * jnp.sqrt(gamma), atol)
+
+    def cond(state):
+        *_, gnorm, it = state
+        return (gnorm > target) & (it < maxiter)
+
+    def body(state):
+        x, r, p, gamma, _, it = state
+        q = mv(p)
+        alpha = gamma / _vdot(q, q)
+        x = x + alpha * p
+        r = r - alpha * q
+        s = mvt(r)
+        gamma_new = _vdot(s, s)
+        p = s + (gamma_new / gamma) * p
+        return x, r, p, gamma_new, jnp.sqrt(gamma_new), it + 1
+
+    x, *_, gnorm, it = lax.while_loop(cond, body, (x, r, p, gamma, jnp.sqrt(gamma), 0))
+    info = jnp.where(gnorm <= target, 0, it)
+    return x, info
 
 
 def expm_multiply(A, b, *, t=1.0, m=30):

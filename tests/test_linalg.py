@@ -311,6 +311,34 @@ def test_lobpcg_top_eigenpairs(spd):
         linalg.lobpcg(A, k=dense.shape[0])
 
 
+def test_lsqr_overdetermined():
+    rng = np.random.default_rng(21)
+    m, n = 120, 40
+    dense = rng.standard_normal((m, n)) * (rng.random((m, n)) < 0.2)
+    A = sparse.COO.from_numpy(dense)
+    b = rng.standard_normal(m)
+    x, info = linalg.lsqr(A, b, tol=1e-12)
+    assert int(info) == 0
+    ref, *_ = np.linalg.lstsq(dense, b, rcond=None)
+    np.testing.assert_allclose(np.asarray(x), ref, rtol=1e-7, atol=1e-10)
+    x_sp = spla.lsqr(scipy_csr_rect(dense), b, atol=1e-12, btol=1e-12)[0]
+    np.testing.assert_allclose(np.asarray(x), x_sp, rtol=1e-5, atol=1e-8)
+
+
+def scipy_csr_rect(dense):
+    import scipy.sparse
+
+    return scipy.sparse.csr_matrix(dense)
+
+
+def test_lsqr_consistent_square(spd):
+    A, dense = spd
+    b = np.random.default_rng(22).standard_normal(dense.shape[0])
+    x, info = linalg.lsqr(A, b, tol=1e-12)
+    assert int(info) == 0
+    np.testing.assert_allclose(np.asarray(x), np.linalg.solve(dense, b), rtol=1e-6)
+
+
 def test_expm_multiply_matches_scipy():
     rng = np.random.default_rng(13)
     n = 60
