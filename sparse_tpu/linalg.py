@@ -31,6 +31,7 @@ __all__ = [
     "svds",
     "expm_multiply",
     "lsqr",
+    "minres",
     "norm",
     "spsolve",
     "power_iteration",
@@ -559,6 +560,67 @@ def lobpcg(A, k=4, *, X=None, maxiter=100, tol=None, key=None, n=None):
     theta, U, iters = lobpcg_standard(op, jnp.asarray(X), m=maxiter, tol=tol)
     order = jnp.argsort(theta)
     return theta[order], U[:, order], iters
+
+
+def minres(A, b, x0=None, *, tol=1e-8, atol=0.0, maxiter=None):
+    """MINRES for symmetric (possibly indefinite) ``A``; scipy-style
+    ``(x, info)``.
+
+    Paige-Saunders three-term Lanczos with Givens rotations, whole-loop
+    jitted; the rotated residual norm ``|eta|`` rides in the carry so the
+    cond is a scalar compare. Use :func:`cg` when ``A`` is definite.
+    """
+    mv = _as_matvec(A)
+    b = jnp.asarray(b)
+    n = b.shape[0]
+    if maxiter is None:
+        maxiter = 10 * n
+    x = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0)
+
+    r = b - mv(x)
+    beta1 = jnp.linalg.norm(r)
+    target = jnp.maximum(tol * jnp.linalg.norm(b), atol)
+    safe_beta1 = jnp.where(beta1 > 0, beta1, 1.0)
+    v = r / safe_beta1
+    v_prev = jnp.zeros_like(b)
+    w = jnp.zeros_like(b)
+    w_prev = jnp.zeros_like(b)
+    one = jnp.ones((), b.dtype)
+    zero = jnp.zeros((), b.dtype)
+
+    def cond(state):
+        *_, eta_abs, it = state
+        return (eta_abs > target) & (it < maxiter)
+
+    def body(state):
+        x, v, v_prev, w, w_prev, beta, gamma0, gamma1, sigma0, sigma1, eta, _, it = state
+        av = mv(v)
+        alpha = _vdot(v, av)
+        v_next = av - alpha * v - beta * v_prev
+        beta_next = jnp.linalg.norm(v_next)
+        v_next = v_next / jnp.where(beta_next > 0, beta_next, 1.0)
+        # apply the two previous Givens rotations to the new tridiag column
+        delta = gamma1 * alpha - gamma0 * sigma1 * beta
+        rho2 = sigma1 * alpha + gamma0 * gamma1 * beta
+        rho3 = sigma0 * beta
+        rho1 = jnp.sqrt(delta * delta + beta_next * beta_next)
+        rho1s = jnp.where(rho1 > 0, rho1, 1.0)
+        gamma_new = delta / rho1s
+        sigma_new = beta_next / rho1s
+        w_next = (v - rho3 * w_prev - rho2 * w) / rho1s
+        x = x + gamma_new * eta * w_next
+        eta_new = -sigma_new * eta
+        return (
+            x, v_next, v, w_next, w, beta_next,
+            gamma1, gamma_new, sigma1, sigma_new, eta_new,
+            jnp.abs(eta_new), it + 1,
+        )
+
+    init = (x, v, v_prev, w, w_prev, zero, one, one, zero, zero, beta1, beta1, 0)
+    x, *_, it = lax.while_loop(cond, body, init)
+    rnorm = jnp.linalg.norm(b - mv(x))
+    info = jnp.where(rnorm <= jnp.maximum(target, 10 * jnp.finfo(b.dtype).eps * beta1), 0, it)
+    return x, info
 
 
 def lsqr(A, b, *, tol=1e-8, atol=0.0, maxiter=None):

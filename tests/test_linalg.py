@@ -311,6 +311,32 @@ def test_lobpcg_top_eigenpairs(spd):
         linalg.lobpcg(A, k=dense.shape[0])
 
 
+def test_minres_symmetric_indefinite():
+    rng = np.random.default_rng(23)
+    n = 70
+    B = rng.standard_normal((n, n)) * (rng.random((n, n)) < 0.15)
+    w, V = np.linalg.eigh((B + B.T) / 2)
+    w = np.sign(w) * (np.abs(w) + 2.0)  # indefinite, bounded away from 0
+    dense = (V * w) @ V.T
+    A = sparse.COO.from_numpy(dense)
+    b = rng.standard_normal(n)
+    x, info = linalg.minres(A, b, tol=1e-11)
+    assert int(info) == 0
+    np.testing.assert_allclose(np.asarray(x), np.linalg.solve(dense, b), rtol=1e-7)
+    x_sp, i_sp = spla.minres(dense, b, rtol=1e-11)
+    assert i_sp == 0
+    np.testing.assert_allclose(np.asarray(x), x_sp, rtol=1e-5)
+
+
+def test_minres_spd_agrees_with_cg(spd):
+    A, dense = spd
+    b = np.random.default_rng(24).standard_normal(dense.shape[0])
+    xm, im = linalg.minres(A, b, tol=1e-10)
+    xc, ic = linalg.cg(A, b, tol=1e-10)
+    assert int(im) == 0 and int(ic) == 0
+    np.testing.assert_allclose(np.asarray(xm), np.asarray(xc), rtol=1e-6)
+
+
 def test_lsqr_overdetermined():
     rng = np.random.default_rng(21)
     m, n = 120, 40
