@@ -38,6 +38,7 @@ __all__ = [
     "depth_first_tree",
     "dijkstra",
     "floyd_warshall",
+    "johnson",
     "laplacian",
     "maximum_bipartite_matching",
     "minimum_spanning_tree",
@@ -444,6 +445,64 @@ def bellman_ford_partitioned(
         out = (np.asarray(dist), np.asarray(pred))
     else:
         out = np.asarray(dist)
+    return _squeeze_sources(out, indices, return_predecessors)
+
+
+def johnson(csgraph, directed=True, indices=None, return_predecessors=False, unweighted=False):
+    """All-pairs / multi-source shortest paths with negative edge weights
+    (no negative cycles) via Johnson's reweighting.
+
+    One device Bellman-Ford from a virtual source gives potentials ``h``;
+    edges reweight to ``w + h[u] - h[v] >= 0`` and a second (multi-source)
+    relaxation runs on the reweighted graph; distances shift back by
+    ``h[v] - h[u]``. Both phases are the whole-loop-jitted min-plus
+    relaxation (ELL layout when the degree profile allows).
+    """
+    rows, cols, w, n = _graph_triplet(csgraph, directed=directed, unweighted=unweighted)
+    sources, _ = _prepare_sources(indices, n)
+    fdt, idt = _device_float(), _device_int()
+    if rows.size == 0:
+        return bellman_ford(
+            csgraph, directed=directed, indices=indices,
+            return_predecessors=return_predecessors, unweighted=unweighted,
+        )
+    # phase 1: potentials = shortest distance from a virtual node connected
+    # to every vertex with weight 0 == BF with all-zero initial distances
+    dist0 = np.zeros((1, n), dtype=fdt)
+    rj, cj = jnp.asarray(rows, dtype=idt), jnp.asarray(cols, dtype=idt)
+    wj = jnp.asarray(w, dtype=fdt)
+    h, has_neg = _bellman_ford_device(rj, cj, wj, jnp.asarray(dist0), n=n, maxiter=n + 1)
+    if bool(has_neg):
+        raise NegativeCycleError("negative-weight cycle detected in the graph")
+    h = np.asarray(h)[0]
+    # phase 2: non-negative reweighted relaxation + unshift
+    w2 = w + h[rows] - h[cols]
+    w2 = np.maximum(w2, 0.0)  # clip fp residue; exact zeros on shortest edges
+    k = sources.shape[0]
+    d0 = np.full((k, n), np.inf, dtype=fdt)
+    d0[np.arange(k), sources] = 0.0
+    ell = _build_dest_ell(rows, cols, w2, n, idt, fdt)
+    if ell is not None:
+        dist_rw, _ = _bellman_ford_device_ell(
+            jnp.asarray(ell[0]), jnp.asarray(ell[1]), jnp.asarray(d0), maxiter=n + 1
+        )
+    else:
+        dist_rw, _ = _bellman_ford_device(
+            rj, cj, jnp.asarray(w2, dtype=fdt), jnp.asarray(d0), n=n, maxiter=n + 1
+        )
+    dist = np.asarray(dist_rw) + (h[None, :] - h[sources][:, None])
+    if return_predecessors:
+        # match predecessors on the REWEIGHTED relaxation: shortest paths
+        # are invariant under the potential shift and the fp equality
+        # dist[u] + w == dist[v] only holds exactly for the quantities the
+        # relaxation actually computed
+        pred = _predecessors_device(
+            rj, cj, jnp.asarray(w2, dtype=fdt), dist_rw,
+            jnp.asarray(sources.astype(idt)), n=n,
+        )
+        out = (dist, np.asarray(pred))
+    else:
+        out = dist
     return _squeeze_sources(out, indices, return_predecessors)
 
 

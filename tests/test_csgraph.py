@@ -101,6 +101,38 @@ def test_negative_weights_bellman_ford():
     np.testing.assert_allclose(got, ref)
 
 
+@pytest.mark.parametrize("directed", [True, False])
+def test_johnson_matches_scipy(directed):
+    g = random_graph(seed=60, directed=directed)
+    ref = sp_csgraph.johnson(g.tocsr(), directed=directed)
+    got = csgraph.johnson(as_coo(g), directed=directed)
+    np.testing.assert_allclose(got, ref, rtol=1e-10, atol=1e-12)
+
+
+def test_johnson_negative_weights():
+    row = np.array([0, 0, 1, 2, 3])
+    col = np.array([1, 2, 3, 3, 4])
+    w = np.array([3.0, -2.0, 1.0, 4.0, -1.0])
+    g = sps.coo_matrix((w, (row, col)), shape=(5, 5))
+    ref = sp_csgraph.johnson(g.tocsr())
+    got = csgraph.johnson(as_coo(g))
+    fin = np.isfinite(ref)
+    np.testing.assert_allclose(np.where(fin, got, 0), np.where(fin, ref, 0), rtol=1e-12)
+    assert (np.isfinite(got) == fin).all()
+    # sources subset
+    got_s = csgraph.johnson(as_coo(g), indices=[0, 2])
+    np.testing.assert_allclose(got_s, sp_csgraph.johnson(g.tocsr(), indices=np.array([0, 2])))
+
+
+def test_johnson_negative_cycle_raises():
+    row = np.array([0, 1, 2])
+    col = np.array([1, 2, 0])
+    w = np.array([1.0, -3.0, 1.0])
+    g = as_coo(sps.coo_matrix((w, (row, col)), shape=(3, 3)))
+    with pytest.raises(csgraph.NegativeCycleError):
+        csgraph.johnson(g)
+
+
 def test_negative_cycle_raises():
     row = np.array([0, 1, 2])
     col = np.array([1, 2, 0])
