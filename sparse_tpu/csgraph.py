@@ -41,6 +41,8 @@ __all__ = [
     "johnson",
     "laplacian",
     "maximum_bipartite_matching",
+    "maximum_flow",
+    "min_weight_full_bipartite_matching",
     "minimum_spanning_tree",
     "pagerank",
     "reverse_cuthill_mckee",
@@ -752,6 +754,144 @@ def structural_rank(graph):
     """Structural rank = size of the maximum bipartite matching of the
     sparsity pattern (scipy-compatible)."""
     return int((maximum_bipartite_matching(graph, perm_type="column") >= 0).sum())
+
+
+class MaximumFlowResult:
+    """Mirror of scipy's result object: ``flow_value`` and the ``flow``
+    matrix (COO; ``flow[u, v]`` is the flow sent along edge ``u -> v``,
+    with the skew-symmetric reverse entries like scipy)."""
+
+    def __init__(self, flow_value, flow):
+        self.flow_value = flow_value
+        self.flow = flow
+
+    def __repr__(self):
+        return f"MaximumFlowResult(flow_value={self.flow_value})"
+
+
+def maximum_flow(csgraph, source, sink):
+    """Maximum flow between ``source`` and ``sink`` via Dinic's algorithm
+    (host; scipy-compatible, integer capacities required).
+
+    BFS builds the level graph each phase; blocking flow runs an iterative
+    DFS with current-arc pointers. Returns :class:`MaximumFlowResult`.
+    """
+    rows, cols, w, n = _graph_triplet(csgraph, directed=True)
+    source = _canon_index(source, n, "source")
+    sink = _canon_index(sink, n, "sink")
+    if source == sink:
+        raise ValueError("source and sink must differ")
+    if not np.all(w == np.round(w)):
+        raise ValueError("maximum_flow requires integer capacities (scipy convention)")
+    caps = w.astype(np.int64)
+    if caps.size and caps.min() < 0:
+        raise ValueError("capacities must be non-negative")
+
+    # arc arrays: forward arc 2i, reverse arc 2i+1 (paired by xor 1)
+    m = rows.size
+    arc_head = np.empty(2 * m, dtype=np.int64)
+    arc_cap = np.zeros(2 * m, dtype=np.int64)
+    arc_head[0::2] = cols
+    arc_head[1::2] = rows
+    arc_cap[0::2] = caps
+    arc_tail = np.empty(2 * m, dtype=np.int64)
+    arc_tail[0::2] = rows
+    arc_tail[1::2] = cols
+    order = np.argsort(arc_tail, kind="stable")
+    arc_id = order
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.add.at(indptr, arc_tail[order] + 1, 1)
+    np.cumsum(indptr, out=indptr)
+    adj = arc_id  # arcs sorted by tail; indptr[v]:indptr[v+1] slices v's arcs
+
+    flow_value = 0
+    while True:
+        # BFS level graph over arcs with residual capacity
+        level = np.full(n, -1, dtype=np.int64)
+        level[source] = 0
+        frontier = [source]
+        while frontier and level[sink] < 0:
+            nxt = []
+            for u in frontier:
+                for a in adj[indptr[u] : indptr[u + 1]]:
+                    if arc_cap[a] > 0 and level[arc_head[a]] < 0:
+                        level[arc_head[a]] = level[u] + 1
+                        nxt.append(int(arc_head[a]))
+            frontier = nxt
+        if level[sink] < 0:
+            break
+        # blocking flow: iterative DFS with current-arc pointers
+        ptr = indptr[:-1].copy()
+        stack = [source]
+        path_arcs: list = []
+        while stack:
+            u = stack[-1]
+            if u == sink:
+                pushed = min(int(arc_cap[a]) for a in path_arcs)
+                for a in path_arcs:
+                    arc_cap[a] -= pushed
+                    arc_cap[a ^ 1] += pushed
+                flow_value += pushed
+                # retreat to the first saturated arc on the path
+                for i, a in enumerate(path_arcs):
+                    if arc_cap[a] == 0:
+                        del stack[i + 1 :]
+                        del path_arcs[i:]
+                        break
+                continue
+            advanced = False
+            while ptr[u] < indptr[u + 1]:
+                a = adj[ptr[u]]
+                if arc_cap[a] > 0 and level[arc_head[a]] == level[u] + 1:
+                    stack.append(int(arc_head[a]))
+                    path_arcs.append(int(a))
+                    advanced = True
+                    break
+                ptr[u] += 1
+            if not advanced:
+                level[u] = -1  # dead end this phase
+                stack.pop()
+                if path_arcs:
+                    path_arcs.pop()
+
+    from .core.coo import COO
+
+    sent = caps - arc_cap[0::2]  # flow on each original edge (may be < 0 if reverse used)
+    # scipy reports the skew-symmetric flow matrix on the residual structure
+    fr = np.concatenate([rows, cols])
+    fc = np.concatenate([cols, rows])
+    fv = np.concatenate([sent, -sent])
+    flow = COO((fv.astype(np.float64), (fr, fc)), shape=(n, n))
+    return MaximumFlowResult(int(flow_value), flow)
+
+
+def min_weight_full_bipartite_matching(biadjacency, maximized=False):
+    """Minimum-weight full bipartite matching (scipy-compatible
+    ``(row_ind, col_ind)``), solved by the dense Jonker-Volgenant
+    assignment (``scipy.optimize.linear_sum_assignment``) with +inf for
+    absent edges — intended for small/medium biadjacency matrices; raises
+    when no full matching exists.
+
+    Note scipy's sparse convention: explicit zero entries are not
+    representable as edges here (we treat stored entries as edges with
+    their weight).
+    """
+    import scipy.optimize
+
+    rows, cols, w, _ = _graph_triplet(biadjacency, directed=True, square=False)
+    n_rows, n_cols = biadjacency.shape
+    # linear_sum_assignment rejects inf: mark absent edges with a finite
+    # sentinel dominating any full matching, then validate the selection
+    span = float(np.abs(w).max()) if w.size else 1.0
+    big = (span + 1.0) * (min(n_rows, n_cols) + 1)
+    cost = np.full((n_rows, n_cols), big)
+    cost[rows, cols] = -w if maximized else w
+    r, c = scipy.optimize.linear_sum_assignment(cost)
+    present = np.zeros((n_rows, n_cols), dtype=bool)
+    present[rows, cols] = True
+    if not present[r, c].all():
+        raise ValueError("no full matching exists")
+    return r.astype(np.int64), c.astype(np.int64)
 
 
 # ---------------------------------------------------------------------------

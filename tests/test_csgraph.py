@@ -403,6 +403,54 @@ def test_minimum_spanning_forest_disconnected():
     np.testing.assert_allclose(got.data.sum(), ref.data.sum())
 
 
+def test_maximum_flow_matches_scipy():
+    rng = np.random.default_rng(70)
+    n = 30
+    g = sps.random(n, n, density=0.15, random_state=70)
+    g.setdiag(0)
+    g.eliminate_zeros()
+    g.data = np.ceil(rng.random(g.nnz) * 10)
+    ref = sp_csgraph.maximum_flow(g.tocsr().astype(np.int32), 0, n - 1)
+    got = csgraph.maximum_flow(COO.from_scipy_sparse(g.tocoo()), 0, n - 1)
+    assert got.flow_value == ref.flow_value
+    # validity: capacity constraints + conservation
+    F = got.flow.todense()
+    C = g.toarray()
+    assert (F <= C + 1e-9).all()
+    np.testing.assert_allclose(F, -F.T, atol=1e-9)
+    net = F.sum(axis=1)
+    np.testing.assert_allclose(net[1 : n - 1], 0, atol=1e-9)
+    assert net[0] == got.flow_value and net[n - 1] == -got.flow_value
+
+
+def test_maximum_flow_validation():
+    g = COO.from_numpy(np.array([[0.0, 1.5], [0.0, 0.0]]))
+    with pytest.raises(ValueError, match="integer"):
+        csgraph.maximum_flow(g, 0, 1)
+    g2 = COO.from_numpy(np.array([[0.0, 1.0], [0.0, 0.0]]))
+    with pytest.raises(ValueError, match="differ"):
+        csgraph.maximum_flow(g2, 0, 0)
+
+
+def test_min_weight_full_bipartite_matching():
+    rng = np.random.default_rng(71)
+    dense = rng.random((12, 15)) + 0.1
+    mask = rng.random((12, 15)) < 0.5
+    dense = np.where(mask, dense, 0.0)
+    # ensure feasibility: add a diagonal
+    dense[np.arange(12), np.arange(12)] = rng.random(12) + 0.1
+    S = sps.csr_matrix(dense)
+    ref_r, ref_c = sp_csgraph.min_weight_full_bipartite_matching(S)
+    got_r, got_c = csgraph.min_weight_full_bipartite_matching(COO.from_numpy(dense))
+    np.testing.assert_allclose(
+        dense[got_r, got_c].sum(), S[ref_r, ref_c].sum(), rtol=1e-12
+    )
+    assert len(set(got_c.tolist())) == 12  # a full matching
+    # maximized variant picks a heavier matching
+    gr, gc = csgraph.min_weight_full_bipartite_matching(COO.from_numpy(dense), maximized=True)
+    assert dense[gr, gc].sum() >= dense[got_r, got_c].sum()
+
+
 # ---------------------------------------------------------------------------
 # partitioned (mesh-sharded) relaxation
 # ---------------------------------------------------------------------------
