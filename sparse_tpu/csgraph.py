@@ -48,6 +48,7 @@ __all__ = [
     "reverse_cuthill_mckee",
     "shortest_path",
     "structural_rank",
+    "yen",
 ]
 
 
@@ -892,6 +893,103 @@ def min_weight_full_bipartite_matching(biadjacency, maximized=False):
     if not present[r, c].all():
         raise ValueError("no full matching exists")
     return r.astype(np.int64), c.astype(np.int64)
+
+
+def _dijkstra_host(indptr, indices, weights, src, dst, banned_nodes, banned_edges):
+    """Single-pair host Dijkstra over CSR arcs with node/edge bans; returns
+    ``(dist, path-as-node-list)`` or ``(inf, None)``. The spur searches in
+    Yen's algorithm modify the graph per call, so a heap walk beats
+    re-staging a device relaxation each time."""
+    import heapq
+
+    n = indptr.shape[0] - 1
+    dist = np.full(n, np.inf)
+    prev = np.full(n, -1, dtype=np.int64)
+    dist[src] = 0.0
+    heap = [(0.0, src)]
+    while heap:
+        d, u = heapq.heappop(heap)
+        if d > dist[u]:
+            continue
+        if u == dst:
+            break
+        for e in range(int(indptr[u]), int(indptr[u + 1])):
+            if e in banned_edges:
+                continue
+            v = int(indices[e])
+            if v in banned_nodes:
+                continue
+            nd = d + float(weights[e])
+            if nd < dist[v]:
+                dist[v] = nd
+                prev[v] = u * (1 << 32) + e  # pack parent + arc for path recovery
+                heapq.heappush(heap, (nd, v))
+    if not np.isfinite(dist[dst]):
+        return np.inf, None
+    path = [dst]
+    node = dst
+    while node != src:
+        node = int(prev[node]) >> 32
+        path.append(node)
+    return float(dist[dst]), path[::-1]
+
+
+def yen(csgraph, source, sink, K, *, directed=True, unweighted=False):
+    """K shortest loopless paths from ``source`` to ``sink`` (Yen's
+    algorithm, scipy-compatible): returns the array of up to ``K`` path
+    lengths in nondecreasing order (fewer if the graph has fewer distinct
+    loopless paths)."""
+    rows, cols, w, n = _graph_triplet(csgraph, directed=directed, unweighted=unweighted)
+    source = _canon_index(source, n, "source")
+    sink = _canon_index(sink, n, "sink")
+    if rows.size and w.min() < 0:
+        raise ValueError("yen requires non-negative edge weights")
+    order = np.lexsort((w, cols, rows))
+    rows_s, cols_s, w_s = rows[order], cols[order], w[order]
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.add.at(indptr, rows_s + 1, 1)
+    np.cumsum(indptr, out=indptr)
+
+    d0, p0 = _dijkstra_host(indptr, cols_s, w_s, source, sink, set(), set())
+    if p0 is None:
+        return np.empty(0)
+    import heapq
+
+    A = [(d0, p0)]
+    B: list = []
+    seen_paths = {tuple(p0)}
+    while len(A) < K:
+        prev_path = A[-1][1]
+        for j in range(len(prev_path) - 1):
+            spur = prev_path[j]
+            root = prev_path[: j + 1]
+            banned_edges = set()
+            for dp, p in A:
+                if len(p) > j and p[: j + 1] == root:
+                    u, v = p[j], p[j + 1]
+                    for e in range(int(indptr[u]), int(indptr[u + 1])):
+                        if int(cols_s[e]) == v:
+                            banned_edges.add(e)
+            banned_nodes = set(root[:-1])
+            sd, sp = _dijkstra_host(indptr, cols_s, w_s, spur, sink, banned_nodes, banned_edges)
+            if sp is None:
+                continue
+            root_cost = 0.0
+            for a, b in zip(root[:-1], root[1:]):
+                best = np.inf
+                for e in range(int(indptr[a]), int(indptr[a + 1])):
+                    if int(cols_s[e]) == b:
+                        best = min(best, float(w_s[e]))
+                root_cost += best
+            cand = root[:-1] + sp
+            tc = tuple(cand)
+            if tc not in seen_paths:
+                seen_paths.add(tc)
+                heapq.heappush(B, (root_cost + sd, cand))
+        if not B:
+            break
+        A.append(heapq.heappop(B))
+    return np.asarray([d for d, _ in A[:K]])
 
 
 # ---------------------------------------------------------------------------

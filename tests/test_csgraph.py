@@ -403,6 +403,30 @@ def test_minimum_spanning_forest_disconnected():
     np.testing.assert_allclose(got.data.sum(), ref.data.sum())
 
 
+def test_yen_k_shortest_paths():
+    rng = np.random.default_rng(72)
+    for i in range(8):
+        n = int(rng.integers(6, 35))
+        g = sps.random(n, n, density=0.25, random_state=int(rng.integers(1 << 30)))
+        g.setdiag(0)
+        g.eliminate_zeros()
+        if g.nnz == 0:
+            continue
+        g.data = rng.random(g.nnz) + 0.1
+        K = int(rng.integers(1, 5))
+        got = csgraph.yen(as_coo(g), 0, n - 1, K)
+        ref = sp_csgraph.yen(g.tocsr(), 0, n - 1, K)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, rtol=1e-10)
+    # disconnected pair -> empty
+    empty = csgraph.yen(COO.from_numpy(np.diag([0.0, 0.0, 0.0])), 0, 2, 3)
+    assert empty.shape == (0,)
+    with pytest.raises(ValueError, match="non-negative"):
+        csgraph.yen(
+            COO.from_numpy(np.array([[0.0, -1.0], [0.0, 0.0]])), 0, 1, 2
+        )
+
+
 def test_maximum_flow_matches_scipy():
     rng = np.random.default_rng(70)
     n = 30
