@@ -45,6 +45,7 @@ __all__ = [
     "min_weight_full_bipartite_matching",
     "minimum_spanning_tree",
     "pagerank",
+    "pagerank_partitioned",
     "reverse_cuthill_mckee",
     "shortest_path",
     "structural_rank",
@@ -1127,6 +1128,75 @@ def pagerank(csgraph, *, alpha=0.85, tol=1e-10, maxiter=200, personalize=None):
         return p, it
 
     p, it = run(rj, cj, wj, dj, tj, n=n, maxiter=maxiter)
+    return np.asarray(p), int(it)
+
+
+@functools.cache
+def _pagerank_sharded_fn(mesh, axis_name, n, alpha, maxiter):
+    from jax.sharding import PartitionSpec as P
+
+    def local(rows_l, cols_l, w_l, dj, tj, p0, tol):
+        # edge shard per device; rank vector replicated. One local
+        # segment-sum + psum per round — the distributed (+,*) analogue of
+        # the sharded Bellman-Ford's segment-min + pmin.
+        def step(p):
+            local_spread = jax.ops.segment_sum(p[rows_l] * w_l, cols_l, num_segments=n)
+            spread = lax.psum(local_spread, axis_name)
+            dangling_mass = jnp.sum(jnp.where(dj, p, 0.0))
+            return alpha * (spread + dangling_mass * tj) + (1.0 - alpha) * tj
+
+        def cond(state):
+            _, delta, it = state
+            return (delta > tol) & (it < maxiter)
+
+        def body(state):
+            p, _, it = state
+            new = step(p)
+            return new, jnp.sum(jnp.abs(new - p)), it + 1
+
+        p, _, it = lax.while_loop(cond, body, (p0, jnp.asarray(jnp.inf, p0.dtype), 0))
+        return p, it
+
+    return jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(axis_name), P(axis_name), P(axis_name), P(), P(), P(), P()),
+            out_specs=(P(), P()),
+        )
+    )
+
+
+def pagerank_partitioned(
+    csgraph, mesh, *, alpha=0.85, tol=1e-10, maxiter=200, personalize=None, axis_name="x"
+):
+    """PageRank with the edge list partitioned across a device mesh: each
+    device scatters its shard's rank mass (local segment-sum) and rounds
+    combine with one ``psum`` — the whole damped iteration stays inside a
+    single ``shard_map``-ped ``lax.while_loop``. Matches :func:`pagerank`.
+    Padding edges carry zero weight (no-ops under +)."""
+    rows, cols, w, n = _graph_triplet(csgraph, directed=True)
+    fdt, idt = _device_float(), _device_int()
+    out_deg = np.zeros(n)
+    np.add.at(out_deg, rows, w)
+    dangling = out_deg == 0
+    w_norm = (w / out_deg[rows]).astype(fdt)
+    tele = np.full(n, 1.0 / n) if personalize is None else np.asarray(personalize, dtype=np.float64)
+    tele = (tele / tele.sum()).astype(fdt)
+
+    n_dev = int(np.prod([mesh.shape[a] for a in (axis_name if isinstance(axis_name, tuple) else (axis_name,))]))
+    cap = max(-(-rows.size // n_dev), 1)
+    pad = cap * n_dev - rows.size
+    rows_p = np.concatenate([rows, np.zeros(pad, dtype=rows.dtype)]).astype(idt)
+    cols_p = np.concatenate([cols, np.zeros(pad, dtype=cols.dtype)]).astype(idt)
+    w_p = np.concatenate([w_norm, np.zeros(pad, dtype=fdt)])
+
+    f = _pagerank_sharded_fn(mesh, axis_name, n, float(alpha), int(maxiter))
+    p0 = jnp.full((n,), 1.0 / n, dtype=fdt)
+    p, it = f(
+        jnp.asarray(rows_p), jnp.asarray(cols_p), jnp.asarray(w_p),
+        jnp.asarray(dangling), jnp.asarray(tele), p0, jnp.asarray(tol, dtype=fdt),
+    )
     return np.asarray(p), int(it)
 
 

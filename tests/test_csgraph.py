@@ -497,6 +497,23 @@ def test_bellman_ford_partitioned_matches_single_device():
     np.testing.assert_array_equal(p1, p2)
 
 
+def test_pagerank_partitioned_matches_single_device():
+    from sparse_tpu.parallel import make_mesh
+
+    mesh = make_mesh(8)
+    g = random_graph(seed=73, n=90, density=0.05)
+    A = as_coo(g)
+    ref, _ = csgraph.pagerank(A, tol=1e-13)
+    got, _ = csgraph.pagerank_partitioned(A, mesh, tol=1e-13)
+    np.testing.assert_allclose(got, ref, rtol=1e-10, atol=1e-14)
+    # personalization path
+    pers = np.zeros(90)
+    pers[:4] = 1.0
+    r2, _ = csgraph.pagerank(A, personalize=pers, tol=1e-12)
+    g2, _ = csgraph.pagerank_partitioned(A, mesh, personalize=pers, tol=1e-12)
+    np.testing.assert_allclose(g2, r2, rtol=1e-9, atol=1e-13)
+
+
 def test_bellman_ford_partitioned_negative_cycle():
     from sparse_tpu.parallel import make_mesh
 
