@@ -882,12 +882,18 @@ def min_weight_full_bipartite_matching(biadjacency, maximized=False):
 
     rows, cols, w, _ = _graph_triplet(biadjacency, directed=True, square=False)
     n_rows, n_cols = biadjacency.shape
-    # linear_sum_assignment rejects inf: mark absent edges with a finite
-    # sentinel dominating any full matching, then validate the selection
-    span = float(np.abs(w).max()) if w.size else 1.0
+    # linear_sum_assignment rejects inf: shift edge costs non-negative
+    # first (every full matching has the same size, so the argmin is
+    # unchanged) and mark absent edges with a finite sentinel that then
+    # provably dominates any full matching; without the shift, negative
+    # weights let LSA prefer a sentinel entry over a real full matching
+    wv = -w if maximized else w
+    shift = float(wv.min()) if wv.size else 0.0
+    wv = wv - min(shift, 0.0)
+    span = float(wv.max()) if wv.size else 1.0
     big = (span + 1.0) * (min(n_rows, n_cols) + 1)
     cost = np.full((n_rows, n_cols), big)
-    cost[rows, cols] = -w if maximized else w
+    cost[rows, cols] = wv
     r, c = scipy.optimize.linear_sum_assignment(cost)
     present = np.zeros((n_rows, n_cols), dtype=bool)
     present[rows, cols] = True
@@ -923,14 +929,14 @@ def _dijkstra_host(indptr, indices, weights, src, dst, banned_nodes, banned_edge
             nd = d + float(weights[e])
             if nd < dist[v]:
                 dist[v] = nd
-                prev[v] = u * (1 << 32) + e  # pack parent + arc for path recovery
+                prev[v] = u
                 heapq.heappush(heap, (nd, v))
     if not np.isfinite(dist[dst]):
         return np.inf, None
     path = [dst]
     node = dst
     while node != src:
-        node = int(prev[node]) >> 32
+        node = int(prev[node])
         path.append(node)
     return float(dist[dst]), path[::-1]
 
@@ -1079,6 +1085,23 @@ def _strong_components(csgraph):
     return np.argmax(strong, axis=1).astype(np.int64)  # smallest mutual node id
 
 
+def _pagerank_inputs(csgraph, personalize):
+    """Shared normalization for the single-device and partitioned PageRank:
+    out-degree-normalized edge weights, dangling mask, teleport vector."""
+    rows, cols, w, n = _graph_triplet(csgraph, directed=True)
+    fdt = _device_float()
+    out_deg = np.zeros(n)
+    np.add.at(out_deg, rows, w)
+    dangling = out_deg == 0
+    with np.errstate(invalid="ignore", divide="ignore"):
+        w_norm = np.where(out_deg[rows] > 0, w / out_deg[rows], 0.0).astype(fdt)
+    tele = (
+        np.full(n, 1.0 / n) if personalize is None else np.asarray(personalize, dtype=np.float64)
+    )
+    tele = (tele / tele.sum()).astype(fdt)
+    return rows, cols, w_norm, dangling, tele, n
+
+
 def pagerank(csgraph, *, alpha=0.85, tol=1e-10, maxiter=200, personalize=None):
     """PageRank scores by damped power iteration, whole-loop jitted.
 
@@ -1088,17 +1111,8 @@ def pagerank(csgraph, *, alpha=0.85, tol=1e-10, maxiter=200, personalize=None):
     scipy.csgraph — included because it is the canonical semiring workload
     on an adjacency matrix (HITS has an example; this is the API form).
     """
-    rows, cols, w, n = _graph_triplet(csgraph, directed=True)
+    rows, cols, w_norm, dangling, tele, n = _pagerank_inputs(csgraph, personalize)
     fdt, idt = _device_float(), _device_int()
-    out_deg = np.zeros(n)
-    np.add.at(out_deg, rows, w)
-    dangling = out_deg == 0
-    # edge weights normalized by the source's out-weight
-    w_norm = (w / out_deg[rows]).astype(fdt)
-    tele = (
-        np.full(n, 1.0 / n) if personalize is None else np.asarray(personalize, dtype=np.float64)
-    )
-    tele = (tele / tele.sum()).astype(fdt)
 
     rj = jnp.asarray(rows, dtype=idt)
     cj = jnp.asarray(cols, dtype=idt)
@@ -1175,14 +1189,8 @@ def pagerank_partitioned(
     combine with one ``psum`` — the whole damped iteration stays inside a
     single ``shard_map``-ped ``lax.while_loop``. Matches :func:`pagerank`.
     Padding edges carry zero weight (no-ops under +)."""
-    rows, cols, w, n = _graph_triplet(csgraph, directed=True)
+    rows, cols, w_norm, dangling, tele, n = _pagerank_inputs(csgraph, personalize)
     fdt, idt = _device_float(), _device_int()
-    out_deg = np.zeros(n)
-    np.add.at(out_deg, rows, w)
-    dangling = out_deg == 0
-    w_norm = (w / out_deg[rows]).astype(fdt)
-    tele = np.full(n, 1.0 / n) if personalize is None else np.asarray(personalize, dtype=np.float64)
-    tele = (tele / tele.sum()).astype(fdt)
 
     n_dev = int(np.prod([mesh.shape[a] for a in (axis_name if isinstance(axis_name, tuple) else (axis_name,))]))
     cap = max(-(-rows.size // n_dev), 1)

@@ -368,6 +368,9 @@ def _eigsh_mv(mv, n, k, *, which="LM", m, key, dtype, v0=None, tol=None):
 
     if tol is None:
         tol = 1e-8 if jnp.finfo(dtype).bits >= 64 else 1e-4
+    # budget-doubling ceiling: enough headroom to resolve clusters without
+    # escalating to an (n, n) dense basis (OOM) on huge operators
+    m_cap = min(n, max(32 * k, 4 * m, 320))
     found_vals: list = []
     found_vecs: list = []
     spare_vals: list = []
@@ -402,7 +405,9 @@ def _eigsh_mv(mv, n, k, *, which="LM", m, key, dtype, v0=None, tol=None):
         valid = support > 0.5
         if not valid.any():
             break
-        scale = max(np.abs(theta[valid]).max(), 1.0)
+        # relative acceptance threshold: no 1.0 floor, or matrices with
+        # spectral norm << 1 would accept restart-0 Ritz garbage
+        scale = max(np.abs(theta[valid]).max(), np.finfo(np.float64).tiny)
         made_progress = False
         round_unconverged = []
         for j in np.flatnonzero(valid):
@@ -431,22 +436,30 @@ def _eigsh_mv(mv, n, k, *, which="LM", m, key, dtype, v0=None, tol=None):
             if comp <= thr + tol * scale:
                 break
         if not made_progress:
-            if m >= n:
-                # full-space build and still nothing converged: give up and
-                # keep the best unconverged pairs
+            if m >= m_cap:
+                # budget ceiling and still nothing converged: give up and
+                # keep the best unconverged pairs (with a warning below)
                 break
             # the budget can't converge anything in this subspace (clustered
             # spectrum) — double the Krylov budget and retry, the restarted
             # form of scipy's "raise ncv"
-            m = min(2 * m, n)
+            m = min(2 * m, m_cap)
         v0 = None
     if len(found_vals) < k:
         missing = k - len(found_vals)
         if spare_vals:
-            order = np.argsort(spare_res)[:missing]
-            for j in order:
+            # best-residual spares first, but skip any spare whose vector
+            # overlaps an already-kept pair — stale near-converged copies of
+            # an eigenpair found in a LATER restart would otherwise
+            # duplicate it and silently drop the true k-th value
+            for j in np.argsort(spare_res):
+                if len(found_vals) >= k:
+                    break
+                cand = spare_vecs[j]
+                if found_vecs and np.max(np.abs(np.stack(found_vecs) @ cand)) > 0.9:
+                    continue
                 found_vals.append(spare_vals[j])
-                found_vecs.append(spare_vecs[j])
+                found_vecs.append(cand)
         if len(found_vals) < k:
             raise RuntimeError(
                 f"Lanczos found only {len(found_vals)} eigenpairs after restarts; raise ncv"

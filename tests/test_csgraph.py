@@ -475,6 +475,22 @@ def test_min_weight_full_bipartite_matching():
     assert dense[gr, gc].sum() >= dense[got_r, got_c].sum()
 
 
+def test_min_weight_matching_negative_weights():
+    # regression: the absent-edge sentinel was too small with negative
+    # weights, so LSA preferred a sentinel entry over a real full matching
+    # and the function falsely raised
+    d = np.zeros((3, 3))
+    d[0, 0] = 10.0
+    d[0, 1] = -10.0
+    d[1, 1] = 10.0
+    d[1, 2] = -10.0
+    d[2, 2] = 10.0
+    S = sps.csr_matrix(d)
+    rref, cref = sp_csgraph.min_weight_full_bipartite_matching(S)
+    rg, cg = csgraph.min_weight_full_bipartite_matching(COO.from_numpy(d))
+    np.testing.assert_allclose(d[rg, cg].sum(), np.asarray(S[rref, cref]).sum())
+
+
 # ---------------------------------------------------------------------------
 # partitioned (mesh-sharded) relaxation
 # ---------------------------------------------------------------------------

@@ -179,6 +179,20 @@ def test_eigsh_clustered_spectrum_default_budget():
     np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-8)
 
 
+def test_eigsh_tiny_spectral_norm():
+    # regression: the acceptance threshold had a 1.0 scale floor, making it
+    # absolute — matrices with spectral norm << 1 accepted restart-0 Ritz
+    # garbage at huge relative error
+    rng = np.random.default_rng(30)
+    n = 60
+    B = rng.standard_normal((n, n)) * (rng.random((n, n)) < 0.2)
+    spd = (B @ B.T + n * np.eye(n)) * 1e-8
+    A = sparse.COO.from_numpy(spd)
+    vals, _ = linalg.eigsh(A, k=3)
+    ref = np.sort(np.linalg.eigvalsh(spd))[-3:]
+    np.testing.assert_allclose(np.asarray(vals), ref, rtol=1e-7)
+
+
 def test_eigsh_interior_competitor_f32():
     # regression (captured from the TPU smoke): an isolated interior
     # eigenvalue (1.35) converges before the clustered second-top (17.26);
