@@ -34,6 +34,12 @@ __all__ = [
     "breadth_first_order",
     "breadth_first_tree",
     "connected_components",
+    "construct_dist_matrix",
+    "csgraph_from_dense",
+    "csgraph_from_masked",
+    "csgraph_masked_from_dense",
+    "csgraph_to_dense",
+    "csgraph_to_masked",
     "depth_first_order",
     "depth_first_tree",
     "dijkstra",
@@ -46,6 +52,7 @@ __all__ = [
     "minimum_spanning_tree",
     "pagerank",
     "pagerank_partitioned",
+    "reconstruct_path",
     "reverse_cuthill_mckee",
     "shortest_path",
     "structural_rank",
@@ -1312,3 +1319,158 @@ def minimum_spanning_tree(csgraph, overwrite=False):
 
     tu, tv, tw = u[chosen], v[chosen], w[chosen]
     return COO(np.stack([tu, tv]), tw, shape=(n, n))
+
+
+# ---------------------------------------------------------------------------
+# graph construction / representation helpers (scipy.sparse.csgraph parity:
+# scipy/sparse/csgraph/_tools.pyx — semantics re-derived, host numpy impl)
+# ---------------------------------------------------------------------------
+
+_NULL_IDX = -9999
+
+
+def _null_mask(a, null_value, nan_null, infinity_null):
+    null = np.zeros(a.shape, dtype=bool)
+    if null_value is not None:
+        if np.isnan(null_value):
+            null |= np.isnan(a)
+        elif np.isinf(null_value):
+            null |= np.isinf(a) & (np.sign(a) == np.sign(null_value))
+        else:
+            null |= a == null_value
+    if nan_null:
+        null |= np.isnan(a)
+    if infinity_null:
+        null |= np.isinf(a)
+    return null
+
+
+def csgraph_from_dense(graph, null_value=0, nan_null=True, infinity_null=True):
+    """Dense adjacency matrix -> sparse graph (COO).
+
+    Entries equal to ``null_value`` (and NaN / infinities per the flags)
+    are non-edges; everything else — including explicit zeros when
+    ``null_value`` is not 0 — is a stored edge. Mirrors
+    ``scipy.sparse.csgraph.csgraph_from_dense``.
+    """
+    from .core.coo import COO
+
+    a = np.asarray(graph, dtype=np.float64)
+    if a.ndim != 2 or a.shape[0] != a.shape[1]:
+        raise ValueError(f"csgraph requires a square 2-D adjacency matrix, got {a.shape}")
+    keep = ~_null_mask(a, null_value, nan_null, infinity_null)
+    rows, cols = np.nonzero(keep)
+    return COO(np.stack([rows, cols]), a[rows, cols], shape=a.shape)
+
+
+def csgraph_from_masked(graph):
+    """Masked dense adjacency matrix -> sparse graph (COO); masked entries
+    are non-edges, unmasked zeros are stored edges."""
+    from .core.coo import COO
+
+    a = np.ma.asarray(graph)
+    if a.ndim != 2 or a.shape[0] != a.shape[1]:
+        raise ValueError(f"csgraph requires a square 2-D adjacency matrix, got {a.shape}")
+    keep = ~np.ma.getmaskarray(a)
+    rows, cols = np.nonzero(keep)
+    return COO(np.stack([rows, cols]), np.asarray(a.data, dtype=np.float64)[rows, cols], shape=a.shape)
+
+
+def csgraph_masked_from_dense(graph, null_value=0, nan_null=True, infinity_null=True, copy=True):
+    """Dense adjacency matrix -> ``np.ma.MaskedArray`` with non-edges masked."""
+    a = np.array(graph, dtype=np.float64, copy=copy)
+    if a.ndim != 2 or a.shape[0] != a.shape[1]:
+        raise ValueError(f"csgraph requires a square 2-D adjacency matrix, got {a.shape}")
+    return np.ma.masked_array(a, mask=_null_mask(a, null_value, nan_null, infinity_null))
+
+
+def csgraph_to_dense(csgraph, null_value=0):
+    """Sparse graph -> dense adjacency matrix with non-edges set to
+    ``null_value`` (stored zero-weight edges stay 0, distinct from null).
+    Duplicate edges collapse to the minimum weight, like scipy."""
+    rows, cols, w, n = _graph_triplet(csgraph, directed=True)
+    out = np.full((n, n), np.float64(null_value))
+    # duplicates -> min: sort descending by weight so the smallest lands last
+    order = np.lexsort((-w,))
+    out[rows[order], cols[order]] = w[order]
+    return out
+
+
+def csgraph_to_masked(csgraph):
+    """Sparse graph -> ``np.ma.MaskedArray`` with non-edges masked."""
+    rows, cols, w, n = _graph_triplet(csgraph, directed=True)
+    mask = np.ones((n, n), dtype=bool)
+    mask[rows, cols] = False
+    data = np.zeros((n, n))
+    order = np.lexsort((-w,))
+    data[rows[order], cols[order]] = w[order]
+    return np.ma.masked_array(data, mask=mask)
+
+
+def _edge_weights(rows, cols, w, n, q_rows, q_cols, *, directed):
+    """Vectorized weight lookup ``G[q_rows, q_cols]`` over the edge triplet;
+    missing edges -> +inf. Undirected: min over the two stored directions."""
+    key = rows * n + cols
+    # duplicates keep the min weight: sort (key asc, weight asc) so the
+    # side="left" searchsorted hit is the group's minimum
+    order = np.lexsort((w, key))
+    skey, sw = key[order], w[order]
+    first = np.searchsorted(skey, q_rows * n + q_cols, side="left")
+    first_c = np.minimum(first, max(skey.size - 1, 0))
+    if skey.size == 0:
+        found = np.zeros(q_rows.shape, dtype=bool)
+    else:
+        found = (first < skey.size) & (skey[first_c] == q_rows * n + q_cols)
+    vals = np.where(found, sw[first_c] if skey.size else 0.0, np.inf)
+    if not directed:
+        rev = _edge_weights(rows, cols, w, n, q_cols, q_rows, directed=True)
+        vals = np.minimum(vals, rev)
+    return vals
+
+
+def reconstruct_path(csgraph, predecessors, directed=True):
+    """Tree of the edges ``(predecessors[j], j)`` with weights taken from
+    ``csgraph``, as COO — scipy's ``reconstruct_path``."""
+    from .core.coo import COO
+
+    rows, cols, w, n = _graph_triplet(csgraph, directed=True)
+    pred = np.asarray(predecessors)
+    if pred.shape != (n,):
+        raise ValueError(f"predecessors must have shape ({n},), got {pred.shape}")
+    j = np.nonzero(pred >= 0)[0]
+    p = pred[j].astype(np.int64)
+    data = _edge_weights(rows, cols, w, n, p, j, directed=directed)
+    data = np.where(np.isinf(data), 0.0, data)
+    return COO(np.stack([p, j]), data, shape=(n, n))
+
+
+def construct_dist_matrix(graph, predecessors, directed=True, null_value=np.inf):
+    """Distance matrix from a full ``(n, n)`` predecessor matrix: entry
+    ``(i, j)`` sums the edge weights along the predecessor path from ``i``
+    to ``j`` (``null_value`` where no path exists, 0 on the diagonal).
+    Path sums run by pointer doubling — O(n^2 log n) vectorized, not the
+    O(n^3) scalar walk."""
+    rows, cols, w, n = _graph_triplet(graph, directed=True)
+    pred = np.asarray(predecessors)
+    if pred.shape != (n, n):
+        raise ValueError(f"predecessors must have shape ({n}, {n}), got {pred.shape}")
+
+    idx = np.arange(n)
+    valid = pred >= 0
+    p = np.where(valid, pred, idx[None, :]).astype(np.int64)
+    # edge weight into j from its predecessor (0 at roots/self-loops)
+    e = np.where(
+        valid,
+        _edge_weights(rows, cols, w, n, p.ravel(), np.tile(idx, n), directed=directed).reshape(n, n),
+        0.0,
+    )
+    # pointer doubling to the root of each predecessor tree, accumulating
+    # path weight; roots self-loop with weight 0 so both converge
+    jump, acc = p, e
+    for _ in range(max(1, int(np.ceil(np.log2(max(n, 2)))) + 1)):
+        ri = idx[:, None]
+        acc = acc + acc[ri, jump]
+        jump = jump[ri, jump]
+    dist = np.where(jump == idx[:, None], acc, np.float64(null_value))
+    np.fill_diagonal(dist, 0.0)
+    return dist

@@ -603,3 +603,90 @@ def test_laplacian_normed_return_diag_matches_scipy():
     got, got_d = csgraph.laplacian(as_coo(g), normed=True, return_diag=True)
     np.testing.assert_allclose(got.todense(), ref.toarray(), atol=1e-12)
     np.testing.assert_allclose(got_d, ref_d)
+
+
+# ---------------------------------------------------------------------------
+# construction / representation helpers
+# ---------------------------------------------------------------------------
+
+
+def test_csgraph_from_dense_matches_scipy():
+    rng = np.random.default_rng(60)
+    a = rng.random((12, 12))
+    a[a < 0.6] = 0.0
+    a[0, 3] = np.nan
+    a[1, 4] = np.inf
+    ref = sp_csgraph.csgraph_from_dense(a, null_value=0)
+    got = csgraph.csgraph_from_dense(a, null_value=0)
+    np.testing.assert_allclose(got.todense(), ref.toarray())
+
+
+def test_csgraph_from_dense_nonzero_null_keeps_explicit_zeros():
+    a = np.full((4, 4), -1.0)
+    a[0, 1] = 0.0
+    a[2, 3] = 5.0
+    ref = sp_csgraph.csgraph_from_dense(a, null_value=-1)
+    got = csgraph.csgraph_from_dense(a, null_value=-1)
+    assert got.nnz == ref.nnz == 2
+    ref_d = sp_csgraph.csgraph_to_dense(ref, null_value=-1)
+    got_d = csgraph.csgraph_to_dense(got, null_value=-1)
+    np.testing.assert_allclose(got_d, ref_d)
+
+
+def test_csgraph_masked_roundtrip_matches_scipy():
+    rng = np.random.default_rng(61)
+    a = rng.random((10, 10))
+    a[a < 0.5] = 0.0
+    ref_m = sp_csgraph.csgraph_masked_from_dense(a)
+    got_m = csgraph.csgraph_masked_from_dense(a)
+    np.testing.assert_array_equal(np.ma.getmaskarray(got_m), np.ma.getmaskarray(ref_m))
+    np.testing.assert_allclose(got_m.filled(0), ref_m.filled(0))
+    # masked -> sparse -> masked
+    got = csgraph.csgraph_from_masked(got_m)
+    ref = sp_csgraph.csgraph_from_masked(ref_m)
+    np.testing.assert_allclose(got.todense(), ref.toarray())
+    back = csgraph.csgraph_to_masked(got)
+    ref_back = sp_csgraph.csgraph_to_masked(ref)
+    np.testing.assert_array_equal(np.ma.getmaskarray(back), np.ma.getmaskarray(ref_back))
+    np.testing.assert_allclose(back.filled(0), ref_back.filled(0))
+
+
+def test_csgraph_to_dense_null_value():
+    g = random_graph(seed=62, n=15, density=0.2)
+    ref = sp_csgraph.csgraph_to_dense(g.tocsr(), null_value=np.inf)
+    got = csgraph.csgraph_to_dense(as_coo(g), null_value=np.inf)
+    np.testing.assert_allclose(got, ref)
+
+
+@pytest.mark.parametrize("directed", [True, False])
+def test_reconstruct_path_matches_scipy(directed):
+    g = random_graph(seed=63, n=25, density=0.15, directed=directed)
+    _, pred = sp_csgraph.dijkstra(g.tocsr(), directed=directed, indices=0, return_predecessors=True)
+    ref = sp_csgraph.reconstruct_path(g.tocsr(), pred, directed=directed)
+    got = csgraph.reconstruct_path(as_coo(g), pred, directed=directed)
+    np.testing.assert_allclose(got.todense(), ref.toarray())
+
+
+@pytest.mark.parametrize("directed", [True, False])
+def test_construct_dist_matrix_matches_scipy(directed):
+    g = random_graph(seed=64, n=20, density=0.15, directed=directed)
+    dist_ref, pred = sp_csgraph.shortest_path(
+        g.tocsr(), directed=directed, return_predecessors=True
+    )
+    ref = sp_csgraph.construct_dist_matrix(g.toarray(), pred, directed=directed)
+    got = csgraph.construct_dist_matrix(as_coo(g), pred, directed=directed)
+    np.testing.assert_allclose(got, ref)
+    # and the reconstruction reproduces the shortest-path distances
+    np.testing.assert_allclose(got, dist_ref)
+
+
+def test_construct_dist_matrix_disconnected_null_value():
+    # two components: paths across get the null value
+    rows = np.array([0, 1, 3])
+    cols = np.array([1, 2, 4])
+    w = np.array([1.0, 2.0, 3.0])
+    g = sps.coo_matrix((w, (rows, cols)), shape=(5, 5))
+    _, pred = sp_csgraph.shortest_path(g.tocsr(), return_predecessors=True)
+    ref = sp_csgraph.construct_dist_matrix(g.toarray(), pred, null_value=-1.0)
+    got = csgraph.construct_dist_matrix(as_coo(g.tocoo()), pred, null_value=-1.0)
+    np.testing.assert_allclose(got, ref)
