@@ -23,19 +23,32 @@ from jax import lax
 from . import jitops
 
 __all__ = [
-    "cg",
+    "LinearOperator",
+    "aslinearoperator",
     "bicgstab",
-    "gmres",
+    "cg",
+    "cgs",
     "eigsh",
-    "lobpcg",
-    "svds",
+    "expm",
     "expm_multiply",
+    "factorized",
+    "gmres",
+    "inv",
+    "lobpcg",
+    "lsmr",
     "lsqr",
+    "matrix_power",
     "minres",
     "norm",
-    "spsolve",
-    "power_iteration",
+    "onenormest",
     "partitioned_matvec",
+    "power_iteration",
+    "spilu",
+    "splu",
+    "spsolve",
+    "spsolve_triangular",
+    "svds",
+    "tfqmr",
 ]
 
 
@@ -75,12 +88,97 @@ def _under_trace():
         return isinstance(jnp.zeros(()) + 0, jax.core.Tracer)
 
 
+class LinearOperator:
+    """Matrix-free operator: ``shape`` + ``matvec`` (+ optional ``rmatvec``)
+    — the scipy.sparse.linalg.LinearOperator shape of the idea. Every
+    solver here accepts one; :func:`lsqr`/:func:`lsmr`/:func:`onenormest`
+    use ``rmatvec`` when the operand is not a sparse array."""
+
+    def __init__(self, shape, matvec, rmatvec=None, dtype=None):
+        self.shape = tuple(shape)
+        if len(self.shape) != 2:
+            raise ValueError(f"LinearOperator shape must be 2-D, got {self.shape}")
+        self._matvec = matvec
+        self._rmatvec = rmatvec
+        self.dtype = dtype
+
+    def matvec(self, x):
+        return self._matvec(x)
+
+    def rmatvec(self, x):
+        if self._rmatvec is None:
+            raise NotImplementedError("this LinearOperator has no rmatvec")
+        return self._rmatvec(x)
+
+    def __call__(self, x):
+        return self._matvec(x)
+
+    def __matmul__(self, x):
+        return self._matvec(x)
+
+    @property
+    def T(self):
+        """Transpose operator (swaps matvec and rmatvec)."""
+        return LinearOperator(
+            (self.shape[1], self.shape[0]), self.rmatvec, self._matvec, dtype=self.dtype
+        )
+
+    H = T
+
+    def __repr__(self):
+        return f"<{self.shape[0]}x{self.shape[1]} LinearOperator>"
+
+
+def aslinearoperator(A):
+    """Wrap a sparse array, dense matrix, or ``(shape, matvec)``-style
+    object as a :class:`LinearOperator` with both ``matvec`` and
+    ``rmatvec``."""
+    import numpy as np
+
+    from .core.base import SparseArray
+
+    if isinstance(A, LinearOperator):
+        return A
+    if isinstance(A, SparseArray):
+        if A.ndim != 2:
+            raise ValueError("aslinearoperator requires a 2-D array")
+        mv = _as_matvec(A)
+        rmv = _as_matvec(A.transpose())
+        return LinearOperator(A.shape, mv, rmv, dtype=np.asarray(A.data).dtype)
+    a = jnp.asarray(A)
+    if a.ndim != 2:
+        raise ValueError("aslinearoperator requires a 2-D array")
+    return LinearOperator(
+        a.shape,
+        lambda x: jnp.dot(a, x, precision=_HI),
+        lambda x: jnp.dot(jnp.conj(a).T, x, precision=_HI),
+        dtype=a.dtype,
+    )
+
+
+def _as_matvec_pair(A):
+    """``(matvec, rmatvec, shape)`` for solvers that need Aᵀ (lsqr/lsmr/
+    onenormest): sparse arrays transpose for free; LinearOperators must
+    carry an rmatvec."""
+    from .core.base import SparseArray
+
+    if isinstance(A, SparseArray):
+        if A.ndim != 2:
+            raise ValueError("expected a 2-D operator")
+        return _as_matvec(A), _as_matvec(A.transpose()), A.shape
+    if isinstance(A, LinearOperator):
+        return A.matvec, A.rmatvec, A.shape
+    raise TypeError("expected a sparse array or a LinearOperator (needs Aᵀ)")
+
+
 def _as_matvec(A):
     import numpy as np
 
     from .core.base import SparseArray
     from .core.coo import COO
 
+    if isinstance(A, LinearOperator):
+        return A.matvec
     if isinstance(A, SparseArray):
         # a concrete 2-D zero-fill COO upgrades to the block-ELL one-hot-MXU
         # SpMV — ~3x over the segment-scatter form per iteration on TPU
@@ -646,14 +744,8 @@ def lsqr(A, b, *, tol=1e-8, atol=0.0, maxiter=None):
     iteration count. Consistent square systems converge to the solution;
     inconsistent overdetermined systems to the least-squares minimizer.
     """
-    from .core.base import SparseArray
-
-    if isinstance(A, SparseArray):
-        mv = _as_matvec(A)
-        mvt = _as_matvec(A.transpose())
-        n_cols = A.shape[1]
-    else:
-        raise TypeError("lsqr expects a sparse array (needs Aᵀ)")
+    mv, mvt, shape = _as_matvec_pair(A)
+    n_cols = shape[1]
     b = jnp.asarray(b)
     if maxiter is None:
         maxiter = 10 * max(A.shape)
@@ -828,3 +920,374 @@ def power_iteration(A, *, key=None, v0=None, tol=1e-9, maxiter=1000):
     v, _, it = lax.while_loop(cond, body, (v, jnp.full_like(v, jnp.inf), 0))
     lam = _vdot(v, mv(v))
     return lam, v, it
+
+
+def cgs(A, b, x0=None, *, tol=1e-8, atol=0.0, maxiter=None):
+    """Conjugate Gradient Squared for general ``A`` (transpose-free);
+    scipy-style ``(x, info)``, whole-loop jitted like :func:`bicgstab`."""
+    mv = _as_matvec(A)
+    b = jnp.asarray(b)
+    if maxiter is None:
+        maxiter = 10 * b.shape[0]
+    x = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0)
+
+    r = b - mv(x)
+    r_hat = r
+    u = r
+    p = r
+    rho = _vdot(r_hat, r)
+    target = jnp.maximum(tol * jnp.linalg.norm(b), atol)
+
+    def cond(state):
+        *_, rnorm, it = state
+        return (rnorm > target) & (it < maxiter)
+
+    def body(state):
+        x, r, u, p, rho, _, it = state
+        v = mv(p)
+        sigma = _vdot(r_hat, v)
+        alpha = rho / jnp.where(sigma != 0, sigma, 1.0)
+        q = u - alpha * v
+        x = x + alpha * (u + q)
+        r = r - alpha * mv(u + q)
+        rho_new = _vdot(r_hat, r)
+        beta = rho_new / jnp.where(rho != 0, rho, 1.0)
+        u = r + beta * q
+        p = u + beta * (q + beta * p)
+        return x, r, u, p, rho_new, jnp.linalg.norm(r), it + 1
+
+    x, *_, rnorm, it = lax.while_loop(cond, body, (x, r, u, p, rho, jnp.linalg.norm(r), 0))
+    info = jnp.where(rnorm <= target, 0, it)
+    return x, info
+
+
+def tfqmr(A, b, x0=None, *, tol=1e-8, atol=0.0, maxiter=None):
+    """Transpose-Free QMR (Freund '93) for general ``A``; scipy-style
+    ``(x, info)``. Two matvecs per iteration, smoother convergence than
+    :func:`cgs` on the same Krylov space; the quasi-residual bound
+    ``tau * sqrt(2(it+1))`` rides in the carry so the loop cond stays a
+    scalar compare, and ``info`` uses the true final residual."""
+    mv = _as_matvec(A)
+    b = jnp.asarray(b)
+    if maxiter is None:
+        maxiter = 10 * b.shape[0]
+    x = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0)
+
+    r0 = b - mv(x)
+    r_star = r0
+    u = r0
+    w = r0
+    au = mv(u)  # A u, carried separately: v is the search direction, not A u
+    v = au
+    d = jnp.zeros_like(b)
+    tau = jnp.linalg.norm(r0)
+    theta = jnp.zeros((), b.dtype)
+    eta = jnp.zeros((), b.dtype)
+    rho = _vdot(r_star, r0)
+    target = jnp.maximum(tol * jnp.linalg.norm(b), atol)
+
+    def half_step(x, w, d, u_j, au_j, alpha, tau, theta, eta):
+        w = w - alpha * au_j
+        safe_a = jnp.where(alpha != 0, alpha, 1.0)
+        d = u_j + (theta * theta * eta / safe_a) * d
+        theta = jnp.linalg.norm(w) / jnp.where(tau > 0, tau, 1.0)
+        c = 1.0 / jnp.sqrt(1.0 + theta * theta)
+        tau = tau * theta * c
+        eta = c * c * alpha
+        x = x + eta * d
+        return x, w, d, tau, theta, eta
+
+    def cond(state):
+        *_, bound, it = state
+        return (bound > target) & (it < maxiter)
+
+    def body(state):
+        x, w, d, u, au, v, rho, tau, theta, eta, _, it = state
+        sigma = _vdot(r_star, v)
+        alpha = rho / jnp.where(sigma != 0, sigma, 1.0)
+        u2 = u - alpha * v
+        # even half-step consumes A u; the odd one A u2 (fresh matvec)
+        x, w, d, tau, theta, eta = half_step(x, w, d, u, au, alpha, tau, theta, eta)
+        au2 = mv(u2)
+        x, w, d, tau, theta, eta = half_step(x, w, d, u2, au2, alpha, tau, theta, eta)
+        rho_new = _vdot(r_star, w)
+        beta = rho_new / jnp.where(rho != 0, rho, 1.0)
+        u = w + beta * u2
+        au = mv(u)
+        v = au + beta * (au2 + beta * v)
+        bound = tau * jnp.sqrt(2.0 * (it + 1.0))
+        return x, w, d, u, au, v, rho_new, tau, theta, eta, bound, it + 1
+
+    init = (x, w, d, u, au, v, rho, tau, theta, eta, tau, 0)
+    x, *_, it = lax.while_loop(cond, body, init)
+    rnorm = jnp.linalg.norm(b - mv(x))
+    info = jnp.where(rnorm <= jnp.maximum(target, jnp.asarray(10.0, b.dtype) * jnp.finfo(b.dtype).eps * tau), 0, it)
+    return x, info
+
+
+def lsmr(A, b, *, tol=1e-8, atol=0.0, maxiter=None):
+    """Least squares via LSMR (Fong & Saunders 2011): MINRES on the normal
+    equations through Golub-Kahan bidiagonalization — the normal-equation
+    residual ``||Aᵀr||`` decreases monotonically, unlike :func:`lsqr`'s.
+
+    Accepts a sparse array or a :class:`LinearOperator` with ``rmatvec``.
+    Returns ``(x, info)`` with the same convention as :func:`lsqr`:
+    ``info == 0`` when ``||Aᵀ(b - A x)|| <= max(tol * ||Aᵀ b||, atol)``.
+    """
+    mv, rmv, shape = _as_matvec_pair(A)
+    b = jnp.asarray(b)
+    if maxiter is None:
+        maxiter = 10 * max(shape)
+
+    beta0 = jnp.linalg.norm(b)
+    u = b / jnp.where(beta0 > 0, beta0, 1.0)
+    v_raw = rmv(u)
+    alpha0 = jnp.linalg.norm(v_raw)
+    v = v_raw / jnp.where(alpha0 > 0, alpha0, 1.0)
+    x = jnp.zeros(shape[1], b.dtype)
+    h = v
+    hbar = jnp.zeros_like(v)
+    one = jnp.ones((), b.dtype)
+    zero = jnp.zeros((), b.dtype)
+    zetabar0 = alpha0 * beta0  # == ||Aᵀ b||
+    target = jnp.maximum(tol * zetabar0, atol)
+
+    def cond(state):
+        *_, normar, it = state
+        return (normar > target) & (it < maxiter)
+
+    def body(state):
+        (x, u, v, h, hbar, alpha, alphabar, zetabar, rho_p, rhobar_p, cbar, sbar, _, it) = state
+        u = mv(v) - alpha * u
+        beta = jnp.linalg.norm(u)
+        u = u / jnp.where(beta > 0, beta, 1.0)
+        v_new = rmv(u) - beta * v
+        alpha_new = jnp.linalg.norm(v_new)
+        v_new = v_new / jnp.where(alpha_new > 0, alpha_new, 1.0)
+
+        rho = jnp.sqrt(alphabar * alphabar + beta * beta)
+        rho_s = jnp.where(rho > 0, rho, 1.0)
+        c = alphabar / rho_s
+        s = beta / rho_s
+        theta_new = s * alpha_new
+        alphabar_new = c * alpha_new
+
+        thetabar = sbar * rho
+        rhobar = jnp.sqrt((cbar * rho) ** 2 + theta_new * theta_new)
+        rhobar_s = jnp.where(rhobar > 0, rhobar, 1.0)
+        cbar_new = cbar * rho / rhobar_s
+        sbar_new = theta_new / rhobar_s
+        zeta = cbar_new * zetabar
+        zetabar_new = -sbar_new * zetabar
+
+        denom = jnp.where(rho_p * rhobar_p != 0, rho_p * rhobar_p, 1.0)
+        hbar = h - (thetabar * rho / denom) * hbar
+        x = x + (zeta / jnp.where(rho * rhobar != 0, rho * rhobar, 1.0)) * hbar
+        h = v_new - (theta_new / rho_s) * h
+        return (
+            x, u, v_new, h, hbar, alpha_new, alphabar_new, zetabar_new,
+            rho, rhobar, cbar_new, sbar_new, jnp.abs(zetabar_new), it + 1,
+        )
+
+    init = (x, u, v, h, hbar, alpha0, alpha0, zetabar0, one, one, one, zero, zetabar0, 0)
+    x, *_, normar, it = lax.while_loop(cond, body, init)
+    true_normar = jnp.linalg.norm(rmv(b - mv(x)))
+    info = jnp.where(true_normar <= jnp.maximum(target, 10 * jnp.finfo(b.dtype).eps * zetabar0), 0, it)
+    return x, info
+
+
+def onenormest(A, t=2, itmax=5, compute_v=False, compute_w=False, key=None):
+    """Estimate ``||A||_1`` by the Higham–Tisseur block power method
+    (scipy.sparse.linalg.onenormest parity) — a lower bound that is almost
+    always exact, using only ``matvec``/``rmatvec`` (t column probes per
+    pass, at most ``itmax`` passes)."""
+    import numpy as np
+
+    mv, rmv, shape = _as_matvec_pair(A)
+    n = shape[1]
+    if shape[0] != n:
+        raise ValueError("onenormest expects a square operator")
+    t = min(t, n)
+    if key is None:
+        key = jax.random.PRNGKey(1)
+
+    def mm(f, X):
+        return np.stack([np.asarray(f(jnp.asarray(X[:, j]))) for j in range(X.shape[1])], axis=1)
+
+    X = np.ones((n, t)) / n
+    if t > 1:
+        signs = np.asarray(jax.random.rademacher(key, (n, t - 1), dtype=jnp.int32))
+        X[:, 1:] = signs / n
+    est_old = 0.0
+    ind_hist = np.zeros(n, dtype=bool)
+    v_best = np.zeros(n)
+    w_best = None
+    for k in range(itmax):
+        Y = mm(mv, X)
+        norms = np.abs(Y).sum(axis=0)
+        j_best = int(np.argmax(norms))
+        est = float(norms[j_best])
+        if est > est_old:
+            v_best = X[:, j_best]
+            w_best = Y[:, j_best]
+        if k > 0 and est <= est_old:
+            est = est_old
+            break
+        est_old = est
+        S = np.where(Y >= 0, 1.0, -1.0)
+        Z = mm(rmv, S)
+        h = np.abs(Z).max(axis=1)
+        if k > 0 and float(h.max()) <= float((Z[:, 0] * X[:, 0]).sum()):
+            break
+        order = np.argsort(-h)
+        fresh = [i for i in order if not ind_hist[i]][:t]
+        if not fresh:
+            break
+        X = np.zeros((n, t))
+        for c, i in enumerate(fresh):
+            X[i, c] = 1.0
+            ind_hist[i] = True
+    if w_best is None:
+        w_best = mm(mv, v_best[:, None])[:, 0]
+    if compute_v and compute_w:
+        return est, v_best, w_best
+    if compute_v:
+        return est, v_best
+    if compute_w:
+        return est, w_best
+    return est
+
+
+def inv(A):
+    """Sparse inverse via the host direct factorization (SuperLU through
+    scipy) — the same eager bridge as :func:`spsolve`; returns COO.
+    Prefer solving systems over forming inverses."""
+    import scipy.sparse.linalg as spla
+
+    from .core.base import SparseArray
+    from .core.coo import COO
+
+    if not isinstance(A, SparseArray):
+        raise TypeError("inv expects a sparse array")
+    out = spla.inv(A.to_scipy_sparse().tocsc())
+    return COO.from_scipy_sparse(out)
+
+
+def expm(A):
+    """Sparse matrix exponential (Padé + scaling-squaring on the host via
+    scipy) — returns COO. For the action ``exp(tA) @ b`` without forming
+    the exponential, use :func:`expm_multiply`."""
+    import scipy.sparse.linalg as spla
+
+    from .core.base import SparseArray
+    from .core.coo import COO
+
+    if not isinstance(A, SparseArray):
+        raise TypeError("expm expects a sparse array")
+    out = spla.expm(A.to_scipy_sparse().tocsc())
+    return COO.from_scipy_sparse(out)
+
+
+def matrix_power(A, power):
+    """``A ** power`` for square sparse ``A`` by binary exponentiation over
+    the eager SpGEMM (scipy.sparse.linalg.matrix_power parity); ``power ==
+    0`` returns the sparse identity."""
+    import numpy as np
+
+    from .core.base import SparseArray
+    from .ops.creation import eye
+
+    if not isinstance(A, SparseArray):
+        raise TypeError("matrix_power expects a sparse array")
+    if A.ndim != 2 or A.shape[0] != A.shape[1]:
+        raise ValueError("matrix_power expects a square matrix")
+    power = int(power)
+    if power < 0:
+        raise ValueError("negative powers are not supported (invert explicitly)")
+    if power == 0:
+        return eye(A.shape[0], dtype=np.asarray(A.data).dtype)
+    result = None
+    base = A
+    while power:
+        if power & 1:
+            result = base if result is None else result @ base
+        power >>= 1
+        if power:
+            base = base @ base
+    return result
+
+
+def spsolve_triangular(A, b, lower=True, unit_diagonal=False):
+    """Triangular solve ``A x = b`` on the host (scipy bridge, like
+    :func:`spsolve`): substitution is inherently sequential, so it stays
+    an eager host path rather than a device loop."""
+    import numpy as np
+    import scipy.sparse.linalg as spla
+
+    from .core.base import SparseArray
+
+    if not isinstance(A, SparseArray):
+        raise TypeError("spsolve_triangular expects a sparse array")
+    return spla.spsolve_triangular(
+        A.to_scipy_sparse().tocsr(), np.asarray(b), lower=lower, unit_diagonal=unit_diagonal
+    )
+
+
+class _SuperLUFactor:
+    """Thin wrapper over scipy's SuperLU object: ``solve(b)`` plus the
+    permutation/L/U constituents re-exposed as sparse_tpu arrays."""
+
+    def __init__(self, slu):
+        self._slu = slu
+        self.shape = slu.shape
+        self.nnz = slu.nnz
+        self.perm_r = slu.perm_r
+        self.perm_c = slu.perm_c
+
+    def solve(self, b, trans="N"):
+        import numpy as np
+
+        return self._slu.solve(np.asarray(b), trans=trans)
+
+    @property
+    def L(self):
+        from .core.coo import COO
+
+        return COO.from_scipy_sparse(self._slu.L.tocoo())
+
+    @property
+    def U(self):
+        from .core.coo import COO
+
+        return COO.from_scipy_sparse(self._slu.U.tocoo())
+
+
+def splu(A, **kwargs):
+    """LU-factorize ``A`` once (host SuperLU bridge) for repeated solves:
+    returns an object with ``.solve(b)``, ``.L``/``.U`` as COO, and the
+    row/column permutations."""
+    import scipy.sparse.linalg as spla
+
+    from .core.base import SparseArray
+
+    if not isinstance(A, SparseArray):
+        raise TypeError("splu expects a sparse array")
+    return _SuperLUFactor(spla.splu(A.to_scipy_sparse().tocsc(), **kwargs))
+
+
+def spilu(A, **kwargs):
+    """Incomplete LU (host SuperLU bridge) — the standard preconditioner
+    factory: ``M = spilu(A); cg(A, b, M=M.solve)``."""
+    import scipy.sparse.linalg as spla
+
+    from .core.base import SparseArray
+
+    if not isinstance(A, SparseArray):
+        raise TypeError("spilu expects a sparse array")
+    return _SuperLUFactor(spla.spilu(A.to_scipy_sparse().tocsc(), **kwargs))
+
+
+def factorized(A):
+    """``factorized(A)(b)`` solves ``A x = b`` reusing one LU factorization
+    (scipy parity; host bridge)."""
+    return splu(A).solve

@@ -478,3 +478,161 @@ def test_cg_with_mesh_sharded_matrix():
     np.testing.assert_allclose(np.asarray(x), np.linalg.solve(dense, b), rtol=1e-6)
     lam, v, _ = linalg.power_iteration(mv, tol=1e-12, maxiter=5000)
     np.testing.assert_allclose(float(lam), np.linalg.eigvalsh(dense)[-1], rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# transpose-free Krylov, LSMR, LinearOperator, and the host bridges
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture
+def nonsym():
+    rng = np.random.default_rng(10)
+    n = 60
+    B = rng.standard_normal((n, n)) * (rng.random((n, n)) < 0.15)
+    dense = B + n * np.eye(n)  # diagonally dominant -> well-conditioned
+    return sparse.COO.from_numpy(dense), dense
+
+
+def test_cgs_matches_dense_solve(nonsym):
+    A, dense = nonsym
+    rng = np.random.default_rng(11)
+    b = rng.standard_normal(dense.shape[0])
+    x, info = linalg.cgs(A, b, tol=1e-10)
+    assert int(info) == 0
+    np.testing.assert_allclose(np.asarray(x), np.linalg.solve(dense, b), rtol=1e-6)
+
+
+def test_tfqmr_matches_dense_solve(nonsym):
+    A, dense = nonsym
+    rng = np.random.default_rng(12)
+    b = rng.standard_normal(dense.shape[0])
+    x, info = linalg.tfqmr(A, b, tol=1e-10)
+    assert int(info) == 0
+    np.testing.assert_allclose(np.asarray(x), np.linalg.solve(dense, b), rtol=1e-6)
+
+
+def test_cgs_tfqmr_under_jit(nonsym):
+    A, dense = nonsym
+    b = np.ones(dense.shape[0])
+
+    @jax.jit
+    def solve(A, b):
+        x1, _ = linalg.cgs(A, b, tol=1e-9, maxiter=500)
+        x2, _ = linalg.tfqmr(A, b, tol=1e-9, maxiter=500)
+        return x1, x2
+
+    x1, x2 = solve(A, b)
+    ref = np.linalg.solve(dense, b)
+    np.testing.assert_allclose(np.asarray(x1), ref, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(x2), ref, rtol=1e-5)
+
+
+@pytest.mark.parametrize("shape", [(80, 50), (50, 50)])
+def test_lsmr_least_squares(shape):
+    rng = np.random.default_rng(13)
+    m, n = shape
+    dense = rng.standard_normal((m, n)) * (rng.random((m, n)) < 0.3)
+    dense += np.eye(m, n)  # full column rank
+    A = sparse.COO.from_numpy(dense)
+    b = rng.standard_normal(m)
+    x, info = linalg.lsmr(A, b, tol=1e-12)
+    assert int(info) == 0
+    ref, *_ = np.linalg.lstsq(dense, b, rcond=None)
+    np.testing.assert_allclose(np.asarray(x), ref, rtol=1e-6, atol=1e-8)
+
+
+def test_lsmr_matches_scipy(nonsym):
+    A, dense = nonsym
+    b = np.ones(dense.shape[0])
+    x, info = linalg.lsmr(A, b, tol=1e-12)
+    ref = spla.lsmr(dense, b, atol=1e-12, btol=1e-12)[0]
+    np.testing.assert_allclose(np.asarray(x), ref, rtol=1e-6, atol=1e-8)
+
+
+def test_linearoperator_matvec_rmatvec(nonsym):
+    A, dense = nonsym
+    op = linalg.aslinearoperator(A)
+    v = np.arange(dense.shape[1], dtype=np.float64)
+    np.testing.assert_allclose(np.asarray(op.matvec(v)), dense @ v, rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(op.rmatvec(v)), dense.T @ v, rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(op.T.matvec(v)), dense.T @ v, rtol=1e-10)
+    # solvers accept the operator directly
+    b = np.ones(dense.shape[0])
+    x, info = linalg.gmres(op, b, tol=1e-10, restart=30)
+    np.testing.assert_allclose(np.asarray(x), np.linalg.solve(dense, b), rtol=1e-5)
+    x2, info2 = linalg.lsmr(op, b, tol=1e-10)
+    np.testing.assert_allclose(np.asarray(x2), np.linalg.solve(dense, b), rtol=1e-5)
+
+
+def test_linearoperator_matrix_free():
+    n = 30
+    d = np.arange(1, n + 1, dtype=np.float64)
+    op = linalg.LinearOperator((n, n), lambda x: d * x, lambda x: d * x)
+    b = np.ones(n)
+    x, info = linalg.cg(op, b, tol=1e-12)
+    assert int(info) == 0
+    np.testing.assert_allclose(np.asarray(x), 1.0 / d, rtol=1e-8)
+
+
+def test_onenormest_matches_exact():
+    for seed in (0, 1, 2, 3):
+        rng = np.random.default_rng(seed)
+        dense = rng.standard_normal((40, 40)) * (rng.random((40, 40)) < 0.2)
+        A = sparse.COO.from_numpy(dense)
+        exact = np.abs(dense).sum(axis=0).max()
+        est = linalg.onenormest(A, t=4)
+        assert est <= exact * (1 + 1e-10)
+        assert est >= 0.5 * exact  # Higham-Tisseur is near-exact in practice
+    # and exact on this fixed instance
+    np.testing.assert_allclose(linalg.onenormest(A, t=8, itmax=8), exact, rtol=1e-12)
+
+
+def test_inv_expm_bridges():
+    rng = np.random.default_rng(14)
+    n = 25
+    dense = rng.standard_normal((n, n)) * (rng.random((n, n)) < 0.2) + n * np.eye(n)
+    A = sparse.COO.from_numpy(dense)
+    got = linalg.inv(A)
+    assert isinstance(got, sparse.COO)
+    np.testing.assert_allclose(got.todense(), np.linalg.inv(dense), rtol=1e-8, atol=1e-10)
+    B = sparse.COO.from_numpy(dense / n)
+    import scipy.linalg
+
+    got_e = linalg.expm(B)
+    assert isinstance(got_e, sparse.COO)
+    np.testing.assert_allclose(got_e.todense(), scipy.linalg.expm(dense / n), rtol=1e-8, atol=1e-10)
+
+
+def test_matrix_power():
+    rng = np.random.default_rng(15)
+    dense = (rng.random((20, 20)) < 0.15) * rng.standard_normal((20, 20))
+    A = sparse.COO.from_numpy(dense)
+    for p in (0, 1, 2, 3, 5):
+        got = linalg.matrix_power(A, p)
+        np.testing.assert_allclose(got.todense(), np.linalg.matrix_power(dense, p), rtol=1e-10, atol=1e-12)
+    with pytest.raises(ValueError):
+        linalg.matrix_power(A, -1)
+
+
+def test_spsolve_triangular_bridge():
+    rng = np.random.default_rng(16)
+    n = 30
+    dense = np.tril(rng.standard_normal((n, n)) * (rng.random((n, n)) < 0.3)) + 2 * np.eye(n)
+    A = sparse.COO.from_numpy(dense)
+    b = rng.standard_normal(n)
+    x = linalg.spsolve_triangular(A, b, lower=True)
+    np.testing.assert_allclose(x, np.linalg.solve(dense, b), rtol=1e-10)
+
+
+def test_splu_spilu_factorized(spd):
+    A, dense = spd
+    b = np.arange(dense.shape[0], dtype=np.float64)
+    lu = linalg.splu(A)
+    np.testing.assert_allclose(lu.solve(b), np.linalg.solve(dense, b), rtol=1e-8)
+    np.testing.assert_allclose(linalg.factorized(A)(b), np.linalg.solve(dense, b), rtol=1e-8)
+    # L/U constituents come back as sparse arrays
+    assert isinstance(lu.L, sparse.COO) and isinstance(lu.U, sparse.COO)
+    # spilu factors solve approximately (preconditioner quality)
+    ilu = linalg.spilu(A, drop_tol=1e-8)
+    np.testing.assert_allclose(ilu.solve(b), np.linalg.solve(dense, b), rtol=1e-4)
