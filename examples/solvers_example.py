@@ -64,11 +64,32 @@ def main():
     ref = np.sort(np.linalg.eigvalsh(dense))[-4:]
     np.testing.assert_allclose(np.asarray(vals), ref, rtol=1e-8)
 
+    # transpose-free Krylov on the same nonsymmetric operator
+    xt, infot = linalg.tfqmr(Asp, b, tol=1e-10)
+    assert int(infot) == 0
+    np.testing.assert_allclose(P @ np.asarray(xt), b, atol=1e-6 * np.abs(b).max())
+
+    # LSMR least squares on a rectangular slice of the operator
+    rect = sparse.COO.from_numpy(P[:, : n // 2])
+    xl, _ = linalg.lsmr(rect, b, tol=1e-12)
+    ref_ls, *_ = np.linalg.lstsq(P[:, : n // 2], b, rcond=None)
+    np.testing.assert_allclose(np.asarray(xl), ref_ls, rtol=1e-5, atol=1e-7)
+
+    # nonsymmetric Arnoldi eigenpairs (device Arnoldi, host small eig)
+    we, _ = linalg.eigs(Asp, k=2, which="LM", ncv=30)
+    ref_e = np.linalg.eigvals(P)
+    ref_e = ref_e[np.argsort(-np.abs(ref_e))][:2]
+    np.testing.assert_allclose(np.sort(np.abs(we)), np.sort(np.abs(ref_e)), rtol=1e-4)
+
+    # one LU factorization, many solves (host SuperLU bridge)
+    solve = linalg.factorized(A)
+    np.testing.assert_allclose(solve(b), np.asarray(x), rtol=1e-6, atol=1e-9)
+
     # direct-solve bridge agrees with the iterative path
     xd = linalg.spsolve(A, b)
     np.testing.assert_allclose(xd, np.asarray(x), rtol=1e-6, atol=1e-9)
 
-    print(f"solver oracles OK (n={n}: CG, GMRES, eigsh, spsolve)")
+    print(f"solver oracles OK (n={n}: CG, GMRES, TFQMR, LSMR, eigsh, eigs, LU, spsolve)")
 
     if not CI_MODE:
         bj = jnp.asarray(b)

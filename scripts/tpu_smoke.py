@@ -183,6 +183,15 @@ def main():
     ref_ev = np.sort(spla_eigsh_top2(lap, 0.5))
     print("    eigsh got", np.asarray(evals), "ref", ref_ev)
     ok &= check("linalg.eigsh f32", np.asarray(evals), ref_ev, tol=1e-2)
+    xc, infoc = linalg.cgs(Asolve, jnp.asarray(bvec), tol=1e-5)
+    resc = np.asarray(sparse_residual(Asolve, xc, bvec))
+    ok &= check("linalg.cgs f32 solve", np.array([1.0 + float(infoc), 1.0 + resc]), np.array([1.0, 1.0]), tol=2e-4)
+    xt, infot = linalg.tfqmr(Asolve, jnp.asarray(bvec), tol=1e-5)
+    rest = np.asarray(sparse_residual(Asolve, xt, bvec))
+    ok &= check("linalg.tfqmr f32 solve", np.array([1.0 + float(infot), 1.0 + rest]), np.array([1.0, 1.0]), tol=2e-4)
+    xl, infol = linalg.lsmr(Asolve, jnp.asarray(bvec), tol=1e-5)
+    resl = np.asarray(sparse_residual(Asolve, xl, bvec))
+    ok &= check("linalg.lsmr f32 solve", np.array([1.0 + float(infol), 1.0 + resl]), np.array([1.0, 1.0]), tol=2e-3)
 
     print("ALL OK" if ok else "FAILURES PRESENT")
     sys.exit(0 if ok else 1)

@@ -636,3 +636,45 @@ def test_splu_spilu_factorized(spd):
     # spilu factors solve approximately (preconditioner quality)
     ilu = linalg.spilu(A, drop_tol=1e-8)
     np.testing.assert_allclose(ilu.solve(b), np.linalg.solve(dense, b), rtol=1e-4)
+
+
+def test_eigs_dominant_real():
+    rng = np.random.default_rng(20)
+    n = 60
+    dense = rng.standard_normal((n, n)) * (rng.random((n, n)) < 0.2)
+    dense += np.diag(np.linspace(1.0, 30.0, n))  # well-separated dominant reals
+    A = sparse.COO.from_numpy(dense)
+    w, X = linalg.eigs(A, k=3, which="LM", ncv=30, tol=1e-8)
+    ref = np.linalg.eigvals(dense)
+    ref = ref[np.argsort(-np.abs(ref))][:3]
+    np.testing.assert_allclose(np.sort(np.abs(w)), np.sort(np.abs(ref)), rtol=1e-6)
+    # Ritz residuals
+    for i in range(3):
+        r = dense @ X[:, i] - w[i] * X[:, i]
+        assert np.linalg.norm(r) < 1e-5 * abs(w[i])
+
+
+def test_eigs_complex_pair():
+    # rotation-like block embedded in a diagonal matrix -> complex pair
+    n = 40
+    dense = np.diag(np.linspace(0.1, 1.0, n))
+    dense[0, 1] = -5.0
+    dense[1, 0] = 5.0
+    dense[0, 0] = dense[1, 1] = 2.0
+    A = sparse.COO.from_numpy(dense)
+    w, X = linalg.eigs(A, k=2, which="LM", ncv=20, tol=1e-9)
+    ref = np.linalg.eigvals(dense)
+    ref = ref[np.argsort(-np.abs(ref))][:2]
+    np.testing.assert_allclose(np.sort_complex(w), np.sort_complex(ref), rtol=1e-7)
+    assert np.abs(w.imag).max() > 1.0  # genuinely complex
+
+
+def test_eigs_which_smallest_real():
+    rng = np.random.default_rng(21)
+    n = 50
+    d = np.linspace(-10.0, 10.0, n)
+    dense = np.diag(d) + rng.standard_normal((n, n)) * 0.01 * (rng.random((n, n)) < 0.1)
+    A = sparse.COO.from_numpy(dense)
+    w, _ = linalg.eigs(A, k=2, which="SR", ncv=40, maxiter=30, tol=1e-6)
+    ref = np.linalg.eigvals(dense)
+    np.testing.assert_allclose(np.sort(w.real), np.sort(ref.real)[:2], rtol=1e-3)
