@@ -583,7 +583,91 @@ def _eigsh_mv(mv, n, k, *, which="LM", m, key, dtype, v0=None, tol=None):
     return jnp.asarray(vals[idx]), jnp.asarray(vecs[idx].T)
 
 
-def eigsh(A, k=6, *, which="LM", v0=None, ncv=None, key=None, tol=None):
+def _shift_invert_solve(A, sigma):
+    """Host ``v -> (A - sigma I)^{-1} v`` (one SuperLU factorization, f64).
+
+    Shift-invert Krylov runs entirely on the host: every matvec IS a host
+    LU solve, so a device-resident loop would only add transfers — and the
+    axon TPU tunnel rejects ``pure_callback`` outright."""
+    import scipy.sparse as sps
+    import scipy.sparse.linalg as spla
+
+    from .core.base import SparseArray
+
+    if not isinstance(A, SparseArray):
+        raise TypeError("sigma (shift-invert) requires a sparse array operand")
+    sp = A.to_scipy_sparse().tocsc().astype("float64")
+    lu = spla.splu((sp - sigma * sps.eye(sp.shape[0], format="csc")).tocsc())
+    return lu.solve
+
+
+def _arnoldi_np(mv, v0, m):
+    """Host ``m``-step Arnoldi (CGS2), numpy f64. Returns ``(V, H, j)``
+    with ``j <= m`` the steps completed before a happy breakdown."""
+    import numpy as np
+
+    n = v0.size
+    V = np.zeros((m + 1, n))
+    H = np.zeros((m + 1, m))
+    V[0] = v0 / np.linalg.norm(v0)
+    for j in range(m):
+        w = mv(V[j]).astype(np.float64)
+        h = V[: j + 1] @ w
+        w = w - h @ V[: j + 1]
+        h2 = V[: j + 1] @ w
+        w = w - h2 @ V[: j + 1]
+        h = h + h2
+        hn = np.linalg.norm(w)
+        H[: j + 1, j] = h
+        H[j + 1, j] = hn
+        if hn <= 1e-14 * max(1.0, np.abs(H).max()):
+            return V, H, j + 1
+        V[j + 1] = w / hn
+    return V, H, m
+
+
+def _host_si_eigs(solve, n, k, *, m, sym, tol, v0, key, maxiter=10):
+    """Restarted host Arnoldi on the shift-inverted operator: returns the
+    ``k`` largest-|nu| Ritz pairs of OP = (A - sigma I)^{-1}."""
+    import numpy as np
+
+    if v0 is not None:
+        seed = np.asarray(v0, dtype=np.float64)
+    else:
+        seed = np.asarray(jax.random.normal(key, (n,), dtype=jnp.float32), dtype=np.float64)
+    nu_s = Y_s = None
+    V = j = None
+    for _ in range(maxiter):
+        V, H, j = _arnoldi_np(solve, seed, m)
+        Hm = H[:j, :j]
+        if sym:
+            nu, Y = np.linalg.eigh((Hm + Hm.T) / 2)
+        else:
+            nu, Y = np.linalg.eig(Hm)
+        if j < k:
+            # invariant subspace smaller than k: re-seed randomly
+            key, sub = jax.random.split(key)
+            seed = np.asarray(jax.random.normal(sub, (n,), dtype=jnp.float32), dtype=np.float64)
+            continue
+        idx = np.argsort(-np.abs(nu))[:k]
+        nu_s, Y_s = nu[idx], Y[:, idx]
+        # breakdown at j < m means the Krylov space is invariant: exact
+        resid = np.abs(H[j, j - 1] * Y_s[-1, :]) if j == m else np.zeros(k)
+        if np.all(resid <= tol * np.maximum(np.abs(nu_s), 1e-30)):
+            break
+        restart = (V[:j].T @ Y_s.sum(axis=1)).real
+        nrm = np.linalg.norm(restart)
+        if not np.isfinite(nrm) or nrm < 1e-12:
+            key, sub = jax.random.split(key)
+            restart = np.asarray(jax.random.normal(sub, (n,), dtype=jnp.float32), dtype=np.float64)
+            nrm = np.linalg.norm(restart)
+        seed = restart / nrm
+    X = V[:j].T @ Y_s
+    X = X / np.linalg.norm(X, axis=0, keepdims=True)
+    return nu_s, X
+
+
+def eigsh(A, k=6, *, which="LM", v0=None, ncv=None, key=None, tol=None, sigma=None):
     """Top-``k`` eigenpairs of a symmetric sparse matrix via Lanczos.
 
     The Krylov builds run on device (:func:`_lanczos`: fori-loop steps,
@@ -595,8 +679,14 @@ def eigsh(A, k=6, *, which="LM", v0=None, ncv=None, key=None, tol=None):
     ``(eigenvalues, eigenvectors)`` in scipy's ascending order. Fixed
     Krylov budget ``ncv`` (default ``min(n, max(4k, 40))``) per restart —
     raise ``ncv`` for clustered spectra.
+
+    With ``sigma`` the problem runs in shift-invert mode (scipy parity):
+    a host Krylov loop over ``(A - sigma I)^{-1}`` (every matvec IS a host
+    LU solve, so the loop lives there too — :func:`_host_si_eigs`) and the
+    ``k`` eigenvalues *closest to sigma* come back as ``sigma + 1/nu``.
     """
-    mv = _as_matvec(A)
+    import numpy as np
+
     n = A.shape[0]
     if not 0 < k < n:
         raise ValueError(f"k must be in (0, n); got k={k}, n={n}")
@@ -606,6 +696,17 @@ def eigsh(A, k=6, *, which="LM", v0=None, ncv=None, key=None, tol=None):
     dt = jnp.asarray(A.data).dtype if hasattr(A, "data") else jnp.float64
     if key is None:
         key = jax.random.PRNGKey(0)
+    if sigma is not None:
+        if which != "LM":
+            raise ValueError("shift-invert mode supports which='LM' (closest to sigma)")
+        solve = _shift_invert_solve(A, sigma)
+        nu, vecs = _host_si_eigs(
+            solve, n, k, m=m, sym=True, tol=tol if tol is not None else 1e-10, v0=v0, key=key
+        )
+        w = sigma + 1.0 / np.asarray(nu)
+        order = np.argsort(w)
+        return jnp.asarray(w[order], dtype=dt), jnp.asarray(vecs[:, order], dtype=dt)
+    mv = _as_matvec(A)
     return _eigsh_mv(mv, n, k, which=which, m=m, key=key, dtype=dt, v0=v0, tol=tol)
 
 
@@ -1343,7 +1444,7 @@ def _select_ritz(w, which, k):
     return np.argsort(keys[which], kind="stable")[:k]
 
 
-def eigs(A, k=6, *, which="LM", ncv=None, maxiter=None, tol=None, v0=None, key=None):
+def eigs(A, k=6, *, which="LM", ncv=None, maxiter=None, tol=None, v0=None, key=None, sigma=None):
     """``k`` eigenpairs of a general (nonsymmetric) ``A`` by restarted
     Arnoldi — the scipy.sparse.linalg.eigs surface.
 
@@ -1354,9 +1455,25 @@ def eigs(A, k=6, *, which="LM", ncv=None, maxiter=None, tol=None, v0=None, key=N
     restarting, robust for well-separated ``which``-extremal spectra;
     raise ``ncv`` for clustered ones. Returns ``(w, X)`` complex, Ritz
     residuals ``||A x - w x|| <= tol * |w|``.
+
+    With ``sigma``, a host Arnoldi runs on ``(A - sigma I)^{-1}``
+    (:func:`_host_si_eigs`) and returns the ``k`` eigenvalues closest
+    to ``sigma`` as ``sigma + 1/nu`` (``which`` must stay 'LM').
     """
     import numpy as np
 
+    if sigma is not None:
+        if which != "LM":
+            raise ValueError("shift-invert mode supports which='LM' (closest to sigma)")
+        n = A.shape[0]
+        m_si = min(n, ncv if ncv is not None else max(2 * k + 1, 20))
+        solve = _shift_invert_solve(A, sigma)
+        nu, X = _host_si_eigs(
+            solve, n, k, m=m_si, sym=False,
+            tol=tol if tol is not None else 1e-10, v0=v0,
+            key=key if key is not None else jax.random.PRNGKey(0),
+        )
+        return sigma + 1.0 / nu, X
     mv = _as_matvec(A)
     n = A.shape[0]
     if k >= n - 1:

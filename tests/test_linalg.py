@@ -678,3 +678,40 @@ def test_eigs_which_smallest_real():
     w, _ = linalg.eigs(A, k=2, which="SR", ncv=40, maxiter=30, tol=1e-6)
     ref = np.linalg.eigvals(dense)
     np.testing.assert_allclose(np.sort(w.real), np.sort(ref.real)[:2], rtol=1e-3)
+
+
+def test_eigsh_shift_invert_matches_scipy():
+    # interior/smallest eigenvalues of the 1-D Laplacian via sigma
+    n = 80
+    dense = 2 * np.eye(n) - np.eye(n, k=1) - np.eye(n, k=-1)
+    A = sparse.COO.from_numpy(dense)
+    ref = np.sort(np.linalg.eigvalsh(dense))
+    w, X = linalg.eigsh(A, k=3, sigma=0.0, ncv=30)
+    np.testing.assert_allclose(np.asarray(w), ref[:3], rtol=1e-8)
+    # residuals of the returned pairs
+    for i in range(3):
+        x = np.asarray(X[:, i])
+        r = dense @ x - float(w[i]) * x
+        assert np.linalg.norm(r) < 1e-6
+    # interior target: eigenvalues nearest 0.9 (1.0 is exactly an
+    # eigenvalue of this operator -> singular shift)
+    w_i, _ = linalg.eigsh(A, k=2, sigma=0.9, ncv=40)
+    nearest = ref[np.argsort(np.abs(ref - 0.9))][:2]
+    np.testing.assert_allclose(np.sort(np.asarray(w_i)), np.sort(nearest), rtol=1e-8)
+    ref_sp = spla.eigsh(dense, k=2, sigma=0.9, return_eigenvectors=False)
+    np.testing.assert_allclose(np.sort(np.asarray(w_i)), np.sort(ref_sp), rtol=1e-8)
+
+
+def test_eigs_shift_invert():
+    rng = np.random.default_rng(22)
+    n = 60
+    dense = np.diag(np.linspace(0.5, 30.0, n)) + rng.standard_normal((n, n)) * 0.05 * (
+        rng.random((n, n)) < 0.1
+    )
+    A = sparse.COO.from_numpy(dense)
+    w, _ = linalg.eigs(A, k=2, sigma=5.0, ncv=30)
+    ref = np.linalg.eigvals(dense)
+    nearest = ref[np.argsort(np.abs(ref - 5.0))][:2]
+    np.testing.assert_allclose(np.sort(w.real), np.sort(nearest.real), rtol=1e-6)
+    with pytest.raises(ValueError):
+        linalg.eigs(A, k=2, sigma=5.0, which="SR")
