@@ -44,6 +44,7 @@ __all__ = [
     "onenormest",
     "partitioned_matvec",
     "power_iteration",
+    "qmr",
     "spilu",
     "splu",
     "spsolve",
@@ -1516,3 +1517,82 @@ def eigs(A, k=6, *, which="LM", ncv=None, maxiter=None, tol=None, v0=None, key=N
     X = V_host.T @ X_small
     X = X / np.linalg.norm(X, axis=0, keepdims=True)
     return w_sel, X
+
+
+def qmr(A, b, x0=None, *, tol=1e-8, atol=0.0, maxiter=None):
+    """Quasi-Minimal Residual (Freund & Nachtigal) for general ``A``;
+    scipy-style ``(x, info)``.
+
+    Two-sided (biorthogonal) Lanczos — one ``A`` and one ``Aᵀ`` matvec per
+    iteration — with the QMR Givens smoothing of the BiCG recurrence, as a
+    single ``lax.while_loop`` device program. Needs ``Aᵀ``: takes a sparse
+    array or a :class:`LinearOperator` with ``rmatvec`` (use :func:`tfqmr`
+    for a transpose-free variant). No lookahead: Lanczos breakdowns stop
+    progress (guarded against division by zero; ``info`` then reports the
+    iteration count).
+    """
+    mv, rmv, _ = _as_matvec_pair(A)
+    b = jnp.asarray(b)
+    if maxiter is None:
+        maxiter = 10 * b.shape[0]
+    x = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0)
+    eps = jnp.finfo(b.dtype).eps
+
+    r = b - mv(x)
+    target = jnp.maximum(tol * jnp.linalg.norm(b), atol)
+
+    # coupled two-term variant (Freund/Nachtigal '91 as in templates):
+    # v-tilde/w-tilde Lanczos pair, p/q search pair, Givens smoothing of
+    # the quasi-residual
+    v_t = r
+    rho = jnp.linalg.norm(v_t)
+    w_t = r
+    xi = jnp.linalg.norm(w_t)
+    gamma0 = jnp.ones((), b.dtype)
+    eta0 = -jnp.ones((), b.dtype)
+    tau0 = jnp.linalg.norm(r)
+
+    zeros = jnp.zeros_like(b)
+
+    def cond(state):
+        *_, rnorm, it = state
+        return (rnorm > target) & (it < maxiter)
+
+    def body(state):
+        (x, r, v_t, w_t, p, q, d, s, rho, xi, gamma, eta, theta, eps_k, tau, _, it) = state
+        safe = lambda z: jnp.where(jnp.abs(z) > eps, z, jnp.where(z >= 0, eps, -eps))
+        v = v_t / safe(rho)
+        w = w_t / safe(xi)
+        delta = _vdot(w, v)
+        # p_k = v - (xi*delta/eps_{k-1}) p_{k-1}, q_k likewise (coupled)
+        p = v - (xi * delta / safe(eps_k)) * p
+        q = w - (rho * delta / safe(eps_k)) * q
+        pt = mv(p)
+        eps_new = _vdot(q, pt)
+        beta = eps_new / safe(delta)
+        v_t = pt - beta * v
+        rho_new = jnp.linalg.norm(v_t)
+        w_t = rmv(q) - beta * w
+        xi_new = jnp.linalg.norm(w_t)
+        # QMR smoothing
+        theta_new = rho_new / safe(gamma * jnp.abs(beta))
+        gamma_new = 1.0 / jnp.sqrt(1.0 + theta_new * theta_new)
+        eta_new = -eta * rho * gamma_new * gamma_new / safe(beta * gamma * gamma)
+        d = eta_new * p + (theta * gamma_new) ** 2 * d
+        s = eta_new * pt + (theta * gamma_new) ** 2 * s
+        x = x + d
+        r = r - s
+        tau_new = tau * theta_new * gamma_new
+        return (
+            x, r, v_t, w_t, p, q, d, s, rho_new, xi_new, gamma_new, eta_new,
+            theta_new, eps_new, tau_new, jnp.linalg.norm(r), it + 1,
+        )
+
+    one = jnp.ones((), b.dtype)
+    init = (
+        x, r, v_t, w_t, zeros, zeros, zeros, zeros, rho, xi, gamma0, eta0,
+        jnp.zeros((), b.dtype), one, tau0, jnp.linalg.norm(r), 0,
+    )
+    x, r, *_, rnorm, it = lax.while_loop(cond, body, init)
+    info = jnp.where(rnorm <= target, 0, it)
+    return x, info

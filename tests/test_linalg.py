@@ -715,3 +715,23 @@ def test_eigs_shift_invert():
     np.testing.assert_allclose(np.sort(w.real), np.sort(nearest.real), rtol=1e-6)
     with pytest.raises(ValueError):
         linalg.eigs(A, k=2, sigma=5.0, which="SR")
+
+
+def test_qmr_matches_dense_solve(nonsym):
+    A, dense = nonsym
+    rng = np.random.default_rng(23)
+    b = rng.standard_normal(dense.shape[0])
+    x, info = linalg.qmr(A, b, tol=1e-10)
+    assert int(info) == 0
+    np.testing.assert_allclose(np.asarray(x), np.linalg.solve(dense, b), rtol=1e-6)
+    ref, ref_info = spla.qmr(dense, b, rtol=1e-10)
+    assert ref_info == 0
+    np.testing.assert_allclose(np.asarray(x), ref, rtol=1e-5)
+
+
+def test_qmr_spd(spd):
+    A, dense = spd
+    b = np.ones(dense.shape[0])
+    x, info = linalg.qmr(A, b, tol=1e-10)
+    assert int(info) == 0
+    np.testing.assert_allclose(np.asarray(x), np.linalg.solve(dense, b), rtol=1e-6)
