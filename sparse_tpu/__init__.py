@@ -221,6 +221,8 @@ from .profiling import compiled  # noqa: E402
 from . import linalg  # noqa: E402
 from . import csgraph  # noqa: E402
 
+from numpy import isdtype  # noqa: E402  (Array-API namespace member, reference numba_backend/__init__.py:354)
+
 __version__ = "0.1.0"
 
 __all__ = sorted(
@@ -228,8 +230,6 @@ __all__ = sorted(
         "COO",
         "DOK",
         "GCXS",
-        "CSR",
-        "CSC",
         "SparseArray",
         "abs",
         "acos",
@@ -308,6 +308,7 @@ __all__ = sorted(
         "int8",
         "interp",
         "isfinite",
+        "isdtype",
         "isinf",
         "isnan",
         "isneginf",
@@ -365,7 +366,6 @@ __all__ = sorted(
         "roll",
         "round",
         "save_npz",
-        "sddmm",
         "sign",
         "signbit",
         "sin",

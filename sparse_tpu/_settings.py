@@ -20,6 +20,15 @@ import os
 
 AUTO_DENSIFY = bool(int(os.environ.get("SPARSE_AUTO_DENSIFY", "0")))
 WARN_ON_TOO_DENSE = bool(int(os.environ.get("SPARSE_WARN_ON_TOO_DENSE", "0")))
+
+# NEP-18 (__array_function__) dispatch is unconditionally available on the
+# NumPy versions this package supports; kept as a named flag for parity with
+# the reference's ``_settings.py:21``.
+NEP18_ENABLED = True
+
+import numpy as _np
+
+IS_NUMPY2 = _np.lib.NumpyVersion(_np.__version__) >= "2.0.0"
 DEFAULT_INDEX_DTYPE = os.environ.get("SPARSE_TPU_DEFAULT_INDEX_DTYPE", "int32")
 
 # "cpu" (default): eager sparse×dense runs the C++/host kernels — right for

@@ -120,10 +120,12 @@ def index_dtype_for(max_value):
 
 
 def get_out_dtype(arr_dtype, max_value):
-    """Index dtype for outputs: keep ``arr_dtype`` when it can store the value."""
+    """Index dtype for outputs: keep ``arr_dtype`` when it can store the
+    value, else the minimal upcast (uint8 → uint16, ...; reference
+    ``_utils.py:644``)."""
     if can_store(arr_dtype, max_value):
         return np.dtype(arr_dtype)
-    return np.dtype(index_dtype_for(max_value))
+    return np.dtype(np.min_scalar_type(int(max_value)))
 
 
 def np_array(x):
@@ -133,8 +135,9 @@ def np_array(x):
 
 def check_fill_value(arr, accept_fv, func_name=""):
     accept = accept_fv if isinstance(accept_fv, Iterable) and not isinstance(accept_fv, str) else [accept_fv]
-    if not any(bool(np.all(equivalent(arr.fill_value, fv))) for fv in accept):
-        raise ValueError(f"{func_name or 'This operation'} requires a fill value in {accept}, got {arr.fill_value!s}.")
+    if not any(bool(np.all(equivalent(arr.fill_value, fv, loose=True))) for fv in accept):
+        # message wording matches the reference's _utils.py:559
+        raise ValueError(f"fill_value={arr.fill_value!r} but should be in {accept}.")
 
 
 def check_zero_fill_value(*args, func_name=""):
@@ -176,6 +179,45 @@ def check_consistent_fill_value(arrays):
 
 def isscalar(x):
     return np.ndim(x) == 0 and not hasattr(x, "fill_value")
+
+
+#: Shared module-level RNG, mirroring the reference's ``_utils.py:218``
+#: (``default_rng = np.random.default_rng()``) used by its test fixtures.
+default_rng = np.random.default_rng()
+
+
+def is_unsigned_dtype(dtype):
+    return np.issubdtype(dtype, np.integer) and np.iinfo(dtype).min == 0
+
+
+def convert_format(format):
+    """Normalize a format spec (class or string) to its lowercase string name.
+
+    Parity with the reference's ``_utils.py:665``.
+    """
+    from .core.base import SparseArray
+
+    if isinstance(format, type):
+        if not issubclass(format, SparseArray):
+            raise ValueError(f"Invalid format: {format}")
+        return format.__name__.lower()
+    if isinstance(format, str):
+        return format
+    raise ValueError(f"Invalid format: {format}")
+
+
+def assert_gcxs_slicing(s, x):
+    """Check row slicing of a 3-D GCXS product against its dense oracle.
+
+    Parity helper for the reference's ``_utils.py:52`` test utility: pick a
+    random row of the (batch, rows, cols) product and verify the sparse
+    slice's stored values match the dense row's non-fill entries.
+    """
+    rng = np.random.default_rng()
+    row = int(rng.integers(s.shape[s.ndim - 2]))
+    dense_row = np.asarray(x)[0][row]
+    sparse_vals = np.asarray(s[0][row].todense())
+    assert np.allclose(sparse_vals, dense_row)
 
 
 def random_value_array(value, fraction):
@@ -221,6 +263,9 @@ def random(
     """
     from .core.coo import COO
 
+    if not isinstance(shape, Iterable):
+        shape = (shape,)
+    shape = tuple(int(s) for s in shape)
     elements = int(np.prod(shape, dtype=np.float64)) if len(shape) else 1
     if density is not None and nnz is not None:
         raise ValueError("'density' and 'nnz' are mutually exclusive")
@@ -349,8 +394,10 @@ def assert_eq(x, y, check_nnz=True, compare_dtype=True, **kwargs):
             assert_nnz(y, yy)
 
     if np.issubdtype(xx.dtype, np.floating) or np.issubdtype(xx.dtype, np.complexfloating):
-        if "rtol" not in kwargs and np.dtype(xx.dtype).itemsize <= 4:
-            kwargs["rtol"] = 1e-5  # f32 accumulation-order slack
+        # f32-precision components (float32 and complex64) get
+        # accumulation-order slack
+        if "rtol" not in kwargs and np.finfo(xx.dtype).eps >= np.finfo(np.float32).eps:
+            kwargs["rtol"] = 1e-5
         np.testing.assert_allclose(xx, yy, equal_nan=True, **kwargs)
     else:
         np.testing.assert_array_equal(xx, yy)

@@ -40,7 +40,13 @@ class SparseArray(np.lib.mixins.NDArrayOperatorsMixin):
             raise ValueError(f"shape must be non-negative integers, got {shape}")
         self.shape = tuple(int(sh) for sh in shape)
         if fill_value is not None:
-            if not hasattr(fill_value, "dtype") or fill_value.dtype == self.dtype:
+            if (
+                not hasattr(fill_value, "dtype")
+                or fill_value.dtype == self.dtype
+                # flexible dtypes (str/bytes) carry their length in the dtype:
+                # an empty-string fill (<U0) is valid for any <U_n array
+                or (fill_value.dtype.kind == np.dtype(self.dtype).kind and fill_value.dtype.kind in "SU")
+            ):
                 self.fill_value = np.asarray(fill_value, dtype=self.dtype)[()]
             else:
                 raise ValueError(f"fill_value dtype {fill_value.dtype} does not match array dtype {self.dtype}")

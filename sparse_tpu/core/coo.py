@@ -396,17 +396,20 @@ class COO(SparseArray):
         if self.ndim:
             out[tuple(coords)] = data
         elif data.size:
-            out = data[-1].reshape(())
+            # data[-1] may be a bare Python object for object-dtype arrays
+            out = np.asarray(data[-1], dtype=self.dtype).reshape(())
         return out
 
 
     # -- conversions -------------------------------------------------------------------
     def asformat(self, format, **kwargs):
+        from .._utils import convert_format
         from .gcxs import GCXS
 
-        if format == "coo" or format is COO:
+        format = convert_format(format)
+        if format == "coo":
             return self
-        if format == "gcxs" or (isinstance(format, type) and issubclass(format, GCXS)):
+        if format == "gcxs":
             return GCXS.from_coo(self, **kwargs)
         if format in ("csr", "csc"):
             from .gcxs import CSC, CSR

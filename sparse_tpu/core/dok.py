@@ -131,7 +131,10 @@ class DOK(SparseArray):
         return out
 
     def asformat(self, format, **kwargs):
-        if format == "dok" or format is DOK:
+        from .._utils import convert_format
+
+        format = convert_format(format)
+        if format == "dok":
             return self
         return self.to_coo().asformat(format, **kwargs)
 

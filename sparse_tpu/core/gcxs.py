@@ -31,6 +31,10 @@ _NATIVE_REDUCE = object()  # sentinel marking the indptr-native reduce path
 
 def _validate_compressed_axes(shape, compressed_axes):
     ndim = len(shape)
+    if ndim == 0:
+        if compressed_axes is not None and tuple(compressed_axes) != ():
+            raise ValueError("no axes to compress for 0d array")
+        return ()
     if ndim == 1:
         if compressed_axes is not None and tuple(compressed_axes) not in ((), (0,)):
             raise ValueError("compressed_axes must be None for 1-D arrays")
@@ -170,8 +174,22 @@ class GCXS(SparseArray):
             else:
                 cols = np.zeros(coords.shape[1], dtype=np.int64)
 
-        if idx_dtype is None:
-            idx_dtype = index_dtype_for(max(col_size, x.nnz, row_size))
+        limit = max(row_size, col_size, x.nnz)
+        if idx_dtype is not None:
+            from .._utils import can_store
+
+            if not can_store(idx_dtype, limit):
+                raise ValueError(
+                    f"cannot store array with the compressed shape {(row_size, col_size)} "
+                    f"and nnz {x.nnz} with dtype {idx_dtype}."
+                )
+        else:
+            # keep the COO's index dtype when it can address the compressed
+            # layout; minimal upcast otherwise (reference
+            # ``_compressed/compressed.py:53-61``)
+            from .._utils import get_out_dtype
+
+            idx_dtype = get_out_dtype(coords.dtype, limit)
 
         # a canonical COO is already sorted by (comp, uncomp) when the
         # compressed axes are the leading dims — skip the re-sort
@@ -328,7 +346,10 @@ class GCXS(SparseArray):
         return scipy.sparse.csc_matrix((np.asarray(self.data), np.asarray(self.indices), np.asarray(self.indptr)), shape=self.shape)
 
     def asformat(self, format, **kwargs):
-        if format == "gcxs" or format is GCXS:
+        from .._utils import convert_format
+
+        format = convert_format(format)
+        if format == "gcxs":
             if "compressed_axes" in kwargs and kwargs["compressed_axes"] is not None and tuple(
                 kwargs["compressed_axes"]
             ) != self.compressed_axes:
@@ -715,9 +736,22 @@ def _uncompress_indptr_np(indptr):
 
 
 class _Compressed2d(GCXS):
-    def __init__(self, arg, shape=None, prune=False, fill_value=None):
+    def __init__(self, arg, shape=None, prune=False, fill_value=None, **kwargs):
         cls_axis = self._cls_compressed_axes
         import scipy.sparse
+
+        # argument validation wording matches reference
+        # ``_compressed/compressed.py:855-861``
+        ca = kwargs.pop("compressed_axes", None)
+        if ca is not None and tuple(ca) != cls_axis:
+            raise ValueError(f"{type(self).__name__} only accepts compressed_axes={cls_axis} but got: {ca}")
+        if kwargs:
+            raise TypeError(f"unexpected keyword arguments: {sorted(kwargs)}")
+        if not hasattr(arg, "shape") and shape is None and not (isinstance(arg, tuple) and len(arg) == 3):
+            raise ValueError("missing `shape` argument")
+        probe_shape = shape if shape is not None else getattr(arg, "shape", None)
+        if probe_shape is not None and len(probe_shape) != 2:
+            raise ValueError(f"{type(self).__name__} must be 2-d, passed {len(probe_shape)}-d shape.")
 
         if isinstance(arg, tuple) and len(arg) == 3:
             super().__init__(arg, shape=shape, compressed_axes=cls_axis, prune=prune, fill_value=fill_value)
@@ -738,14 +772,29 @@ class _Compressed2d(GCXS):
         coo = COO.from_numpy(x, fill_value=fill_value)
         return cls(GCXS.from_coo(coo, compressed_axes=cls._cls_compressed_axes, idx_dtype=idx_dtype))
 
-    def transpose(self, axes=None, compressed_axes=None):
-        if axes is not None and tuple(normalize_axis(tuple(axes), 2)) == (0, 1):
-            return self
+    def __str__(self):
+        return (
+            f"<{type(self).__name__}: shape={self.shape}, dtype={self.dtype}, nnz={self.nnz}, "
+            f"fill_value={self.fill_value}>"
+        )
+
+    __repr__ = __str__
+
+    def transpose(self, axes=None, copy=False, compressed_axes=None):
+        if axes is not None:
+            ax = tuple(axes) if isinstance(axes, Iterable) else (axes,)
+            if tuple(normalize_axis(ax, 2)) not in ((0, 1), (1, 0)):
+                raise ValueError(f"Invalid transpose axes: {axes}")
+            if tuple(normalize_axis(ax, 2)) == (0, 1):
+                return self.copy() if copy else self
+        data, indices, indptr = self.data, self.indices, self.indptr
+        if copy:
+            data, indices, indptr = data.copy(), indices.copy(), indptr.copy()
         other = CSC if isinstance(self, CSR) else CSR
         return other._make(
-            self.data,
-            self.indices,
-            self.indptr,
+            data,
+            indices,
+            indptr,
             (self.shape[1], self.shape[0]),
             other._cls_compressed_axes,
             self.fill_value,

@@ -144,7 +144,9 @@ def dedup_sum_sorted(sorted_keys, vals):
         if n == 0:
             return np.empty(0, dtype=np.int64), vals[:0]
         starts = np.flatnonzero(np.concatenate([[True], np.diff(sorted_keys) != 0]))
-        return starts, np.add.reduceat(vals, starts)
+        # dtype=vals.dtype: add.reduceat accumulates sub-intp integers at
+        # intp by default, silently upcasting i8/i16/i32 results
+        return starts, np.add.reduceat(vals, starts, dtype=vals.dtype)
     vals_out = np.empty(n, dtype=np.float64)
     unique_pos = np.empty(n, dtype=np.int64)
     u = lib.st_dedup_sum_sorted_f64(

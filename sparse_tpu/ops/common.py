@@ -136,10 +136,13 @@ def concatenate(arrays, axis=0):
                     f"all the input array dimensions except for the concatenation axis must match exactly"
                 )
 
-    from .._utils import index_dtype_for
+    from .._utils import get_out_dtype
 
     data = np.concatenate([np.asarray(x.data) for x in arrays])
-    idx_dtype = index_dtype_for(max(max(shape), 1))
+    # keep the inputs' index dtype when it can address the result
+    # (minimal upcast otherwise, reference ``_coo/common.py:132``)
+    in_idx = np.result_type(*[np.asarray(x.coords).dtype for x in arrays])
+    idx_dtype = get_out_dtype(in_idx, max(max(shape), 1))
     coords = np.concatenate(
         [np.asarray(x.coords) for x in arrays], axis=1, dtype=idx_dtype, casting="unsafe"
     )
@@ -172,13 +175,17 @@ def stack(arrays, axis=0):
     arrays = [x if isinstance(x, COO) else COO(x) for x in arrays]
     axis = normalize_axis(axis, arrays[0].ndim + 1)
 
+    from .._utils import get_out_dtype
+
     data = np.concatenate([np.asarray(x.data) for x in arrays])
     coords = np.concatenate([np.asarray(x.coords) for x in arrays], axis=1)
     shape = list(arrays[0].shape)
     shape.insert(axis, len(arrays))
 
-    new_row = np.concatenate([np.full(x.nnz, i, dtype=np.int64) for i, x in enumerate(arrays)])
-    coords = np.insert(coords.astype(np.int64), axis, new_row, axis=0)
+    in_idx = np.result_type(*[np.asarray(x.coords).dtype for x in arrays])
+    idx_dtype = get_out_dtype(in_idx, max(max(shape), 1))
+    new_row = np.concatenate([np.full(x.nnz, i, dtype=idx_dtype) for i, x in enumerate(arrays)])
+    coords = np.insert(coords.astype(idx_dtype), axis, new_row, axis=0)
 
     out = COO(coords, data, shape=shape, has_duplicates=False, sorted=(axis == 0), fill_value=arrays[0].fill_value)
     if all_gcxs:
@@ -367,9 +374,12 @@ def _arg_minmax_common(x, axis, keepdims, mode):
         flat = x.reshape(-1)
         result = _arg_minmax_2d(flat.reshape((1, flat.shape[0])), is_max)[0]
         if keepdims:
-            return np.full((1,) * x.ndim, result)
-        return np.intp(result)
+            return COO.from_numpy(np.full((1,) * x.ndim, result))
+        return COO.from_numpy(np.intp(result))
 
+    if isinstance(axis, int) and not (-x.ndim <= axis < x.ndim):
+        # wording matches reference ``_coo/common.py:1499``
+        raise ValueError(f"`axis={axis}` is out of bounds for array of dimension {x.ndim}.")
     axis = normalize_axis(axis, x.ndim)
     # move target axis last, flatten others
     order = tuple(i for i in range(x.ndim) if i != axis) + (axis,)
@@ -741,7 +751,9 @@ def asnumpy(a, dtype=None, order=None):
 
 
 def can_cast(from_, to, /, *, casting="safe"):
-    if hasattr(from_, "dtype"):
+    # Instances (SparseArray, ndarray) contribute their dtype; dtype-like
+    # specs (np.int8 the *type*, strings, np.dtype) pass through to np.dtype.
+    if not isinstance(from_, (np.dtype, str, type)) and hasattr(from_, "dtype"):
         from_ = from_.dtype
     return np.can_cast(np.dtype(from_), np.dtype(to), casting=casting)
 

@@ -29,9 +29,18 @@ def format_to_string(format):
     raise ValueError(f"invalid format: {format}")
 
 
+def _check_device(device):
+    """Accept None, "cpu", or a JAX device; reject anything else (reference
+    ``_common.py:33-38`` raises for non-cpu devices)."""
+    if device is not None and device != "cpu" and not hasattr(device, "platform"):
+        raise ValueError("Device must be `'cpu'`, a JAX device, or `None`.")
+
+
 def eye(N, M=None, k=0, dtype=float, format="coo", *, device=None, **kwargs):
     """2-D array with ones on the k-th diagonal."""
     import builtins
+
+    _check_device(device)
 
     if M is None:
         M = N
@@ -61,6 +70,7 @@ def eye(N, M=None, k=0, dtype=float, format="coo", *, device=None, **kwargs):
 def full(shape, fill_value, dtype=None, format="coo", order="C", *, device=None, **kwargs):
     """Array of ``shape`` filled with ``fill_value`` (stored as the sparse
     fill value — zero stored entries)."""
+    _check_device(device)
     if dtype is None:
         dtype = np.array(fill_value).dtype
     if not isinstance(shape, tuple):
@@ -102,7 +112,7 @@ def full_like(a, fill_value, dtype=None, shape=None, format=None, **kwargs):
 
 
 def zeros(shape, dtype=float, format="coo", *, device=None, **kwargs):
-    return full(shape, fill_value=0, dtype=np.dtype(dtype), format=format, **kwargs)
+    return full(shape, fill_value=0, dtype=np.dtype(dtype), format=format, device=device, **kwargs)
 
 
 def zeros_like(a, dtype=None, shape=None, format=None, **kwargs):
@@ -110,7 +120,7 @@ def zeros_like(a, dtype=None, shape=None, format=None, **kwargs):
 
 
 def ones(shape, dtype=float, format="coo", *, device=None, **kwargs):
-    return full(shape, fill_value=1, dtype=np.dtype(dtype), format=format, **kwargs)
+    return full(shape, fill_value=1, dtype=np.dtype(dtype), format=format, device=device, **kwargs)
 
 
 def ones_like(a, dtype=None, shape=None, format=None, **kwargs):
@@ -118,7 +128,7 @@ def ones_like(a, dtype=None, shape=None, format=None, **kwargs):
 
 
 def empty(shape, dtype=float, format="coo", *, device=None, **kwargs):
-    return full(shape, fill_value=0, dtype=np.dtype(dtype), format=format, **kwargs)
+    return full(shape, fill_value=0, dtype=np.dtype(dtype), format=format, device=device, **kwargs)
 
 
 def empty_like(a, dtype=None, shape=None, format=None, **kwargs):

@@ -47,6 +47,8 @@ def tensordot(a, b, axes=2, *, return_type=None):
     """
     from ..core.gcxs import GCXS
 
+    a = _from_scipy_operand(a)
+    b = _from_scipy_operand(b)
     check_zero_fill_value(a, b, func_name="tensordot")
 
     if np.isscalar(a) or np.isscalar(b):
@@ -149,8 +151,20 @@ def _empty_result(a, b, olda, oldb, return_type):
     return COO(np.empty((len(shape), 0), dtype=np.intp), np.empty((0,), dtype=dt), shape=shape)
 
 
+def _from_scipy_operand(x):
+    """Accept scipy.sparse matrices/arrays as operands (reference
+    ``_common.py:95-218`` converts them to COO at the dot-family entry)."""
+    import scipy.sparse
+
+    if isinstance(x, scipy.sparse.spmatrix | scipy.sparse.sparray):
+        return COO.from_scipy_sparse(x)
+    return x
+
+
 def matmul(a, b):
     """``a @ b`` with numpy matmul semantics (batching, 1-D promotion)."""
+    a = _from_scipy_operand(a)
+    b = _from_scipy_operand(b)
     check_zero_fill_value(a, b, func_name="matmul")
     if not hasattr(a, "ndim") or not hasattr(b, "ndim"):
         a = a if isinstance(a, SparseArray) else np.asarray(a)
@@ -232,6 +246,8 @@ def _has_nan(x):
 
 def dot(a, b):
     """``np.dot`` semantics: contract last axis of a with second-to-last of b."""
+    a = _from_scipy_operand(a)
+    b = _from_scipy_operand(b)
     check_zero_fill_value(a, b, func_name="dot")
     if not hasattr(a, "ndim") or not hasattr(b, "ndim"):
         a = a if isinstance(a, SparseArray) else np.asarray(a)
@@ -264,6 +280,11 @@ def dot(a, b):
 
 def vecdot(x1, x2, /, *, axis=-1):
     """Conjugating vector dot product along ``axis`` (Array API)."""
+    import builtins
+
+    ndmin = builtins.min((x1.ndim, x2.ndim))
+    if not (-ndmin <= axis < ndmin) or x1.shape[axis] != x2.shape[axis]:
+        raise ValueError("Shapes must match along `axis`.")
     if np.issubdtype(x1.dtype, np.complexfloating):
         x1 = np.conjugate(x1) if isinstance(x1, np.ndarray) else x1.conj()
     return np.sum(x1 * x2, axis=axis, dtype=np.result_type(x1, x2))
@@ -288,8 +309,12 @@ def _dot(a, b, return_type=None):
         res = _spgemm(a_coo, b_coo)
         if return_type == np.ndarray:
             return res.todense()
-        if isinstance(a, GCXS) and isinstance(b, GCXS) and return_type is not COO:
-            return res.asformat("gcxs", compressed_axes=a.compressed_axes)
+        # reference rule (_common.py:339-495): all-COO operands → COO,
+        # anything involving GCXS → GCXS
+        if (isinstance(a, GCXS) or isinstance(b, GCXS)) and return_type is not COO and res.ndim >= 2:
+            ca = a.compressed_axes if isinstance(a, GCXS) else b.compressed_axes
+            ca = tuple(ax for ax in ca if ax < res.ndim) or (0,)
+            return res.asformat("gcxs", compressed_axes=ca)
         return res
 
     if a_sparse and not b_sparse:
@@ -564,13 +589,16 @@ def _spgemm(a, b):
     out_j = b_coords[1][b_idx]
     out_v = (np.repeat(a_v, repeats).astype(dt) * b_data[b_idx].astype(dt))
 
+    # prune=True: the reference prunes computed fill-values from every _dot
+    # result (``_common.py:378-495``) so cancellation can't leave explicit
+    # zeros in storage
     return COO(
         np.stack([out_i, out_j], axis=0),
         out_v,
         shape=(M, N),
         has_duplicates=True,
         sorted=False,
-        prune=False,
+        prune=True,
     )
 
 
@@ -602,6 +630,11 @@ def _spgemm_native(a_coords, a_data, b_coords, b_data, M, K, N, dt):
     rows = _native_eager.uncompress_indptr(pc, M)
     if rows is None:  # pragma: no cover - defensive
         rows = np.repeat(np.arange(M, dtype=np.int64), np.diff(pc))
+    # prune computed zeros (cancellation), matching the reference's
+    # prune=True on every _dot result (``_common.py:378-495``)
+    keep = vc != 0
+    if not keep.all():
+        rows, jc, vc = rows[keep], jc[keep], vc[keep]
     idx_dtype = index_dtype_for(max(M, N))
     coords = np.stack([rows, jc]).astype(idx_dtype, copy=False)
     return COO._make(coords, vc, (M, N), zero_of_dtype(dt))

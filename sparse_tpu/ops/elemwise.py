@@ -60,12 +60,20 @@ def elemwise(func, *args, **kwargs):
     out_format, out_kwargs = _choose_output_format(args)
 
     processed = []
-    for arg in args:
+    # Python scalars (NOT np.generic) are "weak" under NEP 50: f4 + 2 stays
+    # f4. They're converted to 0-d arrays for the structural machinery, but
+    # the fill-value computation below — which determines the output dtype —
+    # must see the raw scalar to preserve weak promotion.
+    weak_scalars = {}
+    for i, arg in enumerate(args):
         if scipy.sparse.issparse(arg):
             arg = COO.from_scipy_sparse(arg)
         if isinstance(arg, SparseArray) and not isinstance(arg, COO):
             arg = arg.tocoo() if hasattr(arg, "tocoo") else COO.from_numpy(arg.todense())
-        if isinstance(arg, (np.generic, Number, bool)) and not isinstance(arg, np.ndarray):
+        if not isinstance(arg, (SparseArray, np.ndarray, np.generic)) and isinstance(arg, (bool, int, float, complex)):
+            weak_scalars[i] = arg
+            arg = np.asarray(arg)
+        elif isinstance(arg, (np.generic, Number, bool)) and not isinstance(arg, np.ndarray):
             arg = np.asarray(arg)
         elif not isinstance(arg, (SparseArray, np.ndarray)):
             arg = np.asarray(arg)
@@ -88,7 +96,7 @@ def elemwise(func, *args, **kwargs):
             return np.atleast_1d(np.asarray(a.fill_value))
         return np.atleast_1d(a) if a.ndim == 0 else a
 
-    fv_args = tuple(fv_arg(a) for a in args)
+    fv_args = tuple(weak_scalars.get(i, fv_arg(a)) for i, a in enumerate(args))
     dtype = kwargs.pop("dtype", None)
     try:
         fill_value_array = func(*fv_args, dtype=dtype, **kwargs) if dtype is not None else func(*fv_args, **kwargs)
@@ -100,7 +108,10 @@ def elemwise(func, *args, **kwargs):
         fill_value = fill_value_array[(0,) * fill_value_array.ndim]
     except IndexError:
         scalar_fvs = tuple(
-            np.asarray(a.fill_value) if isinstance(a, COO) else zero_of_dtype(a.dtype) for a in args
+            np.asarray(a.fill_value)
+            if isinstance(a, COO)
+            else weak_scalars.get(i, zero_of_dtype(a.dtype))
+            for i, a in enumerate(args)
         )
         fill_value = np.asarray(func(*scalar_fvs, **kwargs))[()]
 

@@ -149,12 +149,13 @@ def test_matmul_native_integration(dtype):
     np.testing.assert_allclose(C.todense(), dA @ dB, atol=tol)
 
 
-def test_matmul_native_keeps_computed_zeros():
-    # cancellation zeros stay in the pattern (reference symbolic semantics)
+def test_matmul_prunes_computed_zeros():
+    # cancellation zeros are pruned from the result pattern (reference
+    # builds every _dot output with prune=True, _common.py:378-495)
     dA = np.array([[1.0, -1.0]])
     dB = np.array([[1.0], [1.0]])
     C = st.COO.from_numpy(dA) @ st.COO.from_numpy(dB)
-    assert C.nnz == 1
+    assert C.nnz == 0
     assert C.todense()[0, 0] == 0.0
 
 
