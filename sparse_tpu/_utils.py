@@ -11,6 +11,7 @@ uses jnp/lax equivalents.
 from __future__ import annotations
 
 import functools
+import warnings
 from collections.abc import Iterable
 from numbers import Integral
 
@@ -146,21 +147,24 @@ def check_zero_fill_value(*args, func_name=""):
     # GCXS(other, fill_value=...)) copy __dict__ — and the memo with it —
     # then reassign fill_value, so an unkeyed memo would let a nonzero
     # fill slip through the guard that fronts every matmul/dot call
-    for arr in args:
+    for i, arr in enumerate(args):
         if hasattr(arr, "fill_value"):
+            if getattr(arr, "size", 1) == 0:
+                continue  # reference skips empty operands (_utils.py:591)
             fv = arr.fill_value
             memo = getattr(arr, "_fv_is_zero_memo", None)
             if memo is not None and memo[0] is fv:
                 ok = memo[1]
             else:
-                ok = bool(np.all(equivalent(fv, 0)))
+                # loose: -0.0 and -0j count as zero (reference default)
+                ok = bool(np.all(equivalent(fv, zero_of_dtype(np.asarray(fv).dtype), loose=True)))
                 try:
                     arr._fv_is_zero_memo = (fv, ok)
                 except AttributeError:
                     pass
             if not ok:
                 raise ValueError(
-                    f"{func_name or 'This operation'} requires a fill value in [0], got {fv!s}."
+                    f"This operation requires zero fill values, but argument {i:d} had a fill value of {fv!s}."
                 )
 
 
@@ -384,8 +388,15 @@ def assert_eq(x, y, check_nnz=True, compare_dtype=True, **kwargs):
             f"fill_value mismatch: {x.fill_value} vs {y.fill_value}"
         )
 
-    xx = np.asarray(x.todense()) if isinstance(x, SparseArray) else np.asarray(x)
-    yy = np.asarray(y.todense()) if isinstance(y, SparseArray) else np.asarray(y)
+    def _densify(v):
+        if isinstance(v, SparseArray):
+            return np.asarray(v.todense())
+        if hasattr(v, "toarray"):  # scipy.sparse operands
+            return np.asarray(v.toarray())
+        return np.asarray(v)
+
+    xx = _densify(x)
+    yy = _densify(y)
 
     if check_nnz:
         if isinstance(x, SparseArray):
@@ -412,15 +423,20 @@ def html_table(arr):
         str(arr.dtype),
         str(arr.shape),
         str(arr.nnz),
-        str(arr.nnz / max(arr.size, 1)),
-        "True",
+        str(arr.density),
+        str(not hasattr(arr, "__setitem__")),
     ]
     if hasattr(arr, "nbytes"):
         headings.append("Size")
         info.append(human_readable_size(arr.nbytes))
         headings.append("Storage ratio")
-        dense_bytes = arr.size * arr.dtype.itemsize
-        info.append(f"{arr.nbytes / dense_bytes:.2f}" if dense_bytes else "nan")
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", category=RuntimeWarning)
+            ratio = float(np.float64(arr.nbytes) / np.float64(arr.size * arr.dtype.itemsize))
+        info.append(f"{ratio:.2f}")
+    if type(arr).__name__ == "GCXS":
+        headings.append("Compressed Axes")
+        info.append(str(arr.compressed_axes))
     for h, i in zip(headings, info):
         table.append(f'<tr><th style="text-align: left">{h}</th><td style="text-align: left">{i}</td></tr>')
     table.append("</tbody></table>")

@@ -22,7 +22,7 @@ from numbers import Integral
 
 import numpy as np
 
-from .._settings import AUTO_DENSIFY
+from .. import _settings
 from .._utils import equivalent, normalize_axis, zero_of_dtype
 
 # Reductions whose missing-fill-value correction has a closed form:
@@ -112,7 +112,7 @@ class SparseArray(np.lib.mixins.NDArrayOperatorsMixin):
     def __array__(self, *args, **kwargs):
         from .coo import COO
 
-        if not AUTO_DENSIFY:
+        if not _settings.AUTO_DENSIFY:
             raise RuntimeError(
                 "Cannot convert a sparse array to dense automatically. To manually densify, use the todense method."
             )
@@ -123,6 +123,9 @@ class SparseArray(np.lib.mixins.NDArrayOperatorsMixin):
         from .._utils import html_table
 
         return html_table(self)
+
+    def __sizeof__(self):
+        return self.nbytes
 
     # -- NEP-18: __array_function__ ------------------------------------------------
     def __array_function__(self, func, types, args, kwargs):
@@ -156,6 +159,20 @@ class SparseArray(np.lib.mixins.NDArrayOperatorsMixin):
         out = kwargs.pop("out", None)
         if out is not None and not all(isinstance(x, type(self)) for x in out):
             return NotImplemented
+
+        if out is not None:
+            # dry-run on 1-element dense stand-ins: surfaces numpy's casting
+            # errors for an incompatible `out` dtype, then pins the result
+            # dtype to out's (reference ``_sparse_array.py:330-339``)
+            test_args = [np.empty((1,), dtype=a.dtype) if hasattr(a, "dtype") else a for a in inputs]
+            test_kwargs = kwargs.copy()
+            if method == "reduce":
+                test_kwargs["axis"] = None
+            test_out = tuple(np.empty((1,), dtype=a.dtype) for a in out)
+            if len(test_out) == 1:
+                test_out = test_out[0]
+            getattr(ufunc, method)(*test_args, out=test_out, **test_kwargs)
+            kwargs["dtype"] = out[0].dtype
 
         if ufunc is np.matmul and method == "__call__":
             from ..ops.dot import matmul
@@ -360,21 +377,18 @@ class SparseArray(np.lib.mixins.NDArrayOperatorsMixin):
         return np.sqrt(ret)
 
     def round(self, decimals=0, out=None):
-        assert out is None
-        from ..ops.elemwise import elemwise
-
-        return elemwise(np.round, self, decimals=decimals)
+        if out is not None and not isinstance(out, tuple):
+            out = (out,)
+        return self.__array_ufunc__(np.round, "__call__", self, decimals=decimals, out=out)
 
     round_ = round
 
     def clip(self, min=None, max=None, out=None):
         if min is None and max is None:
             raise ValueError("One of max or min must be given.")
-        from ..ops.elemwise import elemwise
-
         if out is not None and not isinstance(out, tuple):
             out = (out,)
-        return elemwise(np.clip, self, a_min=min, a_max=max, out=out)
+        return self.__array_ufunc__(np.clip, "__call__", self, a_min=min, a_max=max, out=out)
 
     def astype(self, dtype, casting="unsafe", copy=True):
         if self.dtype == dtype and not copy:

@@ -27,7 +27,7 @@ import numpy as np
 
 import jax
 
-from .._settings import WARN_ON_TOO_DENSE
+from .. import _settings
 from .._utils import can_store, equivalent, index_dtype_for, normalize_axis, zero_of_dtype
 from .base import SparseArray
 
@@ -99,9 +99,13 @@ class COO(SparseArray):
             self.enable_caching()
 
         coords = np.asarray(coords)
-        if coords.ndim == 1:
-            coords = coords[None, :]
         data = np.asarray(data)
+        if coords.ndim == 1:
+            if (shape == () or (isinstance(shape, Iterable) and tuple(shape) == ())) and coords.size == 0:
+                # 0-d array: COO([], [v], ()) stores v at the empty coordinate
+                coords = np.empty((0, data.size), dtype=np.intp)
+            else:
+                coords = coords[None, :]
         if data.ndim == 0:
             data = np.broadcast_to(data, coords.shape[1]).copy()
         if data.ndim != 1:
@@ -121,7 +125,9 @@ class COO(SparseArray):
         shape = tuple(int(s) for s in shape)
 
         if len(shape) != coords.shape[0]:
-            raise ValueError(f"shape {shape} does not match coords ndim {coords.shape[0]}")
+            raise ValueError(
+                f"The shape of `coords` {coords.shape} does not match ndim of the shape {shape}."
+            )
 
         if coords.size:
             cmax = coords.max(initial=0)
@@ -130,12 +136,21 @@ class COO(SparseArray):
                 raise IndexError(f"coords out of bounds for shape {shape}")
             del cmax
 
+        max_extent = max(shape) if shape else 0
         if idx_dtype is not None:
-            max_extent = max(shape) if shape else 0
             if not can_store(idx_dtype, max_extent):
                 raise ValueError(f"cannot cast array with shape {shape} to dtype {idx_dtype}.")
         else:
-            idx_dtype = index_dtype_for(max(shape) if shape else 0)
+            idx_dtype = index_dtype_for(max_extent)
+            # sub-default input index dtypes are preserved with minimal
+            # upcast (uint8 -> uint16), reference idx-dtype minimization
+            cur = coords.dtype
+            if np.issubdtype(cur, np.integer) and cur.itemsize < np.dtype(idx_dtype).itemsize:
+                from .._utils import get_out_dtype
+
+                small = get_out_dtype(cur, max_extent)
+                if small.itemsize < np.dtype(idx_dtype).itemsize:
+                    idx_dtype = small
         coords = coords.astype(idx_dtype, copy=False)
 
         self.coords = coords
@@ -152,7 +167,7 @@ class COO(SparseArray):
         if prune:
             self._prune()
 
-        if WARN_ON_TOO_DENSE and self.nbytes >= self.size * self.data.dtype.itemsize:
+        if _settings.WARN_ON_TOO_DENSE and self.nbytes >= self.size * self.data.dtype.itemsize:
             warnings.warn(
                 "Attempting to create a sparse array that takes no less memory than a dense array.",
                 RuntimeWarning,
@@ -170,6 +185,14 @@ class COO(SparseArray):
         self.fill_value = fill_value
         return self
 
+    # -- pickling (caches hold unpicklable deques/closures; dropped) ---------------
+    def __getstate__(self):
+        return (self.coords, self.data, self.shape, self.fill_value)
+
+    def __setstate__(self, state):
+        self.coords, self.data, self.shape, self.fill_value = state
+        self._cache = None
+
     # -- pytree protocol -----------------------------------------------------------
     def tree_flatten(self):
         return (self.coords, self.data, self.fill_value), self.shape
@@ -181,21 +204,26 @@ class COO(SparseArray):
 
     # -- caching -------------------------------------------------------------------
     def enable_caching(self):
-        """Memoize reshape/transpose/tocsr results (3-deep LRU, like reference
-        ``_coo/core.py:317``)."""
-        self._cache = OrderedDict()
+        """Memoize reshape/transpose/tocsr/getitem results (3-deep per op,
+        like reference ``_coo/core.py:317-338``)."""
+        from collections import defaultdict, deque
+
+        self._cache = defaultdict(lambda: deque(maxlen=3))
         return self
 
-    def _cached(self, key, compute):
+    def _cached(self, op, key, compute):
         if self._cache is None:
             return compute()
-        if key in self._cache:
-            self._cache.move_to_end(key)
-            return self._cache[key]
+        for k, v in self._cache[op]:
+            if k == key:
+                return v
         value = compute()
-        self._cache[key] = value
-        while len(self._cache) > 12:
-            self._cache.popitem(last=False)
+        # caching propagates to derived arrays so chains like
+        # x[:].reshape(...).transpose().tocsr() return identical objects
+        # (reference passes cache=self._cache is not None to every result)
+        if isinstance(value, COO) and value._cache is None and value is not self:
+            value.enable_caching()
+        self._cache[op].append((key, value))
         return value
 
     # -- canonicalization ----------------------------------------------------------
@@ -281,9 +309,11 @@ class COO(SparseArray):
     def from_numpy(cls, x, fill_value=None, idx_dtype=None):
         x = np.asarray(x)
         if fill_value is None:
-            fill_value = zero_of_dtype(x.dtype)
+            # a 0-d input IS its own fill value (reference _coo/core.py:372):
+            # COO.from_numpy(np.int64(5)) has nnz == 0 and fill_value == 5
+            fill_value = zero_of_dtype(x.dtype) if x.shape else x[()]
         mask = ~equivalent(x, np.asarray(fill_value, dtype=x.dtype))
-        coords = np.stack(np.nonzero(mask), axis=0) if x.ndim else np.empty((0, int(mask)), dtype=np.intp)
+        coords = np.stack(np.nonzero(mask), axis=0) if x.ndim else np.empty((0, 1 if mask else 0), dtype=np.intp)
         data = x[mask] if x.ndim else (x[None][mask.reshape(1)] if mask else np.empty(0, dtype=x.dtype))
         if x.ndim == 0:
             data = x.reshape(1)[mask.reshape(1)]
@@ -386,6 +416,14 @@ class COO(SparseArray):
     def __getitem__(self, index):
         from ..ops.indexing import getitem
 
+        if self._cache is not None:
+            try:
+                hash(index)
+                hashable = True
+            except TypeError:
+                hashable = False
+            if hashable:
+                return self._cached("getitem", index, lambda: getitem(self, index))
         return getitem(self, index)
 
     # -- densify ---------------------------------------------------------------------
@@ -480,10 +518,10 @@ class COO(SparseArray):
         return self.to_scipy_sparse().tocsc()
 
     def tocsr(self):
-        return self._cached(("tocsr",), lambda: self._tocsr_csc("csr"))
+        return self._cached("tocsr", None, lambda: self._tocsr_csc("csr"))
 
     def tocsc(self):
-        return self._cached(("tocsc",), lambda: self._tocsr_csc("csc"))
+        return self._cached("tocsc", None, lambda: self._tocsr_csc("csc"))
 
     def _csc_buffers(self):
         """``(indptr, row_ids, vals)`` — the CSC of a canonical 2-D COO,
@@ -566,7 +604,7 @@ class COO(SparseArray):
                 fill_value=self.fill_value,
             )
 
-        return self._cached(("transpose", axes), compute)
+        return self._cached("transpose", axes, compute)
 
     def swapaxes(self, axis1, axis2):
         axis1 = normalize_axis(axis1, self.ndim)
@@ -590,8 +628,11 @@ class COO(SparseArray):
         def compute():
             from ..native import eager as _eager
 
+            from .._utils import get_out_dtype
+
             lin = self.linear_loc()
-            idx_dtype = index_dtype_for(max(shape) if shape else 0)
+            # keep small input index dtypes, minimal upcast (uint8 -> uint16)
+            idx_dtype = get_out_dtype(np.asarray(self.coords).dtype, max(shape) if shape else 0)
             native = (
                 _eager.unravel(lin, shape)
                 if self.nnz >= _eager.NATIVE_MIN_NNZ and all(shape)
@@ -614,7 +655,7 @@ class COO(SparseArray):
                 fill_value=self.fill_value,
             )
 
-        return self._cached(("reshape", shape), compute)
+        return self._cached("reshape", shape, compute)
 
     def squeeze(self, axis=None):
         if axis is None:

@@ -68,6 +68,10 @@ class DOK(SparseArray):
         if data is None:
             data = {}
         if isinstance(data, dict):
+            if self.dtype_ is None and data:
+                # result dtype spans ALL initial values (reference _dok.py:
+                # {uint8, uint16} -> uint16, {uint8, float32} -> float32)
+                self.dtype_ = np.result_type(*[np.asarray(v) for v in data.values()])
             for c, d in data.items():
                 self[c] = d
         else:
@@ -157,10 +161,20 @@ class DOK(SparseArray):
                 return self.data[key]
             return np.asarray(self.fill_value, dtype=self.dtype)[()]
 
-        if all(isinstance(k, np.ndarray) and k.ndim == 1 and np.issubdtype(k.dtype, np.integer) for k in key) and len(
-            key
-        ) == self.ndim and len({len(k) for k in key}) == 1:
-            return self._fancy_getitem(key)
+        if all(isinstance(k, Integral) for k in key) and len(key) != self.ndim:
+            raise IndexError(f"too many indices for array with {self.ndim} dimensions")
+
+        if any(isinstance(k, (list, np.ndarray)) for k in key):
+            arrs = [np.asarray(k) for k in key]
+            if not all(a.ndim == 1 and np.issubdtype(a.dtype, np.integer) for a in arrs):
+                raise IndexError("DOK fancy indices must be 1-D integer arrays.")
+            if len(key) != self.ndim:
+                raise NotImplementedError(
+                    "DOK fancy indexing requires one index array per dimension."
+                )
+            if len({len(a) for a in arrs}) != 1:
+                raise IndexError("DOK fancy index arrays must have equal lengths.")
+            return self._fancy_getitem(tuple(arrs))
 
         return self.to_coo()[key]
 
@@ -186,18 +200,26 @@ class DOK(SparseArray):
             self._setone(tuple(int(k) for k in key), value[()])
             return
 
-        # fancy: tuple of equal-length integer arrays
-        if (
-            len(key) == self.ndim
-            and all(isinstance(k, (np.ndarray, list)) for k in key)
-            and all(np.asarray(k).ndim == 1 for k in key)
-        ):
+        # fancy: tuple of per-dimension index sequences (reference
+        # ``_dok.py:362-394``)
+        if all(isinstance(k, (np.ndarray, list, tuple)) for k in key) and key:
+            if len(key) != self.ndim:
+                raise NotImplementedError(f"Index sequences for all {self.ndim} array dimensions needed!")
+            if len({len(k) for k in key}) != 1:
+                raise IndexError("Unequal length of index sequences!")
             arrs = [np.asarray(k) for k in key]
-            if all(np.issubdtype(a.dtype, np.integer) for a in arrs) and len({len(a) for a in arrs}) == 1:
-                vals = np.broadcast_to(value, (len(arrs[0]),))
-                for i in range(len(arrs[0])):
-                    self._setone(tuple(int(a[i]) for a in arrs), vals[i])
-                return
+            if not all(np.issubdtype(a.dtype, np.integer) for a in arrs):
+                raise IndexError("Indices must be sequences of integer types!")
+            if arrs[0].ndim != 1:
+                raise IndexError("Indices are not 1d sequences!")
+            if value.ndim > 1:
+                raise ValueError(f"Dimension of values ({value.ndim}) must be 0 or 1!")
+            if value.ndim == 1 and value.shape != arrs[0].shape:
+                raise ValueError(f"Shape mismatch of indices ({arrs[0].shape}) and values ({value.shape})!")
+            vals = np.broadcast_to(value, (len(arrs[0]),))
+            for i in range(len(arrs[0])):
+                self._setone(tuple(int(a[i]) for a in arrs), vals[i])
+            return
 
         # general: expand slices/ints recursively over an index grid
         self._setitem_general(key, value)

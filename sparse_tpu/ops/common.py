@@ -85,7 +85,8 @@ def kron(a, b):
         raise ValueError("Performing this operation would produce a dense result: kron")
 
     if a_ndim == 0 or b_ndim == 0:
-        raise ValueError("Inputs must be non-scalar.")
+        # kron against a scalar is plain scaling (reference _coo/common.py:110)
+        return a * b
 
     a = asCOO(a, check=False)
     b = asCOO(b, check=False)
@@ -473,9 +474,22 @@ def roll(a, shift, axis=None):
     if len(axis) != len(shift):
         raise ValueError("If 'shift' is a 1D sequence, 'axis' must have equal length.")
 
-    if not can_store(a.coords.dtype, max(a.shape + tuple(int(s) for s in shift))):
+    # shifted extents must stay storable in the input index dtype (note:
+    # shape + shift is elementwise here, matching reference _coo/common.py:789
+    # — a +300 shift on a (5,5,5) uint8-indexed array overflows and raises)
+    try:
+        shifted_extent = int(np.max(np.asarray(a.shape) + np.asarray([int(s) for s in shift])))
+    except ValueError:  # len(axis) not broadcastable against ndim
+        shifted_extent = max(
+            max(a.shape), max(int(a.shape[ax]) + int(s) for ax, s in zip(axis, shift))
+        )
+    if not can_store(a.coords.dtype, shifted_extent):
         raise ValueError(
             f"cannot roll with coords.dtype {a.coords.dtype} and shift {shift}. Try casting coords to a larger dtype."
+        )
+    if np.issubdtype(np.asarray(a.coords).dtype, np.unsignedinteger) and any(int(s) < 0 for s in shift):
+        raise ValueError(
+            f"rolling with coords.dtype as {np.asarray(a.coords).dtype} is not safe. Try using a signed dtype."
         )
 
     coords, data = np.copy(np.asarray(a.coords)), np.copy(np.asarray(a.data))

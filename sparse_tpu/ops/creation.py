@@ -158,7 +158,10 @@ def asarray(obj, /, *, dtype=None, format=None, backend=None, copy=False, device
         res = as_coo(obj) if not isinstance(obj, SparseArray) else obj.asformat("coo")
         if dtype is not None and res.dtype != dtype:
             res = res.astype(dtype)
-        return res.asformat(format)
+        res = res.asformat(format)
+        if copy and res is obj:
+            res = res.copy()
+        return res
     # generic array-likes (lists, jax arrays, torch tensors via __array__)
     arr = np.asarray(obj, dtype=dtype)
     return COO.from_numpy(arr).asformat(format)

@@ -11,6 +11,7 @@ labels.
 from __future__ import annotations
 
 import string
+from collections.abc import Iterable
 
 import numpy as np
 
@@ -42,13 +43,29 @@ def _parse_operands(operands):
         inputs = in_sub.split(",")
         return inputs, out_sub, arrays
     # interleaved form: op0, sub0, op1, sub1, ..., [output_sublist]
+    def _check_sublist(s):
+        if (
+            isinstance(s, (str, SparseArray, np.ndarray))
+            or not isinstance(s, Iterable)
+            or not all(item is Ellipsis or isinstance(item, int) for item in s)
+        ):
+            raise TypeError(
+                "einsum subscripts must be a string or interleaved operand/sublist pairs "
+                "where each sublist contains ints or Ellipsis"
+            )
+
     arrays = list(operands[::2])
     sublists = list(operands[1::2])
     out_sub = None
     if len(sublists) == len(arrays) + 1 or (len(operands) % 2 == 1):
-        out_sub = _sublist_to_subscript(operands[-1])
         arrays = list(operands[:-1:2])
         sublists = list(operands[1:-1:2])
+        for s in [*sublists, operands[-1]]:
+            _check_sublist(s)
+        out_sub = _sublist_to_subscript(operands[-1])
+    else:
+        for s in sublists:
+            _check_sublist(s)
     inputs = [_sublist_to_subscript(s) for s in sublists]
     return inputs, out_sub, arrays
 
@@ -63,7 +80,7 @@ def _expand_ellipsis(inputs, out_sub, arrays):
             max_ell = max(max_ell, np.ndim(arr) - n_named)
     ell_labels = "".join(free[:max_ell])
     new_inputs = []
-    for sub, arr in zip(inputs, arrays):
+    for k, (sub, arr) in enumerate(zip(inputs, arrays)):
         if "..." in sub:
             n_named = len(sub.replace("...", ""))
             n_ell = np.ndim(arr) - n_named
@@ -71,9 +88,15 @@ def _expand_ellipsis(inputs, out_sub, arrays):
                 raise ValueError("operand has fewer dimensions than subscripts given")
             sub = sub.replace("...", ell_labels[max_ell - n_ell :])
         if len(sub) != np.ndim(arr):
-            raise ValueError(
-                f"operand has {np.ndim(arr)} dimensions but {len(sub)} subscripts given"
-            )
+            # lenient trailing-size-1 squeeze (the reference's align step
+            # broadcasts these; numpy itself would demand an ellipsis)
+            shape = np.shape(arr)
+            if len(sub) < np.ndim(arr) and all(d == 1 for d in shape[len(sub) :]):
+                arrays[k] = arr.reshape(shape[: len(sub)])
+            else:
+                raise ValueError(
+                    f"operand has {np.ndim(arr)} dimensions but {len(sub)} subscripts given"
+                )
         new_inputs.append(sub)
     if out_sub is not None and "..." in out_sub:
         out_sub = out_sub.replace("...", ell_labels)
@@ -85,8 +108,32 @@ def einsum(*operands, **kwargs):
     dtype = kwargs.pop("dtype", None)
     if kwargs:
         raise TypeError(f"einsum() got unexpected keyword arguments {list(kwargs)}")
+    if not operands:
+        raise ValueError("must specify the einstein sum subscripts string and at least one operand")
 
     inputs, out_sub, arrays = _parse_operands(operands)
+
+    # output format rule (same as the elemwise engine / reference
+    # ``_umath.py:416-427``): all-DOK sparse operands -> DOK, all-GCXS ->
+    # GCXS, otherwise COO
+    from ..core.dok import DOK
+    from ..core.gcxs import GCXS
+
+    sparse_ops = [a for a in arrays if isinstance(a, SparseArray)]
+    out_format = "coo"
+    if sparse_ops and all(isinstance(a, DOK) for a in sparse_ops):
+        out_format = "dok"
+    elif sparse_ops and all(isinstance(a, GCXS) for a in sparse_ops):
+        out_format = "gcxs"
+    if out_format != "coo":
+        result = _einsum_coo(inputs, out_sub, [a.to_coo() if isinstance(a, DOK) else a for a in arrays], dtype)
+        if isinstance(result, SparseArray):
+            result = result.asformat(out_format)
+        return result
+    return _einsum_coo(inputs, out_sub, arrays, dtype)
+
+
+def _einsum_coo(inputs, out_sub, arrays, dtype):
     if len(inputs) != len(arrays):
         raise ValueError("number of einsum subscripts must be equal to the number of operands")
 

@@ -59,6 +59,9 @@ def elemwise(func, *args, **kwargs):
 
     out_format, out_kwargs = _choose_output_format(args)
 
+    if not any(isinstance(arg, SparseArray) or scipy.sparse.issparse(arg) for arg in args):
+        raise ValueError(f"None of the args is sparse: {args}")
+
     processed = []
     # Python scalars (NOT np.generic) are "weak" under NEP 50: f4 + 2 stays
     # f4. They're converted to 0-d arrays for the structural machinery, but
@@ -66,6 +69,10 @@ def elemwise(func, *args, **kwargs):
     # must see the raw scalar to preserve weak promotion.
     weak_scalars = {}
     for i, arg in enumerate(args):
+        if not isinstance(arg, (SparseArray, np.ndarray, np.generic, bool, int, float, complex, list, tuple)) and not scipy.sparse.issparse(arg):
+            # unsupported operand type: binary-op protocol turns this into
+            # the standard TypeError (reference ``_umath.py:429-443``)
+            return NotImplemented
         if scipy.sparse.issparse(arg):
             arg = COO.from_scipy_sparse(arg)
         if isinstance(arg, SparseArray) and not isinstance(arg, COO):
@@ -316,7 +323,15 @@ def elemwise(func, *args, **kwargs):
 
 
 def _finish_elemwise(func, values, union_coords, full_shape, fill_value, out_dtype, dtype, kwargs, out_format, out_kwargs):
-    result_data = func(*values, dtype=dtype, **kwargs) if dtype is not None else func(*values, **kwargs)
+    if dtype is not None:
+        try:
+            result_data = func(*values, dtype=dtype, **kwargs)
+        except TypeError:
+            # plain functions (np.round, …) take no dtype kwarg; the
+            # out_dtype cast below enforces it instead
+            result_data = func(*values, **kwargs)
+    else:
+        result_data = func(*values, **kwargs)
     result_data = np.asarray(result_data)
     if result_data.dtype != out_dtype:
         result_data = result_data.astype(out_dtype)

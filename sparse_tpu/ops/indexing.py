@@ -25,7 +25,7 @@ from .slicing import normalize_index
 __all__ = ["getitem"]
 
 
-def _getitem_leading_fast(x, index, coords, data):
+def _getitem_leading_fast(x, index, coords, data, last_ellipsis=False):
     """O(log nnz + output) selection on the leading axis of a canonical COO
     (rows sorted): single row, step-1 row range, or 1-D integer row list,
     with all trailing dims taken whole — the role of the reference's
@@ -44,6 +44,15 @@ def _getitem_leading_fast(x, index, coords, data):
         k0 = int(k0)
         lo, hi = np.searchsorted(rows, [k0, k0 + 1])
         if x.ndim == 1:
+            if last_ellipsis:
+                return COO(
+                    np.empty((0, hi - lo), dtype=np.intp),
+                    data[lo:hi],
+                    shape=(),
+                    has_duplicates=False,
+                    sorted=True,
+                    fill_value=x.fill_value,
+                )
             return data[lo][()] if hi > lo else np.asarray(x.fill_value, dtype=x.dtype)[()]
         return COO._make(coords[1:, lo:hi], data[lo:hi], x.shape[1:], x.fill_value)
 
@@ -85,6 +94,34 @@ def getitem(x, index):
     if isinstance(index, tuple) and index == () and x.ndim == 0:
         return x.data[-1][()] if x.nnz else np.asarray(x.fill_value)[()]
 
+    # structured-dtype field access: select the field from data (+subarray
+    # dims become new trailing dense-patterned axes), reference
+    # ``_coo/indexing.py:33-55``
+    if isinstance(index, str):
+        field_data = np.asarray(x.data)[index]
+        idx = np.where(field_data)
+        data = field_data[idx].flatten()
+        coords = list(np.asarray(x.coords)[:, idx[0]])
+        coords.extend(idx[1:])
+        fv_field = np.asarray(np.asarray(x.fill_value)[index]).flatten()
+        fill_value = fv_field[0] if fv_field.size else np.zeros((), dtype=field_data.dtype.base)[()]
+        if fv_field.size and not np.all(fv_field == fv_field[0]):
+            raise ValueError("Fill-values in the array are inconsistent.")
+        return COO(
+            np.stack(coords, axis=0) if coords else np.empty((0, data.size), dtype=np.intp),
+            data,
+            shape=x.shape + np.asarray(x.data).dtype[index].shape,
+            has_duplicates=False,
+            sorted=True,
+            fill_value=fill_value,
+        )
+
+    # scalar results: a trailing explicit Ellipsis yields a 0-d COO, a pure
+    # integer index yields a plain scalar (reference ``_coo/indexing.py:60,115``)
+    last_ellipsis = index is Ellipsis or (
+        isinstance(index, tuple) and len(index) > 0 and index[-1] is Ellipsis
+    )
+
     index = normalize_index(index, x.shape)
 
     # identity fast path (fresh object so `out=`-style mutation is safe)
@@ -97,7 +134,7 @@ def getitem(x, index):
     data = np.asarray(x.data)
     nnz = data.shape[0]
 
-    fast = _getitem_leading_fast(x, index, coords, data)
+    fast = _getitem_leading_fast(x, index, coords, data, last_ellipsis)
     if fast is not NotImplemented:
         return fast
 
@@ -220,6 +257,15 @@ def getitem(x, index):
                 adv_emitted = True
 
     if not out_shape:
+        if last_ellipsis:
+            return COO(
+                np.empty((0, data_sel.shape[0]), dtype=np.intp),
+                data_sel,
+                shape=(),
+                has_duplicates=False,
+                sorted=True,
+                fill_value=x.fill_value,
+            )
         # scalar result
         if data_sel.size:
             return data_sel[0][()]
