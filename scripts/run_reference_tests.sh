@@ -25,8 +25,13 @@ rm -f "$STAGE"/test_dask_interop.py
 export PYTHONPATH="$REPO:$REPO/scripts/reference_shim${PYTHONPATH:+:$PYTHONPATH}"
 export JAX_PLATFORMS=cpu
 
+# test_{sparse,dense}_broadcasting monkeypatch the reference's private
+# `_umath._Elemwise` class to count coordinate-match calls — engine
+# internals with no analogue in this package's elemwise engine.
 python -m pytest "$STAGE" \
   -p shim_plugin -p no:cacheprovider \
   --rootdir="$STAGE" -o addopts= \
   --continue-on-collection-errors \
+  --deselect "test_elemwise.py::test_sparse_broadcasting" \
+  --deselect "test_elemwise.py::test_dense_broadcasting" \
   -q "$@"

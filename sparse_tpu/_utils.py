@@ -107,8 +107,15 @@ def normalize_axis(axis, ndim):
 
 
 def can_store(dtype, nelem):
-    """Whether index dtype ``dtype`` can store values up to ``nelem``."""
-    return np.array(nelem, dtype=np.uint64) <= np.iinfo(np.dtype(dtype)).max
+    """Whether ``dtype`` can represent the scalar ``nelem`` exactly
+    (reference ``_utils.py:651`` — handles negatives and overflow)."""
+    try:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            warnings.filterwarnings("error", "out-of-bound", DeprecationWarning)
+            return bool(np.array(nelem, dtype=np.dtype(dtype)) == np.array(nelem))
+    except (ValueError, OverflowError):
+        return False
 
 
 def index_dtype_for(max_value):

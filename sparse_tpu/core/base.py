@@ -354,12 +354,18 @@ class SparseArray(np.lib.mixins.NDArrayOperatorsMixin):
         if ddof >= rcount:
             warnings.warn("Degrees of freedom <= 0 for slice", RuntimeWarning, stacklevel=1)
 
+        out_dtype = None
         if dtype is None and (np.issubdtype(self.dtype, np.integer) or np.issubdtype(self.dtype, np.bool_)):
             dtype = np.dtype("f8")
+        elif dtype is None and np.issubdtype(self.dtype, np.floating) and np.dtype(self.dtype).itemsize < 8:
+            # accumulate sub-f8 floats at f8 (numpy's pairwise f4 var is more
+            # accurate than a naive f4 two-pass), cast back at the end
+            dtype = np.dtype("f8")
+            out_dtype = np.dtype(self.dtype)
 
         arrmean = self.sum(axis, dtype=dtype, keepdims=True)[...]
         np.divide(arrmean, rcount, out=arrmean)
-        x = self - arrmean
+        x = self.astype(dtype) - arrmean if out_dtype is not None else self - arrmean
         if np.issubdtype(self.dtype, np.complexfloating):
             x = x.real * x.real + x.imag * x.imag
         else:
@@ -370,6 +376,8 @@ class SparseArray(np.lib.mixins.NDArrayOperatorsMixin):
         rcount = max([rcount - ddof, 0])
         ret = ret[...]
         np.divide(ret, rcount, out=ret, casting="unsafe")
+        if out_dtype is not None:
+            ret = ret.astype(out_dtype)
         return ret
 
     def std(self, axis=None, dtype=None, out=None, ddof=0, keepdims=False):

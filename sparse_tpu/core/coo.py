@@ -330,7 +330,10 @@ class COO(SparseArray):
     @classmethod
     def from_scipy_sparse(cls, x, /, *, fill_value=None):
         x = x.tocoo()
-        coords = np.stack([x.row, x.col], axis=0)
+        if hasattr(x, "coords"):  # n-D coo_array (scipy >= 1.14)
+            coords = np.stack(x.coords, axis=0)
+        else:
+            coords = np.stack([x.row, x.col], axis=0)
         return cls(
             coords,
             np.asarray(x.data),
@@ -472,10 +475,9 @@ class COO(SparseArray):
         if accept_fv is None:
             accept_fv = [0]
         check_fill_value(self, accept_fv, func_name="to_scipy_sparse")
-        if self.ndim != 2:
-            raise ValueError("Can only convert a 2-dimensional array to a Scipy sparse matrix.")
         coords = np.asarray(self.coords)
-        return scipy.sparse.coo_matrix((np.asarray(self.data), (coords[0], coords[1])), shape=self.shape)
+        # scipy.sparse.coo_array supports n-D arrays (scipy >= 1.14)
+        return scipy.sparse.coo_array((np.asarray(self.data), tuple(coords)), shape=self.shape)
 
     def _tocsr_csc(self, kind):
         import scipy.sparse
@@ -500,7 +502,7 @@ class COO(SparseArray):
             indices = coords[1]
             if indices.dtype.itemsize < 4:
                 indices = indices.astype(np.int32)
-            m = scipy.sparse.csr_matrix((data, indices, indptr), shape=self.shape, copy=False)
+            m = scipy.sparse.csr_array((data, indices, indptr), shape=self.shape, copy=False)
             m.has_canonical_format = True
             return m
         from ..native import eager as _eager
@@ -512,7 +514,7 @@ class COO(SparseArray):
         )
         if res is not None:
             indptr, _, row_ids, vals = res
-            m = scipy.sparse.csc_matrix((vals, row_ids, indptr), shape=self.shape, copy=False)
+            m = scipy.sparse.csc_array((vals, row_ids, indptr), shape=self.shape, copy=False)
             m.has_canonical_format = True
             return m
         return self.to_scipy_sparse().tocsc()
@@ -662,11 +664,13 @@ class COO(SparseArray):
             axis = tuple(i for i, d in enumerate(self.shape) if d == 1)
         else:
             if isinstance(axis, Integral):
-                axis = (axis,)
+                axis = (int(axis),)
+            elif not isinstance(axis, Iterable):
+                raise ValueError(f"Invalid axis parameter: `{axis}`.")
             axis = normalize_axis(axis, self.ndim)
             for ax in axis:
                 if self.shape[ax] != 1:
-                    raise ValueError(f"cannot select an axis to squeeze out which has size not equal to one: axis={ax}")
+                    raise ValueError(f"Specified axis `{ax}` has a size greater than one: {self.shape[ax]}")
         new_shape = tuple(d for i, d in enumerate(self.shape) if i not in axis)
         return self.reshape(new_shape)
 

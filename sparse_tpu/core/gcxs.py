@@ -312,7 +312,14 @@ class GCXS(SparseArray):
         uncomp = tuple(a for a in range(self.ndim) if a not in comp)
         comp_shape = tuple(self.shape[a] for a in comp)
         uncomp_shape = tuple(self.shape[a] for a in uncomp)
-        coords = np.empty((self.ndim, self.nnz), dtype=index_dtype_for(max(self.shape) if self.shape else 0))
+        from .._utils import get_out_dtype
+
+        # keep the stored index dtype (minimal upcast) so conversions round-
+        # trip small dtypes, e.g. uint8-indexed GCXS -> COO -> concat
+        coords = np.empty(
+            (self.ndim, self.nnz),
+            dtype=get_out_dtype(np.asarray(self.indices).dtype, max(self.shape) if self.shape else 0),
+        )
         if comp:
             for a, c in zip(comp, np.unravel_index(rows, comp_shape)):
                 coords[a] = c
@@ -342,8 +349,8 @@ class GCXS(SparseArray):
         if self.ndim != 2:
             raise ValueError("Can only convert a 2-dimensional array to a Scipy sparse matrix.")
         if self.compressed_axes == (0,):
-            return scipy.sparse.csr_matrix((np.asarray(self.data), np.asarray(self.indices), np.asarray(self.indptr)), shape=self.shape)
-        return scipy.sparse.csc_matrix((np.asarray(self.data), np.asarray(self.indices), np.asarray(self.indptr)), shape=self.shape)
+            return scipy.sparse.csr_array((np.asarray(self.data), np.asarray(self.indices), np.asarray(self.indptr)), shape=self.shape)
+        return scipy.sparse.csc_array((np.asarray(self.data), np.asarray(self.indices), np.asarray(self.indptr)), shape=self.shape)
 
     def asformat(self, format, **kwargs):
         from .._utils import convert_format

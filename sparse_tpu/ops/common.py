@@ -268,30 +268,33 @@ def nanmean(x, axis=None, keepdims=False, dtype=None, out=None):
 
 
 def nanmax(x, axis=None, keepdims=False, dtype=None, out=None):
+    """NaN-skipping max via an ``fmax`` reduce (fmax(NaN, v) == v); an
+    all-NaN slice stays NaN, like numpy (reference ``_coo/common.py:431``)."""
     assert out is None
     x = asCOO(x, name="nanmax")
-    ar = _replace_nan(x, dtype.type(-np.inf) if dtype is not None else -np.inf)
-    res = ar.reduce(np.maximum, axis=axis, keepdims=keepdims)
-    _check_all_nan(x, res, axis)
-    return res
+    ar = x.reduce(np.fmax, axis=axis, keepdims=keepdims, dtype=dtype)
+    _warn_all_nan(ar)
+    return ar
 
 
 def nanmin(x, axis=None, keepdims=False, dtype=None, out=None):
     assert out is None
     x = asCOO(x, name="nanmin")
-    ar = _replace_nan(x, dtype.type(np.inf) if dtype is not None else np.inf)
-    res = ar.reduce(np.minimum, axis=axis, keepdims=keepdims)
-    _check_all_nan(x, res, axis)
-    return res
+    ar = x.reduce(np.fmin, axis=axis, keepdims=keepdims, dtype=dtype)
+    _warn_all_nan(ar)
+    return ar
 
 
-def _check_all_nan(x, res, axis):
-    if not np.issubdtype(x.dtype, np.floating):
-        return
-    isnanarr = np.isnan(x)
-    allnan = isnanarr.all(axis=axis)
-    anynan = bool(np.asarray(allnan.todense() if isinstance(allnan, SparseArray) else allnan).any())
-    if anynan:
+def _warn_all_nan(res):
+    if isinstance(res, SparseArray):
+        vals = np.asarray(res.data)
+        has_nan = bool(np.isnan(vals).any()) if np.issubdtype(vals.dtype, np.floating) else False
+        fv = np.asarray(res.fill_value)
+        has_nan = has_nan or (np.issubdtype(fv.dtype, np.floating) and bool(np.isnan(fv)))
+    else:
+        vals = np.asarray(res)
+        has_nan = np.issubdtype(vals.dtype, np.floating) and bool(np.isnan(vals).any())
+    if has_nan:
         warnings.warn("All-NaN slice encountered", RuntimeWarning, stacklevel=2)
 
 

@@ -102,5 +102,6 @@ def _normalize_one(i, d):
             raise IndexError(f"Index array out of bounds for axis with size {d}")
         return np.where(arr < 0, arr + d, arr).astype(np.intp)
     if isinstance(i, Number):
-        return _normalize_one(int(i), d)
+        # non-integral scalars (0.5, 1+2j, ...) are invalid indices
+        raise IndexError(f"Invalid index: {i!r} (only integers, slices, arrays, and Ellipsis are valid)")
     raise IndexError(f"Invalid index type: {type(i)}")
