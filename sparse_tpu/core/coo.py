@@ -844,7 +844,7 @@ class COO(SparseArray):
 
         if self._cache is None:
             self.enable_caching()
-        return self._cached(("block_ell", block_rows), compute)
+        return self._cached("block_ell", block_rows, compute)
 
     # -- jax.experimental.sparse interop ------------------------------------------------
     def to_bcoo(self):

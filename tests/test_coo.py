@@ -474,10 +474,13 @@ def test_kron_dense_arg():
     assert_eq(sparse.kron(a, b), np.kron(a.todense(), b))
 
 
-def test_kron_scalar_raises():
+def test_kron_scalar_scales():
+    # reference semantics (_coo/common.py:110): kron against a scalar is
+    # plain scaling, matching np.kron
     a = sparse.random((3, 4), density=0.3, random_state=0)
+    assert_eq(sparse.kron(a, 3), np.kron(a.todense(), 3))
     with pytest.raises(ValueError):
-        sparse.kron(a, 3)
+        sparse.kron(3, 4)  # all-dense still raises
 
 
 @pytest.mark.parametrize("axis", [0, 1])
@@ -672,18 +675,18 @@ def test_dtype_grid_roundtrip_and_sum(dtype):
 
 
 def test_warn_on_too_dense(monkeypatch):
-    import sparse_tpu.core.coo as coo_mod
+    from sparse_tpu import _settings
 
-    monkeypatch.setattr(coo_mod, "WARN_ON_TOO_DENSE", True)
+    monkeypatch.setattr(_settings, "WARN_ON_TOO_DENSE", True)
     with pytest.warns(RuntimeWarning, match="no less memory"):
         COO.from_numpy(np.ones((3, 3)))
 
 
 def test_auto_densify(monkeypatch):
-    import sparse_tpu.core.base as base_mod
+    from sparse_tpu import _settings
 
     s = sparse.random((3, 3), density=0.5, random_state=0)
-    monkeypatch.setattr(base_mod, "AUTO_DENSIFY", True)
+    monkeypatch.setattr(_settings, "AUTO_DENSIFY", True)
     arr = np.asarray(s)
     assert isinstance(arr, np.ndarray)
     np.testing.assert_allclose(arr, s.todense())
