@@ -846,6 +846,28 @@ class COO(SparseArray):
             self.enable_caching()
         return self._cached("block_ell", block_rows, compute)
 
+    def to_dia(self, max_bands=64, max_fill=8.0):
+        """Cached DIA (banded) layout, or ``None`` when the matrix isn't
+        usefully banded. The TPU-optimal layout for stencil matrices: the
+        matvec becomes static shifts + multiply-adds (``kernels.dia_spmv``),
+        no gathers."""
+        from .._utils import check_zero_fill_value
+        from ..kernels.dia import build_dia
+
+        if self.ndim != 2 or self.shape[0] != self.shape[1]:
+            return None
+        check_zero_fill_value(self, func_name="to_dia")
+
+        def compute():
+            coords = np.asarray(self.coords)
+            return build_dia(
+                coords[0], coords[1], np.asarray(self.data), self.shape[0], max_bands=max_bands, max_fill=max_fill
+            )
+
+        if self._cache is None:
+            self.enable_caching()
+        return self._cached("dia", (max_bands, max_fill), compute)
+
     # -- jax.experimental.sparse interop ------------------------------------------------
     def to_bcoo(self):
         """Convert to a ``jax.experimental.sparse.BCOO`` (zero fill only) —

@@ -118,6 +118,31 @@ class GCXS(SparseArray):
         self.fill_value = fill_value
         return self
 
+    # -- memoization (same shape as COO's: layouts + solver programs) ---------------
+    def enable_caching(self):
+        from collections import defaultdict, deque
+
+        self._cache = defaultdict(lambda: deque(maxlen=3))
+        return self
+
+    def _cached(self, op, key, compute):
+        cache = getattr(self, "_cache", None)
+        if cache is None:
+            return compute()
+        for k, v in cache[op]:
+            if k == key:
+                return v
+        value = compute()
+        cache[op].append((key, value))
+        return value
+
+    # caches hold unpicklable deques/closures; dropped on pickle
+    def __getstate__(self):
+        return (self.data, self.indices, self.indptr, self.shape, self.compressed_axes, self.fill_value)
+
+    def __setstate__(self, state):
+        self.data, self.indices, self.indptr, self.shape, self.compressed_axes, self.fill_value = state
+
     def tree_flatten(self):
         return (self.data, self.indices, self.indptr, self.fill_value), (self.shape, self.compressed_axes)
 

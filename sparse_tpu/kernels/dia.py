@@ -1,0 +1,90 @@
+"""DIA (diagonal/banded) kernels — the TPU-optimal layout for banded
+matrices.
+
+Stencil-structured matrices (grid Laplacians, tridiagonal systems,
+finite-difference operators) store all of their entries on a handful of
+diagonals. In DIA form the matvec is a sum of *statically shifted*
+elementwise products — no gathers at all, so it runs at HBM bandwidth on
+the VPU where the general COO/ELL paths pay per-entry gather cost
+(5-pt Laplacian 256²: ~30 µs/SpMV vs ~1.2 ms for the block-ELL one-hot
+form on v5e).
+
+scipy's equivalent is ``scipy.sparse.dia_matrix``; the upstream reference
+has no DIA format, so this is a TPU-native extension. Offsets are static
+Python ints (part of the compiled program); ``bands`` is a dense
+``(k, n)`` array, a JAX pytree leaf.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+import jax.numpy as jnp
+
+__all__ = ["DiaMatrix", "build_dia", "dia_spmv", "dia_spmm"]
+
+#: refuse conversions that would pad more than this many stored values per nnz
+_MAX_FILL_RATIO = 8.0
+#: refuse matrices with more distinct diagonals than this
+_MAX_BANDS = 64
+
+
+class DiaMatrix(NamedTuple):
+    """Banded matrix: ``bands[i, r] == A[r, r + offsets[i]]`` (0 outside)."""
+
+    offsets: tuple  # static diagonal offsets (col - row), sorted
+    bands: jnp.ndarray  # (k, n) float
+    shape: tuple  # (n, n)
+
+
+def build_dia(rows, cols, data, n, max_bands=_MAX_BANDS, max_fill=_MAX_FILL_RATIO):
+    """Convert canonical COO triplets of an ``n×n`` matrix to DIA form.
+
+    Returns ``None`` when the matrix isn't usefully banded: more than
+    ``max_bands`` distinct diagonals, or band storage exceeding
+    ``max_fill`` × nnz.
+    """
+    rows = np.asarray(rows)
+    cols = np.asarray(cols)
+    data = np.asarray(data)
+    if data.size == 0:
+        return None
+    diffs = cols.astype(np.int64) - rows.astype(np.int64)
+    offsets = np.unique(diffs)
+    if offsets.size > max_bands or offsets.size * n > max_fill * data.size:
+        return None
+    bands = np.zeros((offsets.size, n), dtype=data.dtype)
+    band_idx = np.searchsorted(offsets, diffs)
+    bands[band_idx, rows] = data
+    return DiaMatrix(tuple(int(o) for o in offsets), jnp.asarray(bands), (n, n))
+
+
+def dia_spmv(offsets, bands, x):
+    """``y = A @ x`` for a DIA matrix — k static shifts + multiply-adds.
+
+    ``offsets`` must be static Python ints (hashable under ``jit``); the
+    body is a fully unrolled sum of slice-multiplies that XLA fuses into a
+    single bandwidth-bound loop.
+    """
+    n = bands.shape[1]
+    lo = -min(min(offsets), 0)
+    hi = max(max(offsets), 0)
+    xp = jnp.pad(x, (lo, hi))
+    y = jnp.zeros(n, dtype=jnp.result_type(bands.dtype, x.dtype))
+    for i, o in enumerate(offsets):
+        y = y + bands[i] * xp[lo + o : lo + o + n]
+    return y
+
+
+def dia_spmm(offsets, bands, dense):
+    """``Y = A @ X`` for a DIA matrix and dense ``X`` of shape (n, m)."""
+    n = bands.shape[1]
+    lo = -min(min(offsets), 0)
+    hi = max(max(offsets), 0)
+    xp = jnp.pad(dense, ((lo, hi), (0, 0)))
+    y = jnp.zeros((n, dense.shape[1]), dtype=jnp.result_type(bands.dtype, dense.dtype))
+    for i, o in enumerate(offsets):
+        y = y + bands[i][:, None] * xp[lo + o : lo + o + n, :]
+    return y

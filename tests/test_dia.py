@@ -1,0 +1,88 @@
+"""DIA (banded) kernel: build/detect, shift matvec/matmat, solver upgrade."""
+
+import numpy as np
+import pytest
+
+import sparse_tpu as sparse
+from sparse_tpu import linalg
+from sparse_tpu.kernels import build_dia, dia_spmm, dia_spmv
+
+
+def _banded_dense(n, offsets, rng):
+    dense = np.zeros((n, n))
+    for o in offsets:
+        idx = np.arange(max(0, -o), min(n, n - o))
+        dense[idx, idx + o] = rng.standard_normal(idx.size)
+    return dense
+
+
+@pytest.mark.parametrize("offsets", [(-7, -1, 0, 1, 7), (0,), (-2, 3), (-50, 0, 50)])
+def test_dia_spmv_spmm_match_dense(offsets):
+    rng = np.random.default_rng(0)
+    n = 200
+    dense = _banded_dense(n, offsets, rng)
+    A = sparse.COO.from_numpy(dense)
+    c = np.asarray(A.coords)
+    dia = build_dia(c[0], c[1], np.asarray(A.data), n)
+    assert dia is not None
+    assert set(dia.offsets) <= set(offsets)
+
+    x = rng.standard_normal(n)
+    np.testing.assert_allclose(np.asarray(dia_spmv(dia.offsets, dia.bands, x)), dense @ x, rtol=1e-12)
+    X = rng.standard_normal((n, 4))
+    np.testing.assert_allclose(np.asarray(dia_spmm(dia.offsets, dia.bands, X)), dense @ X, rtol=1e-12)
+
+
+def test_dia_rejects_unstructured():
+    B = sparse.random((100, 100), density=0.2, random_state=1)
+    cb = np.asarray(B.coords)
+    assert build_dia(cb[0], cb[1], np.asarray(B.data), 100) is None
+    assert B.to_dia() is None
+
+
+def test_dia_rejects_padding_blowup():
+    # two far-apart diagonals with only a few entries each: k*n >> nnz
+    n = 10_000
+    rows = np.array([0, 1, 2, 5000, 5001])
+    cols = np.array([0, 1, 2, 9000, 9001])
+    data = np.ones(5)
+    assert build_dia(rows, cols, data, n) is None
+
+
+def test_to_dia_cached_and_jit():
+    import jax
+
+    rng = np.random.default_rng(2)
+    dense = _banded_dense(64, (-1, 0, 1), rng)
+    A = sparse.COO.from_numpy(dense)
+    d1 = A.to_dia()
+    d2 = A.to_dia()
+    assert d1 is d2  # memoized on the instance
+
+    f = jax.jit(lambda bands, v: dia_spmv(d1.offsets, bands, v))
+    x = rng.standard_normal(64)
+    np.testing.assert_allclose(np.asarray(f(d1.bands, x)), dense @ x, rtol=1e-10)
+
+
+def test_cg_uses_dia_on_laplacian():
+    rng = np.random.default_rng(3)
+    m = 24
+    lap = np.zeros((m * m, m * m))
+    for i in range(m):
+        for j in range(m):
+            k = i * m + j
+            lap[k, k] = 4
+            for di, dj in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                ii, jj = i + di, j + dj
+                if 0 <= ii < m and 0 <= jj < m:
+                    lap[k, ii * m + jj] = -1
+    L = sparse.COO.from_numpy(lap)
+    assert L.to_dia() is not None
+    b = rng.standard_normal(m * m)
+    x, info = linalg.cg(L, b, tol=1e-10)
+    assert info == 0
+    np.testing.assert_allclose(lap @ np.asarray(x), b, atol=1e-6)
+    # nonsymmetric-solver path (uses A and A.T) stays correct too
+    x2, info2 = linalg.bicgstab(L, b, tol=1e-10)
+    assert info2 == 0
+    np.testing.assert_allclose(lap @ np.asarray(x2), b, atol=1e-5)
