@@ -1127,8 +1127,17 @@ def pagerank(csgraph, *, alpha=0.85, tol=1e-10, maxiter=200, personalize=None):
     dj = jnp.asarray(dangling)
     tj = jnp.asarray(tele)
 
-    @functools.partial(jax.jit, static_argnames=("n", "maxiter"))
-    def run(rj, cj, wj, dj, tj, *, n, maxiter):
+    # module-level cache: a per-call @jax.jit closure would re-trace +
+    # re-compile the while-program on every pagerank() call
+    run = _pagerank_fn(n, maxiter)
+    p, it = run(rj, cj, wj, dj, tj, jnp.asarray(alpha, wj.dtype), jnp.asarray(tol, wj.dtype))
+    return np.asarray(p), int(it)
+
+
+@functools.cache
+def _pagerank_fn(n, maxiter):
+    @jax.jit
+    def run(rj, cj, wj, dj, tj, alpha, tol):
         p0 = jnp.full((n,), 1.0 / n, dtype=wj.dtype)
 
         def step(p):
@@ -1148,8 +1157,7 @@ def pagerank(csgraph, *, alpha=0.85, tol=1e-10, maxiter=200, personalize=None):
         p, _, it = lax.while_loop(cond, body, (p0, jnp.asarray(jnp.inf, wj.dtype), 0))
         return p, it
 
-    p, it = run(rj, cj, wj, dj, tj, n=n, maxiter=maxiter)
-    return np.asarray(p), int(it)
+    return run
 
 
 @functools.cache

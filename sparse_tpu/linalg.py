@@ -526,7 +526,31 @@ def _lanczos(mv, v0, m, defl=None):
     return V, alpha, beta
 
 
-def _eigsh_mv(mv, n, k, *, which="LM", m, key, dtype, v0=None, tol=None):
+def _make_cached_lanczos(A, mv, n, dtype, d_cap, tag="eigsh"):
+    """Lanczos dispatcher with a fixed-capacity deflation pad: the variable
+    defl row-count otherwise gives every restart a fresh shape (and fresh
+    closures give every CALL a fresh trace), re-compiling the fori_loop
+    program each time. One trace per (m, d_cap) serves all restarts and all
+    eigsh/svds/norm calls on the same operand."""
+
+    def lanczos(v0, m, defl):
+        d = 0 if defl is None else defl.shape[0]
+        if d > d_cap:  # pragma: no cover - capacity overflow, rare
+            return _lanczos(mv, v0, m, defl)
+        defl_p = jnp.zeros((d_cap, n), dtype)
+        if d:
+            defl_p = defl_p.at[:d].set(defl)
+
+        def build():
+            return jax.jit(lambda v0, dp: _lanczos(mv, v0, m, dp))
+
+        run = _solver_program(A, ("lanczos", tag, n, m, d_cap, str(dtype)), build)
+        return run(v0, defl_p)
+
+    return lanczos
+
+
+def _eigsh_mv(mv, n, k, *, which="LM", m, key, dtype, v0=None, tol=None, lanczos=None):
     """Restarted-deflated Lanczos core shared by :func:`eigsh`,
     :func:`svds`, and the spectral :func:`norm`.
 
@@ -566,7 +590,10 @@ def _eigsh_mv(mv, n, k, *, which="LM", m, key, dtype, v0=None, tol=None):
             key, sub = jax.random.split(key)
             v0 = jax.random.normal(sub, (n,), dtype=dtype)
         defl = jnp.asarray(np.stack(found_vecs)) if found_vecs else None
-        V, alpha, beta = _lanczos(mv, jnp.asarray(v0), m, defl=defl)
+        if lanczos is not None:
+            V, alpha, beta = lanczos(jnp.asarray(v0), m, defl)
+        else:
+            V, alpha, beta = _lanczos(mv, jnp.asarray(v0), m, defl=defl)
         T = jnp.diag(alpha) + jnp.diag(beta[:-1], 1) + jnp.diag(beta[:-1], -1)
         theta, S = jnp.linalg.eigh(T)
         live_mask = np.asarray(jnp.linalg.norm(V, axis=1) > 0.5)
@@ -784,7 +811,8 @@ def eigsh(A, k=6, *, which="LM", v0=None, ncv=None, key=None, tol=None, sigma=No
         order = np.argsort(w)
         return jnp.asarray(w[order], dtype=dt), jnp.asarray(vecs[:, order], dtype=dt)
     mv = _as_matvec(A)
-    return _eigsh_mv(mv, n, k, which=which, m=m, key=key, dtype=dt, v0=v0, tol=tol)
+    lanczos = None if _under_trace() else _make_cached_lanczos(A, mv, n, dt, k + 8)
+    return _eigsh_mv(mv, n, k, which=which, m=m, key=key, dtype=dt, v0=v0, tol=tol, lanczos=lanczos)
 
 
 def svds(A, k=6, *, ncv=None, key=None, tol=None):
@@ -808,8 +836,10 @@ def svds(A, k=6, *, ncv=None, key=None, tol=None):
     n_cols = A.shape[1]
     dt = jnp.asarray(A.data).dtype
     m = min(n_cols, max(4 * k, 40)) if ncv is None else min(max(ncv, k + 1), n_cols)
+    gram = lambda v: mvt(mv(v))
+    lanczos = None if _under_trace() else _make_cached_lanczos(A, gram, n_cols, dt, k + 8, tag="svds-gram")
     vals, V = _eigsh_mv(
-        lambda v: mvt(mv(v)), n_cols, k, which="LA", m=m, key=jax.random.PRNGKey(0), dtype=dt, tol=tol
+        gram, n_cols, k, which="LA", m=m, key=jax.random.PRNGKey(0), dtype=dt, tol=tol, lanczos=lanczos
     )
     s = jnp.sqrt(jnp.clip(vals, 0))
     AV = jnp.stack([mv(V[:, i]) for i in range(k)], axis=1)
