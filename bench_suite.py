@@ -196,10 +196,12 @@ def main():
             shape=(n_l, n_l),
         )
         b_l = jnp.asarray(rng.standard_normal(n_l).astype(np.float32))
+        # eager call first: builds + caches the DIA layout and the memoized
+        # solve program, which the traced device_bench loop then reuses
+        _, _, it = linalg.cg(lap, b_l, tol=1e-5, maxiter=600, return_iters=True)
         dt = device_bench(
             lambda bb: linalg.cg(lap, bb, tol=1e-5, maxiter=600)[0], (b_l,), iters=3
         )
-        _, _, it = linalg.cg(lap, b_l, tol=1e-5, maxiter=600, return_iters=True)
         n_it = max(int(it), 1)
         rows_out.append(
             (

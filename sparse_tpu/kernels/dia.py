@@ -58,7 +58,9 @@ def build_dia(rows, cols, data, n, max_bands=_MAX_BANDS, max_fill=_MAX_FILL_RATI
     bands = np.zeros((offsets.size, n), dtype=data.dtype)
     band_idx = np.searchsorted(offsets, diffs)
     bands[band_idx, rows] = data
-    return DiaMatrix(tuple(int(o) for o in offsets), jnp.asarray(bands), (n, n))
+    # host numpy bands: building (and caching) the layout is then safe even
+    # under an outer jit trace — jnp ops consume numpy operands directly
+    return DiaMatrix(tuple(int(o) for o in offsets), bands, (n, n))
 
 
 def dia_spmv(offsets, bands, x):

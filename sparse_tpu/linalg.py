@@ -182,23 +182,24 @@ def _as_matvec(A):
     if isinstance(A, LinearOperator):
         return A.matvec
     if isinstance(A, SparseArray):
-        # a concrete 2-D zero-fill COO upgrades to the block-ELL one-hot-MXU
-        # SpMV — ~3x over the segment-scatter form per iteration on TPU
-        # (5-pt Laplacian 256^2: 1.24 vs 3.86 ms); tracer pytrees or calls
-        # under an outer trace (cg inside jit/scan — building the layout
-        # there would stage it and leak tracers into the COO's cache) keep
-        # the general kernel
+        # a concrete 2-D zero-fill COO upgrades to the DIA shift kernel
+        # (banded) or the block-ELL one-hot-MXU SpMV. The guard is on the
+        # BUFFERS being concrete numpy (not tracers): layouts built from
+        # concrete arrays are constants even under an outer jit/scan trace
+        # (solvers inside jit still get the fast matvec); tracer pytrees
+        # keep the general kernel
         if (
             isinstance(A, COO)
             and A.ndim == 2
-            and not _under_trace()
             and isinstance(A.data, np.ndarray)
+            and isinstance(A.coords, np.ndarray)
             and isinstance(np.asarray(A.fill_value)[()], (int, float, np.floating, np.integer))
             and np.asarray(A.fill_value)[()] == 0
         ):
             # banded matrices (grid Laplacians, stencils) upgrade further to
             # the DIA shift kernel: no gathers at all, ~40x over block-ELL
-            # per iteration on a 5-pt 256^2 Laplacian
+            # per iteration on a 5-pt 256^2 Laplacian. build_dia is pure
+            # host numpy, so building/caching it is safe under a trace.
             if A.shape[0] == A.shape[1]:
                 try:
                     dia = A.to_dia()
@@ -208,10 +209,18 @@ def _as_matvec(A):
                     from .kernels import dia_spmv
 
                     return lambda v: dia_spmv(dia.offsets, dia.bands, v)
-            try:
-                ell = A.to_block_ell()
-            except Exception:
-                return functools.partial(jitops.spmv, A)
+            # block-ELL construction stages jnp ops — building it under an
+            # outer trace would cache tracers; reuse only a PRE-BUILT layout
+            # there, else keep the general kernel
+            if _under_trace():
+                ell = _peek_cached(A, "block_ell", 128)
+                if ell is None:
+                    return functools.partial(jitops.spmv, A)
+            else:
+                try:
+                    ell = A.to_block_ell()
+                except Exception:
+                    return functools.partial(jitops.spmv, A)
             from .kernels import ell_spmv
 
             n_rows = A.shape[0]
@@ -220,6 +229,17 @@ def _as_matvec(A):
     if callable(A):
         return A
     raise TypeError(f"expected a sparse array or a matvec callable, got {type(A)}")
+
+
+def _peek_cached(A, op, key):
+    """Read an existing layout memo without computing (trace-safe)."""
+    cache = getattr(A, "_cache", None)
+    if not cache or op not in cache:
+        return None
+    for k, v in cache[op]:
+        if k == key:
+            return v
+    return None
 
 
 def _solver_program(A, key, build):
@@ -1013,36 +1033,46 @@ def expm_multiply(A, b, *, t=1.0, m=30):
     may be a sparse pytree or a matvec callable (pass ``n`` implicitly via
     ``b``).
     """
-    mv = _as_matvec(A)
     b = jnp.asarray(b)
     n = b.shape[0]
     m = min(m, n)
-    beta = jnp.linalg.norm(b)
-    eps = jnp.finfo(b.dtype).eps
-    v0 = b / jnp.where(beta > 0, beta, 1.0)
-    V0 = jnp.zeros((m + 1, n), b.dtype).at[0].set(v0)
-    H0 = jnp.zeros((m + 1, m), b.dtype)
 
-    def step(j, state):
-        V, H = state
-        w = mv(V[j])
-        # CGS2 at HIGHEST precision (see gmres): keeps the basis orthonormal
-        mask = (jnp.arange(m + 1) <= j).astype(b.dtype)
-        h = jnp.dot(V, w, precision=_HI) * mask
-        w = w - jnp.dot(h, V, precision=_HI)
-        h2 = jnp.dot(V, w, precision=_HI) * mask
-        w = w - jnp.dot(h2, V, precision=_HI)
-        h = h + h2
-        hnext = jnp.linalg.norm(w)
-        w = w / jnp.where(hnext > eps, hnext, 1.0)
-        V = V.at[j + 1].set(jnp.where(hnext > eps, w, jnp.zeros_like(w)))
-        H = H.at[:, j].set(h).at[j + 1, j].set(hnext)
-        return V, H
+    def build():
+        mv = _as_matvec(A)
 
-    V, H = lax.fori_loop(0, m, step, (V0, H0))
-    # small dense exponential (Pade + scaling-squaring on device)
-    eHt = jax.scipy.linalg.expm(t * H[:m, :m])
-    return beta * jnp.dot(eHt[:, 0], V[:m], precision=_HI)
+        @jax.jit
+        def run(b, t):
+            beta = jnp.linalg.norm(b)
+            eps = jnp.finfo(b.dtype).eps
+            v0 = b / jnp.where(beta > 0, beta, 1.0)
+            V0 = jnp.zeros((m + 1, n), b.dtype).at[0].set(v0)
+            H0 = jnp.zeros((m + 1, m), b.dtype)
+
+            def step(j, state):
+                V, H = state
+                w = mv(V[j])
+                # CGS2 at HIGHEST precision (see gmres): keeps the basis orthonormal
+                mask = (jnp.arange(m + 1) <= j).astype(b.dtype)
+                h = jnp.dot(V, w, precision=_HI) * mask
+                w = w - jnp.dot(h, V, precision=_HI)
+                h2 = jnp.dot(V, w, precision=_HI) * mask
+                w = w - jnp.dot(h2, V, precision=_HI)
+                h = h + h2
+                hnext = jnp.linalg.norm(w)
+                w = w / jnp.where(hnext > eps, hnext, 1.0)
+                V = V.at[j + 1].set(jnp.where(hnext > eps, w, jnp.zeros_like(w)))
+                H = H.at[:, j].set(h).at[j + 1, j].set(hnext)
+                return V, H
+
+            V, H = lax.fori_loop(0, m, step, (V0, H0))
+            # small dense exponential (Pade + scaling-squaring on device)
+            eHt = jax.scipy.linalg.expm(t * H[:m, :m])
+            return beta * jnp.dot(eHt[:, 0], V[:m], precision=_HI)
+
+        return run
+
+    run = _solver_program(A, ("expm_multiply", b.shape, b.dtype.name, m), build)
+    return run(b, jnp.asarray(t, b.dtype))
 
 
 def norm(A, ord="fro", axis=None):
