@@ -25,6 +25,7 @@ from . import jitops
 __all__ = [
     "LinearOperator",
     "aslinearoperator",
+    "bicg",
     "bicgstab",
     "cg",
     "cgs",
@@ -35,6 +36,7 @@ __all__ = [
     "factorized",
     "gmres",
     "inv",
+    "lgmres",
     "lobpcg",
     "lsmr",
     "lsqr",
@@ -1707,6 +1709,152 @@ def eigs(A, k=6, *, which="LM", ncv=None, maxiter=None, tol=None, v0=None, key=N
     X = V_host.T @ X_small
     X = X / np.linalg.norm(X, axis=0, keepdims=True)
     return w_sel, X
+
+
+def bicg(A, b, x0=None, *, tol=1e-8, atol=0.0, maxiter=None):
+    """BiConjugate Gradient for general ``A``; scipy-style ``(x, info)``.
+
+    The classic two-sided method: one ``A`` and one ``Aᵀ`` matvec per
+    iteration, with the shadow residual driven by ``Aᵀ``. Prefer
+    :func:`bicgstab` (smoother) or :func:`qmr` (quasi-minimized) unless
+    matching scipy's ``bicg`` behavior matters. One jitted device program
+    memoized on ``A``.
+    """
+    b = jnp.asarray(b)
+    if maxiter is None:
+        maxiter = 10 * b.shape[0]
+
+    def build():
+        mv, rmv, _ = _as_matvec_pair(A)
+
+        @jax.jit
+        def run(b, x, tol, atol, maxiter):
+            r = b - mv(x)
+            rt = r
+            p = r
+            pt = rt
+            rho = _vdot(rt, r)
+            target = jnp.maximum(tol * jnp.linalg.norm(b), atol)
+
+            def cond(state):
+                *_, rnorm, it = state
+                return (rnorm > target) & (it < maxiter)
+
+            def body(state):
+                x, r, rt, p, pt, rho, _, it = state
+                q = mv(p)
+                qt = rmv(pt)
+                denom = _vdot(pt, q)
+                alpha = rho / jnp.where(denom != 0, denom, 1.0)
+                x = x + alpha * p
+                r = r - alpha * q
+                rt = rt - alpha * qt
+                rho_new = _vdot(rt, r)
+                beta = rho_new / jnp.where(rho != 0, rho, 1.0)
+                p = r + beta * p
+                pt = rt + beta * pt
+                return x, r, rt, p, pt, rho_new, jnp.linalg.norm(r), it + 1
+
+            x, r, *_, rnorm, it = lax.while_loop(
+                cond, body, (x, r, rt, p, pt, rho, jnp.linalg.norm(r), 0)
+            )
+            return x, jnp.where(rnorm <= target, 0, it)
+
+        return run
+
+    run = _solver_program(A, ("bicg", b.shape, b.dtype.name), build)
+    x = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0)
+    return run(b, x, jnp.asarray(tol, b.dtype), jnp.asarray(atol, b.dtype), maxiter)
+
+
+def lgmres(A, b, x0=None, *, tol=1e-8, atol=0.0, inner_m=30, outer_k=3, maxiter=1000, M=None):
+    """LGMRES-family solver: restarted GMRES whose subspace is augmented
+    with the last ``outer_k`` outer-iteration corrections (Baker, Jessup &
+    Manteuffel '05 — the idea behind scipy's ``lgmres``), which breaks the
+    restart-cycling that stalls plain GMRES(m).
+
+    TPU-shaped formulation: each outer step materializes the direction
+    block ``W = [Krylov_m(r) ; Z]`` (``Z`` = stored corrections,
+    zero-padded to a static ``outer_k`` rows), applies ``A`` to all rows,
+    and solves the (n × (m+k)) least-squares by QR — static shapes, one
+    device program per operand, memoized. ``maxiter`` counts outer cycles.
+
+    Returns scipy-style ``(x, info)``.
+    """
+    b = jnp.asarray(b)
+    n = b.shape[0]
+    m = min(inner_m, n)
+    k = min(outer_k, n)
+    m_diag = None if (M is None or callable(M)) else jnp.asarray(M)
+
+    def build():
+        mv = _as_matvec(A)
+        if M is None:
+            psolve = lambda v, md: v
+        elif callable(M):
+            psolve = lambda v, md: M(v)
+        else:
+            psolve = lambda v, md: v / md
+
+        @jax.jit
+        def run(b, x, md, tol, atol, maxiter):
+            dt = b.dtype
+            eps = jnp.finfo(dt).eps
+            target = jnp.maximum(tol * jnp.linalg.norm(b), atol)
+
+            def cycle(x, r, Z):
+                beta = jnp.linalg.norm(r)
+                v0 = r / jnp.where(beta > 0, beta, 1.0)
+                V0 = jnp.zeros((m, n), dt).at[0].set(v0)
+
+                def arn(j, V):
+                    w = mv(psolve(V[j], md))
+                    mask = (jnp.arange(m) <= j).astype(dt)
+                    w = w - jnp.dot(jnp.dot(V, w, precision=_HI) * mask, V, precision=_HI)
+                    w = w - jnp.dot(jnp.dot(V, w, precision=_HI) * mask, V, precision=_HI)
+                    nw = jnp.linalg.norm(w)
+                    w = jnp.where(nw > eps, w / jnp.where(nw > 0, nw, 1.0), jnp.zeros_like(w))
+                    return lax.cond(j + 1 < m, lambda V: V.at[j + 1].set(w), lambda V: V, V)
+
+                V = lax.fori_loop(0, m - 1, arn, V0)
+                W = jnp.concatenate([V, Z], axis=0)  # (m+k, n) directions
+                C = lax.map(lambda w: mv(psolve(w, md)), W)  # A @ each direction
+                # least squares min_y ||r - C^T y|| via QR (+ ridge on dead
+                # columns: zero-padded Z rows and happy-breakdown vectors)
+                Q, R = jnp.linalg.qr(C.T)
+                rdiag = jnp.abs(jnp.diagonal(R))
+                ridge = jnp.where(rdiag > eps * jnp.maximum(jnp.max(rdiag), 1.0), 0.0, 1.0)
+                y = jax.scipy.linalg.solve_triangular(
+                    R + jnp.diag(ridge), jnp.dot(Q.T, r, precision=_HI), lower=False
+                )
+                dx = psolve(jnp.dot(y, W, precision=_HI), md)
+                ndx = jnp.linalg.norm(dx)
+                z = dx / jnp.where(ndx > eps, ndx, 1.0)
+                Z = jnp.roll(Z, shift=1, axis=0).at[0].set(jnp.where(ndx > eps, z, jnp.zeros_like(z)))
+                return x + dx, Z
+
+            def cond(state):
+                *_, rnorm, it = state
+                return (rnorm > target) & (it < maxiter)
+
+            def body(state):
+                x, r, Z, _, it = state
+                x, Z = cycle(x, r, Z)
+                r = b - mv(x)
+                return x, r, Z, jnp.linalg.norm(r), it + 1
+
+            r0 = b - mv(x)
+            Z0 = jnp.zeros((k, n), dt)
+            x, r, _, rnorm, it = lax.while_loop(cond, body, (x, r0, Z0, jnp.linalg.norm(r0), 0))
+            return x, jnp.where(rnorm <= target, 0, it)
+
+        return run
+
+    key = ("lgmres", b.shape, b.dtype.name, m, k, M is None)
+    run = build() if callable(M) else _solver_program(A, key, build)
+    x = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0)
+    md = m_diag if m_diag is not None else jnp.ones((1,), b.dtype)
+    return run(b, x, md, jnp.asarray(tol, b.dtype), jnp.asarray(atol, b.dtype), maxiter)
 
 
 def qmr(A, b, x0=None, *, tol=1e-8, atol=0.0, maxiter=None):

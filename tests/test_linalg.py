@@ -735,3 +735,55 @@ def test_qmr_spd(spd):
     x, info = linalg.qmr(A, b, tol=1e-10)
     assert int(info) == 0
     np.testing.assert_allclose(np.asarray(x), np.linalg.solve(dense, b), rtol=1e-6)
+
+
+def test_bicg_nonsymmetric():
+    rng = np.random.default_rng(21)
+    n = 60
+    M = rng.standard_normal((n, n)) * (rng.random((n, n)) < 0.15)
+    dense = M + n * np.eye(n)
+    A = sparse.COO.from_numpy(dense)
+    b = rng.standard_normal(n)
+    x, info = linalg.bicg(A, b, tol=1e-10)
+    assert int(info) == 0
+    np.testing.assert_allclose(np.asarray(x), np.linalg.solve(dense, b), rtol=1e-6)
+    x_sp, info_sp = spla.bicg(dense, b, rtol=1e-10)
+    assert info_sp == 0
+    np.testing.assert_allclose(np.asarray(x), x_sp, rtol=1e-5)
+
+
+@pytest.mark.parametrize("kw", [{}, {"inner_m": 8, "outer_k": 2}])
+def test_lgmres_nonsymmetric(kw):
+    rng = np.random.default_rng(22)
+    n = 60
+    M = rng.standard_normal((n, n)) * (rng.random((n, n)) < 0.15)
+    dense = M + n * np.eye(n)
+    A = sparse.COO.from_numpy(dense)
+    b = rng.standard_normal(n)
+    x, info = linalg.lgmres(A, b, tol=1e-10, **kw)
+    assert int(info) == 0
+    np.testing.assert_allclose(np.asarray(x), np.linalg.solve(dense, b), rtol=1e-6)
+    x_sp, info_sp = spla.lgmres(dense, b, rtol=1e-10)
+    assert info_sp == 0
+    np.testing.assert_allclose(np.asarray(x), x_sp, rtol=1e-5)
+
+
+def test_lgmres_jacobi_preconditioner(spd):
+    A, dense = spd
+    b = np.ones(dense.shape[0])
+    x, info = linalg.lgmres(A, b, M=np.diag(dense), tol=1e-10)
+    assert int(info) == 0
+    np.testing.assert_allclose(np.asarray(x), np.linalg.solve(dense, b), rtol=1e-6)
+
+
+def test_lgmres_augmentation_beats_plain_restart():
+    # a matrix engineered to cycle plain GMRES(m) at small m: the augmented
+    # corrections must still converge within the outer budget
+    rng = np.random.default_rng(23)
+    n = 80
+    S = np.eye(n) + 0.6 * np.triu(rng.standard_normal((n, n)) * (rng.random((n, n)) < 0.12), 1)
+    A = sparse.COO.from_numpy(S)
+    b = rng.standard_normal(n)
+    x, info = linalg.lgmres(A, b, inner_m=6, outer_k=3, tol=1e-10, maxiter=200)
+    assert int(info) == 0
+    np.testing.assert_allclose(S @ np.asarray(x), b, atol=1e-7)
