@@ -34,6 +34,7 @@ __all__ = [
     "expm",
     "expm_multiply",
     "factorized",
+    "gcrotmk",
     "gmres",
     "inv",
     "lgmres",
@@ -1851,6 +1852,119 @@ def lgmres(A, b, x0=None, *, tol=1e-8, atol=0.0, inner_m=30, outer_k=3, maxiter=
         return run
 
     key = ("lgmres", b.shape, b.dtype.name, m, k, M is None)
+    run = build() if callable(M) else _solver_program(A, key, build)
+    x = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0)
+    md = m_diag if m_diag is not None else jnp.ones((1,), b.dtype)
+    return run(b, x, md, jnp.asarray(tol, b.dtype), jnp.asarray(atol, b.dtype), maxiter)
+
+
+def gcrotmk(A, b, x0=None, *, tol=1e-8, atol=0.0, m=20, k=None, maxiter=1000, M=None):
+    """GCROT(m,k) (Hicken & Zingg / de Sturler; scipy's ``gcrotmk``):
+    restarted GMRES with an explicitly maintained recycled subspace
+    ``(U, C)``, ``C = A U`` orthonormal, that persists across restarts.
+
+    Each outer cycle first removes the recycled components from the
+    residual (``x += U Cᵀ r; r -= C Cᵀ r``), runs an ``m``-step Arnoldi
+    least-squares on what remains (orthogonal to ``C``), then inserts the
+    new correction into the recycle buffer (oldest-out). Static shapes
+    throughout: ``U``/``C`` are fixed ``(k, n)`` zero-padded buffers, so
+    the whole solve is one memoized device program. ``maxiter`` counts
+    outer cycles. Returns scipy-style ``(x, info)``.
+    """
+    b = jnp.asarray(b)
+    n = b.shape[0]
+    m = min(m, n)
+    if k is None:
+        k = m
+    k = min(k, n)
+    m_diag = None if (M is None or callable(M)) else jnp.asarray(M)
+
+    def build():
+        mv = _as_matvec(A)
+        if M is None:
+            psolve = lambda v, md: v
+        elif callable(M):
+            psolve = lambda v, md: M(v)
+        else:
+            psolve = lambda v, md: v / md
+
+        @jax.jit
+        def run(b, x, md, tol, atol, maxiter):
+            dt = b.dtype
+            eps = jnp.finfo(dt).eps
+            target = jnp.maximum(tol * jnp.linalg.norm(b), atol)
+
+            def cycle(x, r, U, C):
+                # project the recycled subspace out of the residual
+                cr = jnp.dot(C, r, precision=_HI)
+                x = x + jnp.dot(cr, U, precision=_HI)
+                r = r - jnp.dot(cr, C, precision=_HI)
+
+                beta = jnp.linalg.norm(r)
+                v0 = r / jnp.where(beta > 0, beta, 1.0)
+                V0 = jnp.zeros((m, n), dt).at[0].set(v0)
+
+                def arn(j, V):
+                    w = mv(psolve(V[j], md))
+                    # orthogonalize against C (recycle) and V (CGS2)
+                    w = w - jnp.dot(jnp.dot(C, w, precision=_HI), C, precision=_HI)
+                    mask = (jnp.arange(m) <= j).astype(dt)
+                    w = w - jnp.dot(jnp.dot(V, w, precision=_HI) * mask, V, precision=_HI)
+                    w = w - jnp.dot(jnp.dot(V, w, precision=_HI) * mask, V, precision=_HI)
+                    nw = jnp.linalg.norm(w)
+                    w = jnp.where(nw > eps, w / jnp.where(nw > 0, nw, 1.0), jnp.zeros_like(w))
+                    return lax.cond(j + 1 < m, lambda V: V.at[j + 1].set(w), lambda V: V, V)
+
+                V = lax.fori_loop(0, m - 1, arn, V0)
+                AV = lax.map(lambda w: mv(psolve(w, md)), V)
+                # AV's C-components were removed from the BASIS, not from
+                # A's action: project them out of the target space too
+                AVp = AV - jnp.dot(jnp.dot(AV, C.T, precision=_HI), C, precision=_HI)
+                Q, R = jnp.linalg.qr(AVp.T)
+                rdiag = jnp.abs(jnp.diagonal(R))
+                ridge = jnp.where(rdiag > eps * jnp.maximum(jnp.max(rdiag), 1.0), 0.0, 1.0)
+                y = jax.scipy.linalg.solve_triangular(
+                    R + jnp.diag(ridge), jnp.dot(Q.T, r, precision=_HI), lower=False
+                )
+                du = psolve(jnp.dot(y, V, precision=_HI), md)
+                # A du still has components along C (only the BASIS was
+                # C-orthogonalized, not A's action); cancel them by moving
+                # along U (A U == C), leaving A du_total C-free — which is
+                # exactly the new recycle direction c_new
+                adu = jnp.dot(y, AV, precision=_HI)
+                cu = jnp.dot(C, adu, precision=_HI)
+                du = du - jnp.dot(cu, U, precision=_HI)
+                c_new = adu - jnp.dot(cu, C, precision=_HI)
+                nc = jnp.linalg.norm(c_new)
+                u_new = du / jnp.where(nc > eps, nc, 1.0)
+                c_new = c_new / jnp.where(nc > eps, nc, 1.0)
+                x = x + du
+                # oldest-out insertion
+                U = jnp.roll(U, 1, axis=0).at[0].set(jnp.where(nc > eps, u_new, jnp.zeros_like(u_new)))
+                C = jnp.roll(C, 1, axis=0).at[0].set(jnp.where(nc > eps, c_new, jnp.zeros_like(c_new)))
+                return x, U, C
+
+            def cond(state):
+                *_, rnorm, it = state
+                return (rnorm > target) & (it < maxiter)
+
+            def body(state):
+                x, r, U, C, _, it = state
+                x, U, C = cycle(x, r, U, C)
+                r = b - mv(x)
+                return x, r, U, C, jnp.linalg.norm(r), it + 1
+
+            r0 = b - mv(x)
+            U0 = jnp.zeros((k, n), dt)
+            C0 = jnp.zeros((k, n), dt)
+            x, r, _, _, rnorm, it = lax.while_loop(
+                cond, body, (x, r0, U0, C0, jnp.linalg.norm(r0), 0)
+            )
+            return x, jnp.where(rnorm <= target, 0, it)
+
+        return run
+
+    key = ("gcrotmk", b.shape, b.dtype.name, m, k, M is None)
     run = build() if callable(M) else _solver_program(A, key, build)
     x = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0)
     md = m_diag if m_diag is not None else jnp.ones((1,), b.dtype)

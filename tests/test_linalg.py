@@ -787,3 +787,30 @@ def test_lgmres_augmentation_beats_plain_restart():
     x, info = linalg.lgmres(A, b, inner_m=6, outer_k=3, tol=1e-10, maxiter=200)
     assert int(info) == 0
     np.testing.assert_allclose(S @ np.asarray(x), b, atol=1e-7)
+
+
+@pytest.mark.parametrize("kw", [{}, {"m": 8, "k": 4}])
+def test_gcrotmk_nonsymmetric(kw):
+    rng = np.random.default_rng(24)
+    n = 60
+    M = rng.standard_normal((n, n)) * (rng.random((n, n)) < 0.15)
+    dense = M + n * np.eye(n)
+    A = sparse.COO.from_numpy(dense)
+    b = rng.standard_normal(n)
+    x, info = linalg.gcrotmk(A, b, tol=1e-10, **kw)
+    assert int(info) == 0
+    np.testing.assert_allclose(np.asarray(x), np.linalg.solve(dense, b), rtol=1e-6)
+    x_sp, info_sp = spla.gcrotmk(dense, b, rtol=1e-10)
+    assert info_sp == 0
+    np.testing.assert_allclose(np.asarray(x), x_sp, rtol=1e-5)
+
+
+def test_gcrotmk_recycling_small_m():
+    rng = np.random.default_rng(25)
+    n = 80
+    S = np.eye(n) + 0.6 * np.triu(rng.standard_normal((n, n)) * (rng.random((n, n)) < 0.12), 1)
+    A = sparse.COO.from_numpy(S)
+    b = rng.standard_normal(n)
+    x, info = linalg.gcrotmk(A, b, m=6, k=6, tol=1e-10, maxiter=300)
+    assert int(info) == 0
+    np.testing.assert_allclose(S @ np.asarray(x), b, atol=1e-7)
