@@ -192,6 +192,15 @@ def main():
     xl, infol = linalg.lsmr(Asolve, jnp.asarray(bvec), tol=1e-5)
     resl = np.asarray(sparse_residual(Asolve, xl, bvec))
     ok &= check("linalg.lsmr f32 solve", np.array([1.0 + float(infol), 1.0 + resl]), np.array([1.0, 1.0]), tol=2e-3)
+    xb, infob = linalg.bicg(Asolve, jnp.asarray(bvec), tol=1e-5)
+    resb = np.asarray(sparse_residual(Asolve, xb, bvec))
+    ok &= check("linalg.bicg f32 solve", np.array([1.0 + float(infob), 1.0 + resb]), np.array([1.0, 1.0]), tol=2e-4)
+    xlg, infolg = linalg.lgmres(Asolve, jnp.asarray(bvec), tol=1e-4, inner_m=20, outer_k=3)
+    reslg = np.asarray(sparse_residual(Asolve, xlg, bvec))
+    ok &= check("linalg.lgmres f32 solve", np.array([1.0 + float(infolg), 1.0 + reslg]), np.array([1.0, 1.0]), tol=2e-3)
+    xgc, infogc = linalg.gcrotmk(Asolve, jnp.asarray(bvec), tol=1e-4, m=20, k=10)
+    resgc = np.asarray(sparse_residual(Asolve, xgc, bvec))
+    ok &= check("linalg.gcrotmk f32 solve", np.array([1.0 + float(infogc), 1.0 + resgc]), np.array([1.0, 1.0]), tol=2e-3)
 
     print("ALL OK" if ok else "FAILURES PRESENT")
     sys.exit(0 if ok else 1)

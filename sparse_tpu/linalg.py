@@ -1684,7 +1684,12 @@ def eigs(A, k=6, *, which="LM", ncv=None, maxiter=None, tol=None, v0=None, key=N
     if tol is None:
         tol = 1e-6 if jnp.finfo(dt).bits >= 64 else 1e-4
 
-    arnoldi = jax.jit(functools.partial(_arnoldi, mv), static_argnums=1)
+    # memoized on A: a fresh jit closure would re-trace the Arnoldi
+    # fori-program on every eigs() call (restarts within a call already
+    # shared it)
+    arnoldi = _solver_program(
+        A, ("arnoldi", n, dt.name), lambda: jax.jit(functools.partial(_arnoldi, mv), static_argnums=1)
+    )
     w_sel = X_small = None
     V_host = None
     for _ in range(maxiter):
