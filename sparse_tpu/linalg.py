@@ -228,6 +228,28 @@ def _as_matvec(A):
 
             n_rows = A.shape[0]
             return lambda v: ell_spmv(ell.e_rows, ell.e_cols, ell.e_data, v, n_rows=n_rows)
+        # GCXS operands: banded square matrices get the DIA upgrade too
+        # (host-pure conversion, memoized on the GCXS instance)
+        from .core.gcxs import GCXS
+
+        if (
+            isinstance(A, GCXS)
+            and A.ndim == 2
+            and A.shape[0] == A.shape[1]
+            and isinstance(A.data, np.ndarray)
+            and isinstance(np.asarray(A.fill_value)[()], (int, float, np.floating, np.integer))
+            and np.asarray(A.fill_value)[()] == 0
+        ):
+            try:
+                if getattr(A, "_cache", None) is None:
+                    A.enable_caching()
+                dia = A._cached("dia", (64, 8.0), lambda: A.tocoo().to_dia())
+            except Exception:
+                dia = None
+            if dia is not None:
+                from .kernels import dia_spmv
+
+                return lambda v: dia_spmv(dia.offsets, dia.bands, v)
         return functools.partial(jitops.spmv, A)
     if callable(A):
         return A

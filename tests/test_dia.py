@@ -86,3 +86,19 @@ def test_cg_uses_dia_on_laplacian():
     x2, info2 = linalg.bicgstab(L, b, tol=1e-10)
     assert info2 == 0
     np.testing.assert_allclose(lap @ np.asarray(x2), b, atol=1e-5)
+
+
+def test_gcxs_operand_gets_dia_matvec():
+    rng = np.random.default_rng(5)
+    dense = _banded_dense(80, (-1, 0, 1), rng)
+    dense = (dense + dense.T) / 2 + 4 * np.eye(80)  # SPD for CG
+    G = sparse.COO.from_numpy(dense).asformat("csr")
+    b = rng.standard_normal(80)
+    x, info = linalg.cg(G, b, tol=1e-10)
+    assert int(info) == 0
+    np.testing.assert_allclose(dense @ np.asarray(x), b, atol=1e-6)
+    # the DIA layout is memoized on the GCXS instance
+    from sparse_tpu.linalg import _as_matvec
+
+    mv = _as_matvec(G)
+    assert G._cached("dia", (64, 8.0), lambda: None) is not None
