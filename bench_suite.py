@@ -213,20 +213,34 @@ def main():
 
     # 6b. csgraph: multi-source Bellman-Ford to convergence on device
     # (per-destination ELL relaxation — 1.6x the scatter segment-min form)
-    from sparse_tpu.csgraph import _bellman_ford_device_ell, _build_dest_ell
+    from sparse_tpu.csgraph import (
+        _bellman_ford_device_ell,
+        _bellman_ford_device_ell_tail,
+        _build_dest_ell,
+    )
 
     n_g, e_g, k_src = 1 << 17, 1 << 20, 8
     g_rows = rng.integers(0, n_g, e_g)
     g_cols = rng.integers(0, n_g, e_g)
     g_w = rng.random(e_g) + 0.05
-    e_src, e_w = _build_dest_ell(g_rows, g_cols, g_w, n_g, np.int32, np.float32)
+    e_src, e_w, tail = _build_dest_ell(g_rows, g_cols, g_w, n_g, np.int32, np.float32)
     d0 = np.full((k_src, n_g), np.inf, np.float32)
     d0[np.arange(k_src), np.arange(k_src)] = 0.0
-    dt = device_bench(
-        lambda es, dd0, ew: _bellman_ford_device_ell(es, ew, dd0, maxiter=64)[0],
-        (jnp.asarray(e_src), jnp.asarray(d0), jnp.asarray(e_w)),
-        iters=10,
-    )
+    if tail is not None:
+        t_src, t_w, t_mask = (jnp.asarray(t) for t in tail)
+        dt = device_bench(
+            lambda es, dd0, ew: _bellman_ford_device_ell_tail(
+                es, ew, t_src, t_w, t_mask, dd0, maxiter=64
+            )[0],
+            (jnp.asarray(e_src), jnp.asarray(d0), jnp.asarray(e_w)),
+            iters=10,
+        )
+    else:
+        dt = device_bench(
+            lambda es, dd0, ew: _bellman_ford_device_ell(es, ew, dd0, maxiter=64)[0],
+            (jnp.asarray(e_src), jnp.asarray(d0), jnp.asarray(e_w)),
+            iters=10,
+        )
     rows_out.append(
         (
             "Bellman-Ford 131k nodes 1M edges 8 sources (to fixpoint)",
