@@ -223,14 +223,20 @@ def main():
     g_rows = rng.integers(0, n_g, e_g)
     g_cols = rng.integers(0, n_g, e_g)
     g_w = rng.random(e_g) + 0.05
-    e_src, e_w, tail = _build_dest_ell(g_rows, g_cols, g_w, n_g, np.int32, np.float32)
+    e_src, e_w, tail, perm = _build_dest_ell(g_rows, g_cols, g_w, n_g, np.int32, np.float32)
     d0 = np.full((k_src, n_g), np.inf, np.float32)
-    d0[np.arange(k_src), np.arange(k_src)] = 0.0
+    srcs = np.arange(k_src)
+    if perm is not None:
+        inv = np.empty(n_g, np.int64)
+        inv[perm] = np.arange(n_g)
+        d0[np.arange(k_src), inv[srcs]] = 0.0
+    else:
+        d0[np.arange(k_src), srcs] = 0.0
     if tail is not None:
-        t_src, t_w, t_mask = (jnp.asarray(t) for t in tail)
+        t_src, t_w = (jnp.asarray(t) for t in tail)
         dt = device_bench(
             lambda es, dd0, ew: _bellman_ford_device_ell_tail(
-                es, ew, t_src, t_w, t_mask, dd0, maxiter=64
+                es, ew, t_src, t_w, dd0, maxiter=64
             )[0],
             (jnp.asarray(e_src), jnp.asarray(d0), jnp.asarray(e_w)),
             iters=10,

@@ -154,31 +154,51 @@ def _build_dest_ell(rows, cols, w, n, idt, fdt, *, width_cap=256):
     the ELL form measured ~40x faster on the bench graph).
 
     The relaxation gather is issue-rate bound on the padded SLOT count, so
-    the width is clamped to the smallest ``L0`` whose overflow ("tail")
-    edges are <1% of the graph; the few tail edges relax through a
-    segment-min scatter instead (serialized, but tiny). On the 1M-edge
-    bench graph this cuts slots 3.7M -> 1.6M (12.6 -> ~6 ms/round).
+    the width is clamped to the smallest useful ``L0``; overflow edges of
+    the (few) high-degree destinations live in a mini-ELL whose result
+    merges back as a CONTIGUOUS static-slice ``best.at[-d:].min(...)`` —
+    made contiguous by relabeling nodes so the high-degree destinations
+    occupy the last ``d`` ids. Anything fancier de-fuses inside
+    ``lax.while_loop`` and measured 3-6x SLOWER per round on v5e (in-loop
+    segment-min scatter, small-table row gather, (n,d,k) min-plus one-hot
+    broadcast, and a two-tier concat all failed; the slice-min merge keeps
+    the single-gather speed). 1M-edge bench graph: slots 3.0M -> 2.1M,
+    12.6 -> ~7 ms/round.
 
-    Returns ``(e_src, e_w, tail)`` with ``tail`` either ``None`` or
-    ``(t_src, t_dst, t_w)`` numpy arrays — or ``None`` when even the
-    clamped width would blow up memory (degree-skewed graphs).
+    Returns ``(e_src, e_w, tail, perm)``: ``tail`` is ``None`` or the
+    overflow mini-ELL ``(t_src, t_w)`` covering relabeled destinations
+    ``n-d .. n-1``; ``perm`` is ``None`` (identity) or the relabeling with
+    ``perm[new_id] == old_id``. Sources inside both ELLs are RELABELED ids
+    when ``perm`` is not None. Returns ``None`` when the padded width would
+    blow up memory (degree-skewed graphs beyond the tail's reach).
     """
     if rows.size == 0:
         return None
     counts = np.bincount(cols, minlength=n)
     L = int(counts.max())
     mean = rows.size / max(n, 1)
-    # smallest width whose overflow is <1% of edges (and at least 4 slots)
-    max_tail = max(rows.size // 100, 64)
+    # smallest width covering >=99% of edges (the tail handles the rest);
+    # the slot-count saving is pure gather-issue-rate win
     L0 = L
     for cand in sorted({4, 8, 12, 16, 24, 32, 48, 64, 96, 128, 192, 256}):
         if cand >= L:
             break
-        if int(np.maximum(counts - cand, 0).sum()) <= max_tail:
+        if int(np.maximum(counts - cand, 0).sum()) <= max(rows.size // 100, 64):
             L0 = cand
             break
     if L0 > max(32, 8 * mean) and L0 > width_cap:
         return None
+
+    perm = None
+    if L0 < L:
+        high = counts > L0
+        perm = np.concatenate([np.flatnonzero(~high), np.flatnonzero(high)])
+        inv = np.empty(n, dtype=np.int64)
+        inv[perm] = np.arange(n)
+        rows = inv[rows]
+        cols = inv[cols]
+        counts = counts[perm]
+
     order = np.argsort(cols, kind="stable")
     cs, rs, ws = cols[order], rows[order], w[order].astype(fdt)
     within = np.arange(rows.size) - np.concatenate([[0], np.cumsum(counts)])[:-1][cs]
@@ -189,35 +209,15 @@ def _build_dest_ell(rows, cols, w, n, idt, fdt, *, width_cap=256):
     e_w[cs[main], within[main]] = ws[main]
     tail = None
     if not main.all():
-        # overflow edges, re-packed as a mini-ELL over the (few) tail
-        # destinations; the per-round merge back into the distance table is
-        # a min-plus "one-hot": min over d of (mask0inf + t_best), a pure
-        # VPU broadcast. Measured on the 1M-edge bench graph per round:
-        # 12.6 ms unclamped, 6.9 ms clamped main alone, 7.6 ms with this
-        # merge — while an in-loop segment-min (TPU scatter serializes) or
-        # a row-aligned small-table gather both blew up to ~30 ms.
         t = ~main
-        t_dst, t_src, t_w, t_within = cs[t], rs[t], ws[t], within[t] - L0
-        dests = np.unique(t_dst)
-        d = dests.size
-        if n * d > (1 << 24):  # mask too big: keep the full width instead
-            if L > max(32, 8 * mean) and L > width_cap:
-                return None
-            e_src = np.zeros((n, L), dtype=idt)
-            e_w = np.full((n, L), np.inf, dtype=fdt)
-            e_src[cs, within] = rs
-            e_w[cs, within] = ws
-            return e_src, e_w, None
-        Lt = int((counts[dests] - L0).max())
-        ell_src = np.zeros((d, Lt), dtype=idt)
-        ell_w = np.full((d, Lt), np.inf, dtype=fdt)
-        didx = np.searchsorted(dests, t_dst)
-        ell_src[didx, t_within] = t_src
-        ell_w[didx, t_within] = t_w
-        mask0inf = np.full((n, d), np.inf, dtype=fdt)
-        mask0inf[dests, np.arange(d)] = 0.0
-        tail = (ell_src, ell_w, mask0inf)
-    return e_src, e_w, tail
+        d = int(high.sum())
+        Lt = int((counts[n - d :] - L0).max())
+        t_src = np.zeros((d, Lt), dtype=idt)
+        t_w = np.full((d, Lt), np.inf, dtype=fdt)
+        t_src[cs[t] - (n - d), within[t] - L0] = rs[t]
+        t_w[cs[t] - (n - d), within[t] - L0] = ws[t]
+        tail = (t_src, t_w)
+    return e_src, e_w, tail, perm
 
 
 @functools.partial(jax.jit, static_argnames=("maxiter",))
@@ -248,13 +248,13 @@ def _bellman_ford_device_ell(e_src, e_w, dist0, *, maxiter):
 
 
 @functools.partial(jax.jit, static_argnames=("maxiter",))
-def _bellman_ford_device_ell_tail(e_src, e_w, t_src, t_w, t_mask, dist0, *, maxiter):
-    """ELL relaxation with a high-degree overflow tail packed as a mini-ELL
-    over the tail destinations (see :func:`_build_dest_ell`): the tail's
-    per-destination minima merge back through the min-plus one-hot
-    ``min_d(t_mask + t_best)`` (``t_mask`` is 0 at (dest, i), +inf
-    elsewhere) — no scatter, no small-table gather, both of which measured
-    ~4x slower in the loop."""
+def _bellman_ford_device_ell_tail(e_src, e_w, t_src, t_w, dist0, *, maxiter):
+    """ELL relaxation with a high-degree overflow tail (see
+    :func:`_build_dest_ell`): nodes are relabeled so the tail destinations
+    are the LAST ``d`` ids, making the merge a contiguous static-slice
+    ``best.at[-d:].min`` — the only merge form that keeps the main gather
+    fused inside the while_loop on v5e."""
+    d = t_src.shape[0]
 
     def relax(dist):
         distT = dist.T
@@ -262,8 +262,8 @@ def _bellman_ford_device_ell_tail(e_src, e_w, t_src, t_w, t_mask, dist0, *, maxi
         best = jnp.min(g + e_w[:, :, None], axis=1)  # (n, k)
         tg = jnp.take(distT, t_src.reshape(-1), axis=0).reshape(*t_src.shape, -1)
         t_best = jnp.min(tg + t_w[:, :, None], axis=1)  # (d, k)
-        t_rows = jnp.min(t_mask[:, :, None] + t_best[None, :, :], axis=1)  # (n, k)
-        return jnp.minimum(dist, jnp.minimum(best, t_rows).T)
+        best = best.at[-d:].min(t_best)
+        return jnp.minimum(dist, best.T)
 
     def cond(state):
         _, changed, it = state
@@ -351,11 +351,16 @@ def _shortest_path_bf(
             ell = _build_dest_ell(rows, cols, w, n, idt, fdt)
             if ell is None:
                 return None
-            e_src, e_w, tail = ell
+            e_src, e_w, tail, perm = ell
+            inv = None
+            if perm is not None:
+                inv = np.empty(n, dtype=np.int64)
+                inv[perm] = np.arange(n)
             return (
                 jnp.asarray(e_src),
                 jnp.asarray(e_w),
                 None if tail is None else tuple(jnp.asarray(t) for t in tail),
+                inv,
             )
 
         cached = getattr(csgraph, "_cached", None)
@@ -366,16 +371,24 @@ def _shortest_path_bf(
         else:
             ell_dev = build_ell()
         if ell_dev is not None:
-            e_src, e_w, tail = ell_dev
+            e_src, e_w, tail, inv = ell_dev
+            if inv is not None:
+                # high-degree destinations were relabeled to the last ids
+                dist0_l = np.full((k, n), np.inf, dtype=fdt)
+                dist0_l[np.arange(k), inv[sources]] = 0.0
+            else:
+                dist0_l = dist0
             if tail is not None:
-                t_src, t_w, t_mask = tail
+                t_src, t_w = tail
                 dist, has_neg = _bellman_ford_device_ell_tail(
-                    e_src, e_w, t_src, t_w, t_mask, jnp.asarray(dist0), maxiter=n + 1
+                    e_src, e_w, t_src, t_w, jnp.asarray(dist0_l), maxiter=n + 1
                 )
             else:
                 dist, has_neg = _bellman_ford_device_ell(
-                    e_src, e_w, jnp.asarray(dist0), maxiter=n + 1
+                    e_src, e_w, jnp.asarray(dist0_l), maxiter=n + 1
                 )
+            if inv is not None:
+                dist = jnp.take(dist, jnp.asarray(inv), axis=1)  # back to input labels
         else:
             dist, has_neg = _bellman_ford_device(rj, cj, wj, jnp.asarray(dist0), n=n, maxiter=n + 1)
         has_neg = bool(has_neg)
@@ -601,21 +614,29 @@ def johnson(csgraph, directed=True, indices=None, return_predecessors=False, unw
     d0 = np.full((k, n), np.inf, dtype=fdt)
     d0[np.arange(k), sources] = 0.0
     ell = _build_dest_ell(rows, cols, w2, n, idt, fdt)
-    if ell is not None and ell[2] is not None:
-        t_src, t_w, t_mask = ell[2]
-        dist_rw, _ = _bellman_ford_device_ell_tail(
-            jnp.asarray(ell[0]),
-            jnp.asarray(ell[1]),
-            jnp.asarray(t_src),
-            jnp.asarray(t_w),
-            jnp.asarray(t_mask),
-            jnp.asarray(d0),
-            maxiter=n + 1,
-        )
-    elif ell is not None:
-        dist_rw, _ = _bellman_ford_device_ell(
-            jnp.asarray(ell[0]), jnp.asarray(ell[1]), jnp.asarray(d0), maxiter=n + 1
-        )
+    if ell is not None:
+        e_src_j, e_w_j, tail_j, perm_j = ell
+        d0_l = d0
+        inv_j = None
+        if perm_j is not None:
+            inv_j = np.empty(n, dtype=np.int64)
+            inv_j[perm_j] = np.arange(n)
+            d0_l = d0[:, perm_j]  # d0_l[:, new] = d0[:, perm[new]]
+        if tail_j is not None:
+            dist_rw, _ = _bellman_ford_device_ell_tail(
+                jnp.asarray(e_src_j),
+                jnp.asarray(e_w_j),
+                jnp.asarray(tail_j[0]),
+                jnp.asarray(tail_j[1]),
+                jnp.asarray(d0_l),
+                maxiter=n + 1,
+            )
+        else:
+            dist_rw, _ = _bellman_ford_device_ell(
+                jnp.asarray(e_src_j), jnp.asarray(e_w_j), jnp.asarray(d0_l), maxiter=n + 1
+            )
+        if inv_j is not None:
+            dist_rw = jnp.take(dist_rw, jnp.asarray(inv_j), axis=1)
     else:
         dist_rw, _ = _bellman_ford_device(
             rj, cj, jnp.asarray(w2, dtype=fdt), jnp.asarray(d0), n=n, maxiter=n + 1
