@@ -177,13 +177,17 @@ def _build_dest_ell(rows, cols, w, n, idt, fdt, *, width_cap=256):
     counts = np.bincount(cols, minlength=n)
     L = int(counts.max())
     mean = rows.size / max(n, 1)
-    # smallest width covering >=99% of edges (the tail handles the rest);
-    # the slot-count saving is pure gather-issue-rate win
+    # smallest width covering >=99% of edges, with a small tail tier: a
+    # LARGE tail row count de-fuses the slice-min merge (measured: d=531 at
+    # L0=16 keeps the 7 ms/round fused form; d=8303 at L0=12 blows up to
+    # ~45 ms/round despite fewer total slots) — slot count is NOT the whole
+    # cost model on v5e, fusion survival is
     L0 = L
     for cand in sorted({4, 8, 12, 16, 24, 32, 48, 64, 96, 128, 192, 256}):
         if cand >= L:
             break
-        if int(np.maximum(counts - cand, 0).sum()) <= max(rows.size // 100, 64):
+        d = int((counts > cand).sum())
+        if d <= 1024 and int(np.maximum(counts - cand, 0).sum()) <= max(rows.size // 100, 64):
             L0 = cand
             break
     if L0 > max(32, 8 * mean) and L0 > width_cap:
