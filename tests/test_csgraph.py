@@ -690,3 +690,53 @@ def test_construct_dist_matrix_disconnected_null_value():
     ref = sp_csgraph.construct_dist_matrix(g.toarray(), pred, null_value=-1.0)
     got = csgraph.construct_dist_matrix(as_coo(g.tocoo()), pred, null_value=-1.0)
     np.testing.assert_allclose(got, ref)
+
+
+def test_bellman_ford_two_tier_hub_graph():
+    # one massive hub destination forces the two-tier tail path; a second
+    # mid-degree node lands in the tail too
+    import scipy.sparse as sps
+    import scipy.sparse.csgraph as sc
+
+    rng = np.random.default_rng(42)
+    n = 400
+    rows = [rng.integers(0, n, 300)]   # 300 in-edges to the hub
+    cols = [np.full(300, 7)]
+    rows.append(rng.integers(0, n, 60))
+    cols.append(np.full(60, 123))
+    rows.append(rng.integers(0, n, 2000))  # background edges
+    cols.append(rng.integers(0, n, 2000))
+    r = np.concatenate(rows); c = np.concatenate(cols)
+    w = rng.random(r.size) + 0.1
+    from sparse_tpu.csgraph import _build_dest_ell
+
+    ell = _build_dest_ell(r, c, w, n, np.int32, np.float32)
+    assert ell is not None and ell[2] is not None and ell[3] is not None  # tail + relabel active
+    G = sparse.COO(np.stack([r, c]), w, shape=(n, n))
+    got = csgraph.bellman_ford(G, indices=[0, 7, 50])
+    ref = sc.bellman_ford(sps.csr_matrix((w, (r, c)), shape=(n, n)), indices=[0, 7, 50])
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-6)
+    # second call reuses the memoized layout and agrees
+    got2 = csgraph.bellman_ford(G, indices=[0, 7, 50])
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(got2))
+
+
+def test_bellman_ford_johnson_two_tier():
+    import scipy.sparse as sps
+    import scipy.sparse.csgraph as sc
+
+    rng = np.random.default_rng(43)
+    n = 300
+    r = np.concatenate([rng.integers(0, n, 200), rng.integers(0, n, 1500)])
+    c = np.concatenate([np.full(200, 11), rng.integers(0, n, 1500)])
+    w = rng.random(r.size) - 0.05  # some negative weights for johnson
+    G = sparse.COO(np.stack([r, c]), w, shape=(n, n))
+    S = sps.csr_matrix((w, (r, c)), shape=(n, n))
+    try:
+        ref = sc.johnson(S, indices=[0, 3])
+    except sc.NegativeCycleError:
+        with pytest.raises(csgraph.NegativeCycleError):
+            csgraph.johnson(G, indices=[0, 3])
+        return
+    got = csgraph.johnson(G, indices=[0, 3])
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-5, atol=1e-8)
