@@ -620,8 +620,15 @@ def _spgemm_gcxs_direct(a, b):
 
     if not (isinstance(a, GCXS) and isinstance(b, GCXS)):
         return None
-    if a.ndim != 2 or b.ndim != 2 or a.compressed_axes != (0,) or b.compressed_axes != (0,):
+    if a.ndim != 2 or b.ndim != 2 or a.compressed_axes != b.compressed_axes:
         return None
+    if a.compressed_axes not in ((0,), (1,)):
+        return None
+    # CSC×CSC: (A@B)ᵀ = Bᵀ@Aᵀ, and a CSC's buffers ARE the CSR buffers of
+    # its transpose — run the kernel swapped and emit CSC of the product
+    csc = a.compressed_axes == (1,)
+    if csc:
+        a, b = b, a
     dt = np.promote_types(a.dtype, b.dtype)
     if dt not in (np.float64, np.float32) or _native_eager.get_lib() is None:
         return None
@@ -629,7 +636,10 @@ def _spgemm_gcxs_direct(a, b):
     b_data = np.asarray(b.data)
     if a_data.size + b_data.size < _native_eager.NATIVE_MIN_NNZ:
         return None
-    M, N = a.shape[0], b.shape[1]
+    if csc:
+        M, N = a.shape[1], b.shape[0]  # rows/cols of the transposed product
+    else:
+        M, N = a.shape[0], b.shape[1]
     res = _native_eager.spgemm_csr(
         np.asarray(a.indptr),
         np.asarray(a.indices),
@@ -658,8 +668,8 @@ def _spgemm_gcxs_direct(a, b):
         vc,
         jc.astype(idx_dtype, copy=False),
         pc.astype(idx_dtype, copy=False),
-        (M, N),
-        (0,),
+        (N, M) if csc else (M, N),
+        (1,) if csc else (0,),
         zero_of_dtype(dt),
     )
 
