@@ -226,6 +226,20 @@ class COO(SparseArray):
         self._cache[op].append((key, value))
         return value
 
+    def _cached_layout(self, op, key, compute):
+        """Layout memo hardened against buffer REPLACEMENT (a.data = new):
+        the entry records buffer identities and rebuilds on mismatch.
+        In-place element mutation stays outside the contract (same caveat
+        as the reference's enable_caching)."""
+        if self._cache is None:
+            self.enable_caching()
+        bufs = (self.coords, self.data)
+        entry = self._cached(op, key, lambda: [bufs, compute()])
+        if any(a is not b for a, b in zip(entry[0], bufs)):
+            entry[0] = bufs
+            entry[1] = compute()
+        return entry[1]
+
     # -- canonicalization ----------------------------------------------------------
     def linear_loc(self, signed=False):
         """Row-major linearized coordinates, shape ``(nnz,)``."""
@@ -842,9 +856,7 @@ class COO(SparseArray):
                 coords[0], coords[1], np.asarray(self.data), self.shape[0], self.shape[1], block_rows=block_rows
             )
 
-        if self._cache is None:
-            self.enable_caching()
-        return self._cached("block_ell", block_rows, compute)
+        return self._cached_layout("block_ell", block_rows, compute)
 
     def to_dia(self, max_bands=64, max_fill=8.0):
         """Cached DIA (banded) layout, or ``None`` when the matrix isn't
@@ -864,9 +876,7 @@ class COO(SparseArray):
                 coords[0], coords[1], np.asarray(self.data), self.shape[0], max_bands=max_bands, max_fill=max_fill
             )
 
-        if self._cache is None:
-            self.enable_caching()
-        return self._cached("dia", (max_bands, max_fill), compute)
+        return self._cached_layout("dia", (max_bands, max_fill), compute)
 
     # -- jax.experimental.sparse interop ------------------------------------------------
     def to_bcoo(self):

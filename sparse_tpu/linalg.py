@@ -282,7 +282,16 @@ def _solver_program(A, key, build):
         return build()
     if getattr(A, "_cache", None) is None:
         A.enable_caching()
-    return cached("solver", key, build)
+    # guard against stale programs when the operand's BUFFERS are replaced
+    # (A.data = new_array): the entry records buffer identities and rebuilds
+    # on mismatch. (In-place mutation of the buffer contents is outside the
+    # contract, same as the reference's enable_caching.)
+    bufs = tuple(getattr(A, name, None) for name in ("data", "coords", "indices", "indptr"))
+    entry = cached("solver", key, lambda: [bufs, build()])
+    if any(a is not b for a, b in zip(entry[0], bufs)):
+        entry[0] = bufs
+        entry[1] = build()
+    return entry[1]
 
 
 def cg(A, b, x0=None, *, tol=1e-8, atol=0.0, maxiter=None, M=None, return_iters=False):

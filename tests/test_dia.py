@@ -145,3 +145,21 @@ def test_dia_sharded_cg_partitioned_operator():
     x, info = linalg.cg(mv, b, tol=1e-10)
     assert int(info) == 0
     np.testing.assert_allclose(dense @ np.asarray(x), b, atol=1e-6)
+
+
+def test_solver_memo_rebuilds_on_buffer_replacement():
+    # replacing A.data must not serve a stale memoized program/layout
+    rng = np.random.default_rng(9)
+    n = 60
+    dense = _banded_dense(n, (-1, 0, 1), rng)
+    dense = (dense + dense.T) / 2 + 4 * np.eye(n)
+    A = sparse.COO.from_numpy(dense)
+    b = rng.standard_normal(n)
+    x1, info1 = linalg.cg(A, b, tol=1e-10)
+    assert int(info1) == 0
+    # replace the value buffer (same pattern, scaled values)
+    A.data = np.asarray(A.data) * 2.0
+    x2, info2 = linalg.cg(A, b, tol=1e-10)
+    assert int(info2) == 0
+    np.testing.assert_allclose(2 * dense @ np.asarray(x2), b, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x1) / 2, rtol=1e-6)
