@@ -367,10 +367,8 @@ def _shortest_path_bf(
                 inv,
             )
 
-        cached = getattr(csgraph, "_cached", None)
+        cached = getattr(csgraph, "_cached_layout", None)
         if cached is not None and not unweighted:
-            if getattr(csgraph, "_cache", None) is None:
-                csgraph.enable_caching()
             ell_dev = cached("dest_ell", bool(directed), build_ell)
         else:
             ell_dev = build_ell()
