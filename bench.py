@@ -45,13 +45,11 @@ def main():
 
     ell = build_block_ell(rows, cols, data, M, K)
 
-    # correctness spot check against a dense reference on a sub-block
+    # correctness check of the FULL output against an f64 host oracle
     out = ell_spmm(ell.e_rows, ell.e_cols, ell.e_data, dense, n_rows=M)
-    check_rows = 256
-    sel = rows < check_rows
-    ref = np.zeros((check_rows, N), dtype=np.float64)
-    np.add.at(ref, rows[sel], data[sel, None] * np.asarray(dense)[cols[sel]])
-    np.testing.assert_allclose(np.asarray(out[:check_rows]), ref, rtol=1e-3, atol=1e-5)
+    ref = np.zeros((M, N), dtype=np.float64)
+    np.add.at(ref, rows, data[:, None] * np.asarray(dense, dtype=np.float64)[cols])
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-3, atol=1e-5)
 
     # time ITERS iterations inside a single jit (the axon tunnel's
     # block_until_ready is not a reliable sync point; a device-side scan
@@ -63,7 +61,14 @@ def main():
     @jax.jit
     def run(e_rows, e_cols, e_data, dense):
         def body(carry, i):
-            out = ell_spmm(e_rows, e_cols, e_data + i.astype(e_data.dtype) * 1e-6, dense, n_rows=M)
+            # Perturb BOTH the sparse values and the dense gather TABLE:
+            # XLA's LICM hoists loop-invariant gathers out of the scan when
+            # the output is small, and relying on "GB-sized intermediates
+            # aren't hoisted" is luck, not measurement discipline
+            # (docs/spmm_roofline.md "Measurement discipline").  Float
+            # eps = i*1e-6 does not constant-fold (integer i - i would).
+            eps = i.astype(jnp.float32) * 1e-6
+            out = ell_spmm(e_rows, e_cols, e_data + eps, dense + eps, n_rows=M)
             return carry + out.ravel()[0], None
         acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(n_iters))
         return acc

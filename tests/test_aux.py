@@ -20,6 +20,34 @@ def test_profiling_benchmark_and_throughput():
     assert nnz_throughput(dt, 1000) == 1000 / dt
 
 
+def test_profiling_benchmark_scan_methodology():
+    """benchmark() times inside one scan with per-iteration perturbation of
+    every float leaf (hoist-proof) and subtracts the calibrated RTT."""
+    from sparse_tpu.profiling import benchmark, _default_perturb
+
+    # the default perturbation touches float leaves and leaves ints alone
+    args = (jnp.ones((4,), jnp.float32), jnp.arange(4, dtype=jnp.int32))
+    bumped = _default_perturb(args, jnp.int32(3))
+    np.testing.assert_allclose(np.asarray(bumped[0]), 1.0 + 3e-6)
+    assert bumped[1].dtype == jnp.int32
+    np.testing.assert_array_equal(np.asarray(bumped[1]), np.arange(4))
+
+    # gather workload (the LICM-prone shape): must time, not crash, and the
+    # perturb must reach the gather TABLE (a float leaf)
+    table = jnp.ones((64, 8), jnp.float32)
+    idx = jnp.zeros((16,), jnp.int32)
+    dt = benchmark(lambda t, i: jnp.take(t, i, axis=0), (table, idx), iters=3)
+    assert dt > 0
+
+    # perturb=None still runs (explicitly opting out of hoist-proofing)
+    dt2 = benchmark(lambda t, i: jnp.take(t, i, axis=0), (table, idx), iters=3, perturb=None)
+    assert dt2 > 0
+
+    # pytree (tuple) outputs are supported
+    dt3 = benchmark(lambda x: (x * 2, x + 1), (jnp.ones((8,)),), iters=2)
+    assert dt3 > 0
+
+
 def test_compiled_wrapper():
     from sparse_tpu import compiled
     from sparse_tpu.kernels import coo_spmm
