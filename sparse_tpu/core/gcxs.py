@@ -886,6 +886,102 @@ for _cls in (GCXS, CSR, CSC):
         (lambda c: (lambda aux, children: c.tree_unflatten(aux, children)))(_cls),
     )
 
+def concatenate_gcxs(arrays, axis=0):
+    """Concatenate GCXS arrays by splicing their compressed storage directly
+    (no COO round-trip — the role of reference ``_compressed/common.py:6-56``,
+    redesigned as vectorized numpy splices).
+
+    With every input compressed along exactly ``(axis,)``, the flattened
+    CSR matrices stack vertically: ``indices``/``data`` concatenate as-is
+    and each later ``indptr`` is shifted by the accumulated nnz.  Inputs
+    compressed along other axes are re-compressed first (same cost the
+    reference pays in ``change_compressed_axes``).
+    """
+    from .._utils import check_consistent_fill_value, get_out_dtype
+
+    check_consistent_fill_value(arrays)
+    ndim = arrays[0].ndim
+    axis = normalize_axis(axis, ndim)
+    shape = list(arrays[0].shape)
+    shape[axis] = sum(int(x.shape[axis]) for x in arrays)
+    for x in arrays:
+        if x.ndim != ndim:
+            raise ValueError("all the input array dimensions must match exactly")
+        for d in range(ndim):
+            if d != axis and x.shape[d] != shape[d]:
+                raise ValueError(
+                    "all the input array dimensions except for the concatenation axis must match exactly"
+                )
+
+    arrays = [x.change_compressed_axes((axis,)) for x in arrays]
+    total_nnz = sum(x.nnz for x in arrays)
+    row_size = shape[axis]
+    col_size = arrays[0]._compressed_shape[1]
+    in_idx = np.result_type(*[x.indices.dtype for x in arrays])
+    idx_dtype = get_out_dtype(in_idx, max(row_size, col_size, total_nnz, 1))
+
+    indptr = np.empty(row_size + 1, dtype=idx_dtype)
+    indptr[0] = 0
+    pos, nnz_off = 1, 0
+    for x in arrays:
+        n = x.indptr.shape[0] - 1
+        indptr[pos : pos + n] = x.indptr[1:]
+        indptr[pos : pos + n] += nnz_off
+        pos += n
+        nnz_off += x.nnz
+    indices = np.concatenate([np.asarray(x.indices) for x in arrays]).astype(idx_dtype, copy=False)
+    data = np.concatenate([np.asarray(x.data) for x in arrays])
+    return GCXS._make(data, indices, indptr, tuple(shape), (axis,), arrays[0].fill_value)
+
+
+def stack_gcxs(arrays, axis=0):
+    """Stack GCXS arrays along a new axis by direct storage splice.
+
+    Compressed along the new ``(axis,)``, the flattened result matrix has
+    one row per input whose column indices are that input's C-order linear
+    locations — recoverable without any sort when the input's compressed
+    axes are a leading prefix (its storage order IS C order); other layouts
+    take the canonical-COO path per input (one sort, what the reference's
+    reshape + ``change_compressed_axes`` pays anyway:
+    ``_compressed/common.py:58-96``).
+    """
+    from .._utils import check_consistent_fill_value, get_out_dtype
+
+    check_consistent_fill_value(arrays)
+    if len({x.shape for x in arrays}) > 1:
+        raise ValueError("all input arrays must have the same shape")
+    ndim = arrays[0].ndim
+    axis = normalize_axis(axis, ndim + 1)
+    in_shape = arrays[0].shape
+    col_size = int(np.prod(in_shape, dtype=np.float64))
+    total_nnz = sum(x.nnz for x in arrays)
+    in_idx = np.result_type(*[x.indices.dtype for x in arrays])
+    idx_dtype = get_out_dtype(in_idx, max(len(arrays), col_size, total_nnz, 1))
+
+    locs, datas = [], []
+    for x in arrays:
+        ca = x.compressed_axes
+        if ca == tuple(range(len(ca))):
+            # storage order is C order: expand indptr to row ids, linearize
+            counts = np.diff(x.indptr)
+            rows = np.repeat(np.arange(x.indptr.shape[0] - 1, dtype=np.int64), counts)
+            locs.append(rows * x._compressed_shape[1] + np.asarray(x.indices, dtype=np.int64))
+            datas.append(np.asarray(x.data))
+        else:
+            # canonical COO order = C order (data must be re-ordered with it)
+            coo = x.tocoo()
+            locs.append(np.asarray(coo.linear_loc(), dtype=np.int64))
+            datas.append(np.asarray(coo.data))
+    indices = np.concatenate(locs).astype(idx_dtype, copy=False)
+    data = np.concatenate(datas)
+    indptr = np.zeros(len(arrays) + 1, dtype=idx_dtype)
+    indptr[1:] = np.cumsum([x.nnz for x in arrays])
+
+    shape = list(in_shape)
+    shape.insert(axis, len(arrays))
+    return GCXS._make(data, indices, indptr, tuple(shape), (axis,), arrays[0].fill_value)
+
+
 # jax.export serialization (aux = (shape, compressed_axes))
 try:
     import json as _json

@@ -115,6 +115,11 @@ def concatenate(arrays, axis=0):
     from ..core.gcxs import GCXS
 
     all_gcxs = all(isinstance(a, GCXS) for a in arrays)
+    if all_gcxs and axis is not None and arrays and arrays[0].ndim >= 2:
+        # native storage splice — no COO round-trip
+        from ..core.gcxs import concatenate_gcxs
+
+        return concatenate_gcxs(arrays, axis=axis)
     arrays = [_validate_coo_input(a) for a in arrays]
     check_consistent_fill_value(arrays)
 
@@ -169,6 +174,12 @@ def stack(arrays, axis=0):
     from ..core.gcxs import GCXS
 
     all_gcxs = all(isinstance(a, GCXS) for a in arrays)
+    if all_gcxs and arrays and arrays[0].ndim >= 2:
+        # native storage splice — no COO round-trip (1-D inputs take the
+        # COO path, as in the reference)
+        from ..core.gcxs import stack_gcxs
+
+        return stack_gcxs(arrays, axis=axis)
     arrays = [_validate_coo_input(a) for a in arrays]
     check_consistent_fill_value(arrays)
     if len({x.shape for x in arrays}) > 1:

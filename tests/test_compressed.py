@@ -318,3 +318,76 @@ def test_getitem_two_advanced_indices_pointwise(comp):
     got2 = g[rowmask, colpick]
     gv2 = got2.todense() if hasattr(got2, "todense") else got2
     np.testing.assert_allclose(gv2, d[rowmask, colpick])
+
+
+# ---------------------------------------------------------------------------
+# native GCXS concatenate/stack (storage splice, no COO round-trip)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("axis", [0, 1, -1])
+@pytest.mark.parametrize("caxes", [(0,), (1,)])
+def test_gcxs_concatenate_native_2d(axis, caxes):
+    rng = np.random.default_rng(0)
+    dens = [rng.random((7, 5)) * (rng.random((7, 5)) < 0.4) for _ in range(3)]
+    gs = [sparse.GCXS.from_numpy(d, compressed_axes=caxes) for d in dens]
+    out = sparse.concatenate(gs, axis=axis)
+    assert isinstance(out, sparse.GCXS)
+    ax = axis % 2
+    assert out.compressed_axes == (ax,)
+    np.testing.assert_allclose(out.todense(), np.concatenate(dens, axis=axis))
+    # canonical storage: indptr monotone, indices sorted within each group
+    assert np.all(np.diff(out.indptr) >= 0)
+    assert sparse._utils.is_canonical(out.tocoo())
+
+
+@pytest.mark.parametrize("axis", [0, 1, 2, -1])
+def test_gcxs_concatenate_native_3d(axis):
+    rng = np.random.default_rng(1)
+    dens = [rng.random((3, 4, 5)) * (rng.random((3, 4, 5)) < 0.3) for _ in range(2)]
+    gs = [sparse.GCXS.from_numpy(d, compressed_axes=(1,)) for d in dens]
+    out = sparse.concatenate(gs, axis=axis)
+    np.testing.assert_allclose(out.todense(), np.concatenate(dens, axis=axis))
+
+
+@pytest.mark.parametrize("axis", [0, 1, 2, -1])
+@pytest.mark.parametrize("caxes", [(0,), (1,)])
+def test_gcxs_stack_native(axis, caxes):
+    rng = np.random.default_rng(2)
+    dens = [rng.random((6, 4)) * (rng.random((6, 4)) < 0.4) for _ in range(3)]
+    gs = [sparse.GCXS.from_numpy(d, compressed_axes=caxes) for d in dens]
+    out = sparse.stack(gs, axis=axis)
+    assert isinstance(out, sparse.GCXS)
+    np.testing.assert_allclose(out.todense(), np.stack(dens, axis=axis))
+    assert sparse._utils.is_canonical(out.tocoo())
+
+
+def test_gcxs_concatenate_native_mixed_caxes_and_fill():
+    rng = np.random.default_rng(3)
+    dens = [rng.random((5, 5)) * (rng.random((5, 5)) < 0.4) for _ in range(2)]
+    gs = [
+        sparse.GCXS.from_numpy(dens[0], compressed_axes=(0,)),
+        sparse.GCXS.from_numpy(dens[1], compressed_axes=(1,)),
+    ]
+    out = sparse.concatenate(gs, axis=1)
+    np.testing.assert_allclose(out.todense(), np.concatenate(dens, axis=1))
+
+    # inconsistent fill values still raise
+    bad = sparse.GCXS.from_coo(sparse.COO.from_numpy(dens[1], fill_value=1.0))
+    with pytest.raises(ValueError):
+        sparse.concatenate([gs[0], bad], axis=0)
+
+    # shape mismatch raises
+    small = sparse.GCXS.from_numpy(dens[1][:, :3])
+    with pytest.raises(ValueError):
+        sparse.concatenate([gs[0], small], axis=0)
+
+
+def test_gcxs_concatenate_empty_and_idx_dtype():
+    # zero-nnz operands splice correctly
+    z = sparse.GCXS.from_numpy(np.zeros((4, 3)))
+    d = np.arange(12.0).reshape(4, 3)
+    g = sparse.GCXS.from_numpy(d)
+    out = sparse.concatenate([z, g, z], axis=0)
+    np.testing.assert_allclose(out.todense(), np.concatenate([np.zeros((4, 3)), d, np.zeros((4, 3))], axis=0))
+    assert out.nnz == g.nnz
