@@ -402,6 +402,12 @@ __all__ = sorted(
 )
 
 
-def clip(a, a_min=None, a_max=None, out=None):
-    """Clip values to the interval [a_min, a_max]."""
-    return a.clip(min=a_min, max=a_max, out=out)
+def clip(a, min=None, max=None, out=None, *, a_min=None, a_max=None):
+    """Clip values to the interval [min, max] (Array-API / reference
+    ``_coo/common.py:1028`` signature; ``a_min``/``a_max`` accepted as
+    numpy-style aliases)."""
+    if a_min is not None:
+        min = a_min
+    if a_max is not None:
+        max = a_max
+    return a.clip(min=min, max=max, out=out)

@@ -1,0 +1,320 @@
+"""Systematic Array-API conformance harness.
+
+The official ``array-api-tests`` suite (which the reference pins and runs
+with the 123-entry xfail list ``xp-tests/Numba-array-api-xfails.txt``) is
+not installable in this image (zero egress, not vendored).  This module
+replays its structure natively:
+
+- ``test_has_names``  — every name of the 2024.12 main namespace, by category
+  (the role of ``test_has_names.py``);
+- ``test_signature_*`` — spec keyword-only calling conventions per function
+  (the role of ``test_signatures.py``);
+- ``test_promotion_lattice`` — the full pairwise type-promotion table
+  (the role of ``test_type_promotion.py``);
+- ``test_special_binary/unary`` — IEEE-754 special-value semantics checked
+  bitwise against the spec'd results through sparse arrays
+  (the role of ``test_special_cases.py``);
+- ``test_elementwise_dense_parity`` — every spec'd elementwise op vs the
+  numpy oracle over mixed regular/special inputs.
+
+Expected failures are frozen in ``tests/array_api_xfails.txt`` — one id per
+line, mirroring the reference's xfail-list workflow.
+"""
+
+from __future__ import annotations
+
+import math
+import pathlib
+
+import numpy as np
+import pytest
+
+import sparse_tpu as xp
+from sparse_tpu._utils import equivalent
+
+XFAILS = frozenset(
+    line.strip()
+    for line in (pathlib.Path(__file__).parent / "array_api_xfails.txt").read_text().splitlines()
+    if line.strip() and not line.startswith("#")
+)
+
+
+def _param(ident, *payload):
+    marks = [pytest.mark.xfail(reason="frozen in array_api_xfails.txt", strict=False)] if ident in XFAILS else []
+    return pytest.param(*payload, id=ident, marks=marks)
+
+
+# ---------------------------------------------------------------------------
+# has_names: the full 2024.12 main namespace by category
+# ---------------------------------------------------------------------------
+
+SPEC_NAMES = {
+    "creation": [
+        "arange", "asarray", "empty", "empty_like", "eye", "from_dlpack",
+        "full", "full_like", "linspace", "meshgrid", "ones", "ones_like",
+        "tril", "triu", "zeros", "zeros_like",
+    ],
+    "elementwise": [
+        "abs", "acos", "acosh", "add", "asin", "asinh", "atan", "atan2",
+        "atanh", "bitwise_and", "bitwise_left_shift", "bitwise_invert",
+        "bitwise_or", "bitwise_right_shift", "bitwise_xor", "ceil", "clip",
+        "conj", "copysign", "cos", "cosh", "divide", "equal", "exp",
+        "expm1", "floor", "floor_divide", "greater", "greater_equal",
+        "hypot", "imag", "isfinite", "isinf", "isnan", "less", "less_equal",
+        "log", "log1p", "log2", "log10", "logaddexp", "logical_and",
+        "logical_not", "logical_or", "logical_xor", "maximum", "minimum",
+        "multiply", "negative", "nextafter", "not_equal", "positive", "pow",
+        "real", "reciprocal", "remainder", "round", "sign", "signbit",
+        "sin", "sinh", "square", "sqrt", "subtract", "tan", "tanh", "trunc",
+    ],
+    "statistical": [
+        "cumulative_prod", "cumulative_sum", "max", "mean", "min", "prod",
+        "std", "sum", "var",
+    ],
+    "searching": ["argmax", "argmin", "count_nonzero", "nonzero", "searchsorted", "where"],
+    "set": ["isin", "unique_all", "unique_counts", "unique_inverse", "unique_values"],
+    "sorting": ["argsort", "sort"],
+    "manipulation": [
+        "broadcast_arrays", "broadcast_to", "concat", "expand_dims", "flip",
+        "moveaxis", "permute_dims", "repeat", "reshape", "roll", "squeeze",
+        "stack", "tile", "unstack",
+    ],
+    "linear_algebra": ["matmul", "matrix_transpose", "tensordot", "vecdot"],
+    "data_type": ["astype", "can_cast", "finfo", "iinfo", "isdtype", "result_type"],
+    "indexing": ["take", "take_along_axis"],
+    "utility": ["all", "any", "diff"],
+    "constants": ["e", "inf", "nan", "newaxis", "pi"],
+    "dtypes": [
+        "bool", "int8", "int16", "int32", "int64", "uint8", "uint16",
+        "uint32", "uint64", "float32", "float64", "complex64", "complex128",
+    ],
+    "inspection": ["__array_namespace_info__"],
+}
+
+ARRAY_METHODS = [
+    "__abs__", "__add__", "__and__", "__array_namespace__", "__bool__",
+    "__dlpack__", "__dlpack_device__", "__eq__", "__float__", "__floordiv__",
+    "__ge__", "__getitem__", "__gt__", "__index__", "__int__", "__invert__",
+    "__le__", "__lshift__", "__lt__", "__matmul__", "__mod__", "__mul__",
+    "__ne__", "__neg__", "__or__", "__pos__", "__pow__", "__rshift__",
+    "__setitem__", "__sub__", "__truediv__", "__xor__",
+    "to_device",
+]
+ARRAY_PROPS = ["dtype", "device", "ndim", "shape", "size", "T", "mT"]
+
+
+@pytest.mark.parametrize(
+    "name",
+    [_param(f"has_names[{cat}-{n}]", n) for cat, names in SPEC_NAMES.items() for n in names],
+)
+def test_has_names(name):
+    assert hasattr(xp, name), f"missing spec name: {name}"
+
+
+@pytest.mark.parametrize(
+    "ext", [_param("has_names[ext-linalg]", "linalg"), _param("has_names[ext-fft]", "fft")]
+)
+def test_has_extension_namespace(ext):
+    # the spec extension namespaces; checked exactly as the reference's
+    # xfailed has_names[linalg-*] / has_names[fft-*] rows do
+    ns = getattr(xp, ext, None)
+    assert ns is not None and hasattr(ns, "__array_api_extension__")
+
+
+@pytest.mark.parametrize(
+    "method",
+    [_param(f"has_names[array_method-{m}]", m) for m in ARRAY_METHODS],
+)
+def test_array_has_methods(method):
+    a = xp.asarray(np.ones((2, 2)), format="coo")
+    assert hasattr(a, method)
+
+
+@pytest.mark.parametrize("prop", [_param(f"has_names[array_attr-{p}]", p) for p in ARRAY_PROPS])
+def test_array_has_properties(prop):
+    a = xp.asarray(np.ones((2, 2)), format="coo")
+    getattr(a, prop)
+
+
+# ---------------------------------------------------------------------------
+# signatures: spec keyword-only conventions
+# ---------------------------------------------------------------------------
+
+def _sp(vals=(1.0, 0.0, 2.0, 3.0), shape=(2, 2), dtype=np.float64):
+    return xp.asarray(np.asarray(vals, dtype=dtype).reshape(shape), format="coo")
+
+
+SIGNATURE_CALLS = [
+    ("sum-kwonly", lambda: xp.sum(_sp(), axis=0, dtype=xp.float64, keepdims=True)),
+    ("prod-kwonly", lambda: xp.prod(_sp(), axis=1, keepdims=False)),
+    ("mean-kwonly", lambda: xp.mean(_sp(), axis=None, keepdims=False)),
+    ("std-correction", lambda: xp.std(_sp(), axis=0, correction=1)),
+    ("var-correction", lambda: xp.var(_sp(), axis=0, correction=1.0)),
+    ("astype-copy", lambda: xp.astype(_sp(), xp.float32, copy=True)),
+    ("astype-copy-false", lambda: xp.astype(_sp(), xp.float64, copy=False)),
+    ("full-fill", lambda: xp.full((2, 2), 3.0, dtype=xp.float32)),
+    ("eye-k", lambda: xp.eye(3, 4, k=1)),
+    ("round-returns-same-dtype", lambda: xp.round(_sp()).dtype == np.float64),
+    ("clip-minmax", lambda: xp.clip(_sp(), min=0.5, max=2.5)),
+    ("expand_dims-axis", lambda: xp.expand_dims(_sp(), axis=1)),
+    ("squeeze-axis", lambda: xp.squeeze(xp.expand_dims(_sp(), axis=0), axis=0)),
+    ("flip-axis", lambda: xp.flip(_sp(), axis=0)),
+    ("roll-axis", lambda: xp.roll(_sp(), 1, axis=1)),
+    ("concat-axis", lambda: xp.concat([_sp(), _sp()], axis=0)),
+    ("stack-axis", lambda: xp.stack([_sp(), _sp()], axis=1)),
+    ("permute_dims", lambda: xp.permute_dims(_sp(), (1, 0))),
+    ("broadcast_to", lambda: xp.broadcast_to(_sp(shape=(1, 4), vals=(1.0, 0.0, 2.0, 3.0)), (3, 4))),
+    ("tensordot-axes", lambda: xp.tensordot(_sp(), _sp(), axes=((1,), (0,)))),
+    ("vecdot-axis", lambda: xp.vecdot(_sp(), _sp(), axis=-1)),
+    ("take-axis", lambda: xp.take(_sp(), np.array([0, 1]), axis=0)),
+    ("unique_counts-fields", lambda: hasattr(xp.unique_counts(_sp()), "values")
+        and hasattr(xp.unique_counts(_sp()), "counts")),
+    ("argmax-keepdims", lambda: xp.argmax(_sp(), axis=0, keepdims=True)),
+    ("argmin-axis", lambda: xp.argmin(_sp(), axis=1)),
+    ("sort-descending", lambda: xp.sort(xp.asarray(np.array([3.0, 0.0, 1.0])), descending=True)),
+    ("where-three-arg", lambda: xp.where(_sp() > 1, _sp(), _sp())),
+    ("max-axis-tuple", lambda: xp.max(_sp(), axis=(0, 1))),
+    ("repeat-axis", lambda: xp.repeat(_sp(), 2, axis=0)),
+    ("unstack-axis", lambda: xp.unstack(_sp(), axis=0)),
+    ("result_type-mixed", lambda: xp.result_type(xp.int8, xp.float32)),
+    ("can_cast", lambda: xp.can_cast(xp.int8, xp.int16)),
+    ("isdtype-kind", lambda: xp.isdtype(xp.float32, "real floating")),
+    ("finfo-fields", lambda: xp.finfo(xp.float32).eps > 0),
+    ("iinfo-fields", lambda: xp.iinfo(xp.int32).max == 2**31 - 1),
+    ("nonzero-tuple", lambda: isinstance(xp.nonzero(_sp()), tuple)),
+    ("matrix_transpose", lambda: xp.matrix_transpose(_sp())),
+]
+
+
+@pytest.mark.parametrize(
+    "call", [_param(f"signature[{ident}]", fn) for ident, fn in SIGNATURE_CALLS]
+)
+def test_signature(call):
+    out = call()
+    assert out is not False
+
+
+# ---------------------------------------------------------------------------
+# type promotion: the full spec lattice, pairwise
+# ---------------------------------------------------------------------------
+
+_DTYPES = [
+    xp.bool, xp.int8, xp.int16, xp.int32, xp.int64, xp.uint8, xp.uint16,
+    xp.uint32, xp.uint64, xp.float32, xp.float64, xp.complex64, xp.complex128,
+]
+
+
+def _spec_promotes(a, b):
+    """Pairs the spec defines (same-kind, or table'd cross-kind)."""
+    ak, bk = np.dtype(a).kind, np.dtype(b).kind
+    if ak == bk:
+        return True
+    kinds = {ak, bk}
+    # spec defines int×uint, real×complex, int/uint×float is NOT spec'd
+    # (implementation choice) but numpy's lattice is what this library
+    # documents — include everything except bool×nonbool, which the spec
+    # leaves undefined
+    return "b" not in kinds
+
+
+@pytest.mark.parametrize("a", _DTYPES, ids=lambda d: np.dtype(d).name)
+@pytest.mark.parametrize("b", _DTYPES, ids=lambda d: np.dtype(d).name)
+def test_promotion_lattice(a, b):
+    if not _spec_promotes(a, b):
+        pytest.skip("cross-kind pair not defined by the spec")
+    expected = np.result_type(a, b)
+    assert xp.result_type(a, b) == expected
+    # and through actual array ops (add) for a safe sample
+    if np.dtype(a).kind in "iu" and np.dtype(b).kind in "iu":
+        x = xp.asarray(np.array([0, 1], dtype=a))
+        y = xp.asarray(np.array([1, 0], dtype=b))
+        try:
+            out = xp.add(x, y)
+        except TypeError:
+            return  # u64×i* has no numpy result; spec allows erroring
+        assert out.dtype == np.promote_types(a, b)
+
+
+# ---------------------------------------------------------------------------
+# special cases: IEEE-754 semantics through sparse arrays, checked bitwise
+# ---------------------------------------------------------------------------
+
+_SPECIALS = np.array([0.0, -0.0, 1.0, -1.0, np.inf, -np.inf, np.nan, 0.5, -2.5])
+
+_BINARY_OPS = [
+    ("add", np.add), ("subtract", np.subtract), ("multiply", np.multiply),
+    ("divide", np.divide), ("pow", np.pow if hasattr(np, "pow") else np.power),
+    ("atan2", np.arctan2), ("copysign", np.copysign), ("hypot", np.hypot),
+    ("logaddexp", np.logaddexp), ("maximum", np.maximum),
+    ("minimum", np.minimum), ("nextafter", np.nextafter),
+    ("remainder", np.remainder), ("floor_divide", np.floor_divide),
+]
+
+_UNARY_OPS = [
+    ("abs", np.abs), ("acos", np.arccos), ("acosh", np.arccosh),
+    ("asin", np.arcsin), ("asinh", np.arcsinh), ("atan", np.arctan),
+    ("atanh", np.arctanh), ("ceil", np.ceil), ("cos", np.cos),
+    ("cosh", np.cosh), ("exp", np.exp), ("expm1", np.expm1),
+    ("floor", np.floor), ("log", np.log), ("log1p", np.log1p),
+    ("log2", np.log2), ("log10", np.log10), ("negative", np.negative),
+    ("positive", np.positive), ("reciprocal", np.reciprocal),
+    ("round", np.round), ("sign", np.sign), ("signbit", np.signbit),
+    ("sin", np.sin), ("sinh", np.sinh), ("sqrt", np.sqrt),
+    ("square", np.square), ("tan", np.tan), ("tanh", np.tanh),
+    ("trunc", np.trunc), ("isfinite", np.isfinite), ("isinf", np.isinf),
+    ("isnan", np.isnan),
+]
+
+
+@pytest.mark.parametrize(
+    "name,ufunc",
+    [_param(f"special_binary[{n}]", n, u) for n, u in _BINARY_OPS]
+    + [_param("special_binary[floor_divide-inf-rules]", "floor_divide_infrules", None)],
+)
+def test_special_binary(name, ufunc):
+    if name == "floor_divide_infrules":
+        # the spec's ±inf // finite sign rules — the reference xfails these
+        # (numpy disagrees with the spec); keep the strict spec check here
+        d = np.asarray(xp.floor_divide(xp.asarray(np.array([np.inf, np.inf])), xp.asarray(np.array([2.0, -2.0]))).todense()
+                       if hasattr(xp.floor_divide(xp.asarray(np.array([np.inf])), xp.asarray(np.array([2.0]))), "todense")
+                       else xp.floor_divide(np.array([np.inf, np.inf]), np.array([2.0, -2.0])))
+        assert d[0] == np.inf and d[1] == -np.inf
+        return
+    xg, yg = np.meshgrid(_SPECIALS, _SPECIALS)
+    xg, yg = xg.ravel(), yg.ravel()
+    with np.errstate(all="ignore"):
+        expected = ufunc(xg, yg)
+        got = getattr(xp, name)(xp.asarray(xg), xp.asarray(yg))
+    got = got.todense() if hasattr(got, "todense") else np.asarray(got)
+    assert bool(np.all(equivalent(got, expected))), (
+        f"{name}: mismatches at {np.nonzero(~equivalent(got, expected))}"
+    )
+
+
+@pytest.mark.parametrize(
+    "name,ufunc", [_param(f"special_unary[{n}]", n, u) for n, u in _UNARY_OPS]
+)
+def test_special_unary(name, ufunc):
+    with np.errstate(all="ignore"):
+        expected = ufunc(_SPECIALS)
+        got = getattr(xp, name)(xp.asarray(_SPECIALS))
+    got = got.todense() if hasattr(got, "todense") else np.asarray(got)
+    assert bool(np.all(equivalent(got, expected)))
+
+
+# ---------------------------------------------------------------------------
+# elementwise dense parity on regular sparse inputs (fill value zero)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize(
+    "name,ufunc", [_param(f"elemwise_parity[{n}]", n, u) for n, u in _UNARY_OPS]
+)
+def test_elementwise_dense_parity(name, ufunc):
+    rng = np.random.default_rng(0)
+    d = rng.standard_normal((7, 9)) * (rng.random((7, 9)) < 0.4)
+    s = xp.asarray(d, format="coo")
+    with np.errstate(all="ignore"):
+        expected = ufunc(d)
+        got = getattr(xp, name)(s)
+    got = got.todense() if hasattr(got, "todense") else np.asarray(got)
+    assert bool(np.all(equivalent(got, expected)))
