@@ -747,6 +747,7 @@ class COO(SparseArray):
         # add-reduction needs no grouping order: accumulate over the kept-axes
         # key directly (bincount/add.at) instead of re-sorting via transpose —
         # ~15x on sum(axis=0) at 20k^2 (scipy does the same)
+        _zero_fill = bool(np.all(np.asarray(self.fill_value) == 0))
         if (
             method is np.add
             and all(k == "dtype" and v is None for k, v in kwargs.items())
@@ -754,11 +755,19 @@ class COO(SparseArray):
             and keep <= max(16 * self.nnz, 1 << 22)
             and self.data.dtype.kind in "fiu"
             # leading kept axes mean the transpose below is a no-op and the
-            # (cheaper, exactly-ordered) reduceat path wins
-            and neg_axis != tuple(range(len(neg_axis)))
+            # exactly-ordered reduceat path wins — EXCEPT when the fused
+            # counts-free compact kernel applies (zero fill, float data):
+            # sorted keys stream through it sequentially and it also fuses
+            # the output compaction/prune
+            and (
+                neg_axis != tuple(range(len(neg_axis)))
+                or (_zero_fill and self.data.dtype in (np.float64, np.float32))
+            )
         ):
             if len(neg_axis) == 1:
-                keys = np.asarray(self.coords[neg_axis[0]]).astype(np.int64, copy=False)
+                # keep the raw coordinate dtype: the native kernels take
+                # int32 keys directly (saves the cast copy on the hot path)
+                keys = np.asarray(self.coords[neg_axis[0]])
             else:
                 keys = np.zeros(self.nnz, dtype=np.int64)
                 stride = 1
@@ -768,6 +777,19 @@ class COO(SparseArray):
             data_np = np.asarray(self.data)
             # np.add.reduce promotes small ints (uint8 sums to uint64 etc.)
             acc_dtype = np.add.reduce(np.empty(0, dtype=data_np.dtype)).dtype
+            if _zero_fill and data_np.dtype in (np.float64, np.float32):
+                # counts-free: with zero fill the reduce driver never reads
+                # counts (missing positions contribute the add identity),
+                # and bins summing to (+/-)0 are exactly what the pruned
+                # result drops — one fused pass replaces bincounts,
+                # flatnonzero, the gather, AND the output COO's prune
+                from ..native import eager as _eager
+
+                compact = _eager.bincount_sum_compact(keys, data_np, keep)
+                if compact is not None:
+                    inv_idx, result = compact
+                    arr_attrs = (_ShapeOnly((keep, red)), neg_shape, inv_idx, True)
+                    return result, None, axis, red, arr_attrs
             native = None
             if data_np.dtype in (np.float64, np.float32):
                 from ..native import eager as _eager
@@ -822,16 +844,27 @@ class COO(SparseArray):
         return result, counts, axis, n_cols, arr_attrs
 
     def _reduce_return(self, data, arr_attrs, result_fill_value):
-        a, neg_shape, inv_idx = arr_attrs
-        out = COO(
-            inv_idx[None, :],
-            data,
-            shape=(a.shape[0],),
-            has_duplicates=False,
-            sorted=True,
-            prune=True,
-            fill_value=result_fill_value,
-        )
+        a, neg_shape, inv_idx = arr_attrs[:3]
+        if len(arr_attrs) > 3 and arr_attrs[3]:
+            # already canonical AND pruned (the fused compact path):
+            # skip construction-time validation and the prune pass
+            idx_dtype = index_dtype_for(a.shape[0])
+            out = COO._make(
+                np.ascontiguousarray(inv_idx[None, :].astype(idx_dtype, copy=False)),
+                data,
+                (a.shape[0],),
+                result_fill_value,
+            )
+        else:
+            out = COO(
+                inv_idx[None, :],
+                data,
+                shape=(a.shape[0],),
+                has_duplicates=False,
+                sorted=True,
+                prune=True,
+                fill_value=result_fill_value,
+            )
         return out.reshape(neg_shape)
 
     def nonzero(self):

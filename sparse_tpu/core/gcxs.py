@@ -710,16 +710,26 @@ class GCXS(SparseArray):
                 return GCXS.from_coo(out)
             return GCXS.from_coo(out)
 
-        a, neg_shape, inv_idx = coo_attrs
-        out = COO(
-            inv_idx[None, :],
-            data,
-            shape=(a.shape[0],),
-            has_duplicates=False,
-            sorted=True,
-            prune=True,
-            fill_value=result_fill_value,
-        ).reshape(neg_shape)
+        a, neg_shape, inv_idx = coo_attrs[:3]
+        if len(coo_attrs) > 3 and coo_attrs[3]:
+            # canonical AND pruned already (COO fused compact path)
+            idx_dtype = index_dtype_for(a.shape[0])
+            out = COO._make(
+                np.ascontiguousarray(inv_idx[None, :].astype(idx_dtype, copy=False)),
+                data,
+                (a.shape[0],),
+                result_fill_value,
+            ).reshape(neg_shape)
+        else:
+            out = COO(
+                inv_idx[None, :],
+                data,
+                shape=(a.shape[0],),
+                has_duplicates=False,
+                sorted=True,
+                prune=True,
+                fill_value=result_fill_value,
+            ).reshape(neg_shape)
         if out.ndim < 2:
             return GCXS.from_coo(out)
         try:

@@ -210,6 +210,32 @@ FUSED_MERGE(st_mul_join_f32, float, is_pos_zero32, MUL_Cf, MUL_Af, MUL_Bf)
 BINCOUNT_SUM(st_bincount_sum_f64, double)
 BINCOUNT_SUM(st_bincount_sum_f32, float)
 
+// Sums-only weighted bincount fused with nonzero compaction — the add-
+// reduction with zero fill needs neither counts nor a separate prune pass:
+// rows whose sum is (+/-)0 are exactly the rows the pruned COO result drops.
+// Emits (bin index, sum) pairs for nonzero sums; returns the pair count.
+#define BINCOUNT_SUM_COMPACT(NAME, T, KT)                                                    \
+  int64_t NAME(const KT* keys, const T* w, int64_t n, int64_t n_bins, T* sums,              \
+               int64_t* out_idx, T* out_vals) {                                              \
+    for (int64_t b = 0; b < n_bins; ++b) sums[b] = T(0);                                     \
+    for (int64_t i = 0; i < n; ++i) sums[keys[i]] += w[i];                                   \
+    int64_t m = 0;                                                                           \
+    for (int64_t b = 0; b < n_bins; ++b) {                                                   \
+      T v = sums[b];                                                                         \
+      if (v != T(0)) {                                                                       \
+        out_idx[m] = b;                                                                      \
+        out_vals[m] = v;                                                                     \
+        ++m;                                                                                 \
+      }                                                                                      \
+    }                                                                                        \
+    return m;                                                                                \
+  }
+
+BINCOUNT_SUM_COMPACT(st_bincount_sum_compact_f64, double, int64_t)
+BINCOUNT_SUM_COMPACT(st_bincount_sum_compact_f32, float, int64_t)
+BINCOUNT_SUM_COMPACT(st_bincount_sum_compact_f64_i32, double, int32_t)
+BINCOUNT_SUM_COMPACT(st_bincount_sum_compact_f32_i32, float, int32_t)
+
 // One-pass grouped add-reduce over SORTED keys (the canonical leading-axis
 // case): emits each group's key, sum, and size. Replaces the
 // flatnonzero(diff) + reduceat + gather trio with a single stream.

@@ -318,6 +318,31 @@ def bincount_sum(keys, weights, n_bins):
     return sums, counts
 
 
+def bincount_sum_compact(keys, weights, n_bins):
+    """Sums-only weighted bincount fused with nonzero compaction: returns
+    ``(idx, vals)`` for the bins whose sum is nonzero (exactly the pruned
+    add-reduce result for zero fill), or None without the native lib."""
+    lib = get_lib()
+    if lib is None or weights.dtype not in (np.float64, np.float32):
+        return None
+    if keys.dtype == np.int32 and keys.flags.c_contiguous:
+        isuf = "_i32"
+        kp = keys.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+    else:
+        isuf = ""
+        keys = _c64(keys)
+        kp = _ip(keys)
+    weights = np.ascontiguousarray(weights)
+    sums = np.empty(n_bins, dtype=weights.dtype)
+    out_idx = np.empty(n_bins, dtype=np.int64)
+    out_vals = np.empty(n_bins, dtype=weights.dtype)
+    suf = "f64" if weights.dtype == np.float64 else "f32"
+    fn = getattr(lib, f"st_bincount_sum_compact_{suf}{isuf}")
+    fn.restype = ctypes.c_int64
+    m = fn(kp, _vp(weights), keys.shape[0], n_bins, _vp(sums), _ip(out_idx), _vp(out_vals))
+    return out_idx[:m], out_vals[:m]
+
+
 def unravel(keys, shape):
     """Row-major unravel of int64 keys into an (ndim, n) int64 coordinate
     matrix (threaded). Returns None when the native library is unavailable."""
