@@ -117,6 +117,52 @@ def test_spmm_nnz_balanced(mesh):
     np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-10)
 
 
+def test_nnz_balance_zipf_worst_case(mesh):
+    """Evidence behind docs/scaling.md's >=70% weak-scaling efficiency claim:
+    under a Zipf row-degree distribution (the adversarial case for row
+    partitioning) the nnz-balanced partitioner's worst shard must stay within
+    the provable bound  nnz/n + max_row_nnz  (a whole row can't be split),
+    and the resulting compute efficiency (mean/max shard load) must beat 70%
+    — while even-rows partitioning collapses on the same input."""
+    rng = np.random.default_rng(42)
+    M, K = 100_000, 2_000
+    # Zipf(1.3) row ids: a few hub rows carry a large share of the entries
+    raw = rng.zipf(1.3, size=400_000)
+    rows = (raw[raw <= M] - 1).astype(np.int64)
+    cols = rng.integers(0, K, size=rows.size)
+    # dedup coordinates
+    lin = np.unique(rows * K + cols)
+    rows, cols = lin // K, lin % K
+    data = rng.random(rows.size)
+    a = sparse.COO(np.stack([rows, cols]), data, shape=(M, K))
+    nnz = rows.size
+
+    p_nnz = partition_coo_rows(a, N_DEV, balance="nnz")
+    p_rows = partition_coo_rows(a, N_DEV, balance="rows")
+
+    def shard_loads(p):
+        return (np.asarray(p.data) != 0).sum(axis=1)
+
+    loads = shard_loads(p_nnz)
+    max_row_nnz = int(np.bincount(rows).max())
+    assert loads.sum() == nnz
+    # provable worst-case bound for quantile row splitting
+    assert loads.max() <= nnz / N_DEV + max_row_nnz
+    eff = loads.mean() / loads.max()
+    assert eff >= 0.70, f"nnz-balanced efficiency {eff:.2f} < 0.70"
+    # the even-rows split must be demonstrably worse on this input
+    eff_rows = shard_loads(p_rows).mean() / shard_loads(p_rows).max()
+    assert eff_rows < eff
+
+    # and the sharded SpMM on the balanced partition stays correct
+    b = rng.random((K, 4))
+    expected = a.tocsr() @ b  # scipy oracle: todense() at this shape is 1.6 GB
+    out = spmm_replicated(
+        partition_coo_rows(a, N_DEV, mesh=mesh, balance="nnz"), jnp.asarray(b), mesh
+    )
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-8)
+
+
 def test_checkpoint_roundtrip(tmp_path, mesh):
     from sparse_tpu.checkpoint import load_partitioned, save_partitioned
 
