@@ -891,6 +891,31 @@ class COO(SparseArray):
 
         return self._cached_layout("block_ell", block_rows, compute)
 
+    def to_row_ell(self, min_pad=8, max_tiers=16):
+        """Cached degree-sorted per-row ELL layout — the TPU unstructured
+        SpMM/SpMV fast path (``kernels.row_ell_spmm``); requires a 2-D
+        zero-fill matrix."""
+        from .._utils import check_zero_fill_value
+        from ..kernels.row_ell import build_row_ell
+
+        if self.ndim != 2:
+            raise ValueError("row-ELL requires a 2-D matrix")
+        check_zero_fill_value(self, func_name="to_row_ell")
+
+        def compute():
+            coords = np.asarray(self.coords)
+            return build_row_ell(
+                coords[0],
+                coords[1],
+                np.asarray(self.data),
+                self.shape[0],
+                self.shape[1],
+                min_pad=min_pad,
+                max_tiers=max_tiers,
+            )
+
+        return self._cached_layout("row_ell", (min_pad, max_tiers), compute)
+
     def to_dia(self, max_bands=64, max_fill=8.0):
         """Cached DIA (banded) layout, or ``None`` when the matrix isn't
         usefully banded. The TPU-optimal layout for stencil matrices: the

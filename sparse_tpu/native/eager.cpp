@@ -677,11 +677,21 @@ void run_rows(const P* pa, int64_t n_rows, int64_t min_per_thread_shift, int64_t
 
 template <typename T, typename I>
 void csr_spmv(const I* pa, const I* ja, const T* va, int64_t n_rows, const T* x, T* out) {
-  run_rows(pa, n_rows, 19, 1, [&](int64_t r0, int64_t r1) {
+  // 4 accumulators break the FP-add dependency chain: with x resident in
+  // cache the plain  acc += v*x[j]  loop is add-LATENCY-bound (~4 cyc per
+  // nnz), not bandwidth-bound — measured 0.55 -> ~0.2 ms at 400k nnz
+  run_rows(pa, n_rows, 17, 1, [&](int64_t r0, int64_t r1) {
     for (int64_t r = r0; r < r1; ++r) {
-      T acc = T(0);
-      for (int64_t p = pa[r]; p < pa[r + 1]; ++p) acc += va[p] * x[ja[p]];
-      out[r] = acc;
+      int64_t p = pa[r], e = pa[r + 1];
+      T a0 = T(0), a1 = T(0), a2 = T(0), a3 = T(0);
+      for (; p + 4 <= e; p += 4) {
+        a0 += va[p] * x[ja[p]];
+        a1 += va[p + 1] * x[ja[p + 1]];
+        a2 += va[p + 2] * x[ja[p + 2]];
+        a3 += va[p + 3] * x[ja[p + 3]];
+      }
+      for (; p < e; ++p) a0 += va[p] * x[ja[p]];
+      out[r] = (a0 + a1) + (a2 + a3);
     }
   });
 }
