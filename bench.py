@@ -8,8 +8,9 @@ workload under a bandwidth-bound roofline: an SpMM must at minimum stream
 the gathered dense rows (nnz*N*itemsize), the index/data triplet, and the
 output from/to HBM. 1.0 == HBM-bound optimum — deliberately the strictest
 denominator. The measured practical floor for any scheme on this chip is
-~0.32 of it, and this kernel is at ~75% of that floor: the full phase
-decomposition and the 13 measured alternative formulations are in
+~0.32 of it, and the degree-sorted row-ELL kernel is at ~81% of that
+floor with every remaining microsecond pinned (gather issue rate,
+8-sublane physical padding, the XLA gather round-trip — all measured):
 docs/spmm_roofline.md.
 """
 
@@ -33,7 +34,7 @@ DTYPE = jnp.float32
 
 
 def main():
-    from sparse_tpu.kernels import build_block_ell, ell_spmm
+    from sparse_tpu.kernels import build_row_ell, row_ell_spmm
 
     rng = np.random.default_rng(0)
     lin = np.unique(rng.integers(0, M * K, size=NNZ, dtype=np.int64))
@@ -43,10 +44,10 @@ def main():
     dense = jnp.asarray(rng.random((K, N), dtype=np.float32), dtype=DTYPE)
     nnz = int(lin.size)
 
-    ell = build_block_ell(rows, cols, data, M, K)
+    re = build_row_ell(rows, cols, data, M, K)
 
     # correctness check of the FULL output against an f64 host oracle
-    out = ell_spmm(ell.e_rows, ell.e_cols, ell.e_data, dense, n_rows=M)
+    out = row_ell_spmm(re, dense)
     ref = np.zeros((M, N), dtype=np.float64)
     np.add.at(ref, rows, data[:, None] * np.asarray(dense, dtype=np.float64)[cols])
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-3, atol=1e-5)
@@ -58,8 +59,10 @@ def main():
     # is ~35 ms here and would otherwise inflate every iteration
     n_iters = 50
 
+    from sparse_tpu.kernels.row_ell import RowEll
+
     @jax.jit
-    def run(e_rows, e_cols, e_data, dense):
+    def run(tiers, perm_inv, dense):
         def body(carry, i):
             # Perturb BOTH the sparse values and the dense gather TABLE:
             # XLA's LICM hoists loop-invariant gathers out of the scan when
@@ -68,7 +71,9 @@ def main():
             # (docs/spmm_roofline.md "Measurement discipline").  Float
             # eps = i*1e-6 does not constant-fold (integer i - i would).
             eps = i.astype(jnp.float32) * 1e-6
-            out = ell_spmm(e_rows, e_cols, e_data + eps, dense + eps, n_rows=M)
+            tiers_p = tuple((c2, d2 + eps) for c2, d2 in tiers)
+            rep = RowEll(tiers_p, perm_inv, re.n_rows, re.n_cols, re.nz_rows)
+            out = row_ell_spmm(rep, dense + eps)
             return carry + out.ravel()[0], None
         acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(n_iters))
         return acc
@@ -85,9 +90,9 @@ def main():
         rtts.append(time.perf_counter() - t0)
     rtt = min(rtts)
 
-    float(run(ell.e_rows, ell.e_cols, ell.e_data, dense))  # compile + warm
+    float(run(re.tiers, re.perm_inv, dense))  # compile + warm
     start = time.perf_counter()
-    float(run(ell.e_rows, ell.e_cols, ell.e_data, dense))  # fetch forces sync
+    float(run(re.tiers, re.perm_inv, dense))  # fetch forces sync
     total = time.perf_counter() - start
     elapsed = max(total - rtt, total * 0.1) / n_iters
 

@@ -55,9 +55,9 @@ def device_bench(fn, args, iters=30, perturb=None):
     if perturb is None:
         def perturb(a, i):
             eps = i.astype(jnp.float32) * 1e-6
-            return tuple(
-                x + eps.astype(x.dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x
-                for x in a
+            return jax.tree_util.tree_map(
+                lambda x: x + eps.astype(x.dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+                a,
             )
 
     @jax.jit
@@ -116,19 +116,38 @@ def main():
     B = jnp.asarray(rng.random((K, 128), dtype=np.float32))
     x = jnp.asarray(rng.random(K, dtype=np.float32))
 
+    from sparse_tpu.kernels import build_row_ell, row_ell_spmm, row_ell_spmv
+    from sparse_tpu.kernels.row_ell import RowEll
+
+    rell = build_row_ell(r, c, d, M, K)
+
     if on("spmm"):
+        dt = device_bench(
+            lambda tiers, pinv, b: row_ell_spmm(
+                RowEll(tiers, pinv, rell.n_rows, rell.n_cols, rell.nz_rows), b
+            ),
+            (rell.tiers, rell.perm_inv, B),
+        )
+        emit("spmm", "jit", dt, "mnnz_per_s", lin.size / dt / 1e6)
         dt = device_bench(
             lambda er, ec, ed, b: ell_spmm(er, ec, ed, b, n_rows=M),
             (ell.e_rows, ell.e_cols, ell.e_data, B),
         )
-        emit("spmm", "jit", dt, "mnnz_per_s", lin.size / dt / 1e6)
+        emit("spmm_block_ell", "jit", dt, "mnnz_per_s", lin.size / dt / 1e6)
 
     if on("spmv"):
+        dt = device_bench(
+            lambda tiers, pinv, xx: row_ell_spmv(
+                RowEll(tiers, pinv, rell.n_rows, rell.n_cols, rell.nz_rows), xx
+            ),
+            (rell.tiers, rell.perm_inv, x),
+        )
+        emit("spmv", "jit", dt, "mnnz_per_s", lin.size / dt / 1e6)
         dt = device_bench(
             lambda er, ec, ed, xx: ell_spmv(er, ec, ed, xx, n_rows=M),
             (ell.e_rows, ell.e_cols, ell.e_data, x),
         )
-        emit("spmv", "jit", dt, "mnnz_per_s", lin.size / dt / 1e6)
+        emit("spmv_block_ell", "jit", dt, "mnnz_per_s", lin.size / dt / 1e6)
 
     if on("sddmm"):
         n_s = 10000

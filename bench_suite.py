@@ -78,22 +78,35 @@ def main():
     rng = np.random.default_rng(0)
     on_tpu = jax.default_backend() != "cpu"
 
-    # 1. unstructured SpMM (the bench.py workload)
+    # 1. unstructured SpMM (the bench.py workload) — row-ELL flagship
+    from sparse_tpu.kernels import build_row_ell, row_ell_spmm, row_ell_spmv
+    from sparse_tpu.kernels.row_ell import RowEll
+
     M = K = 1 << 16
     lin = np.unique(rng.integers(0, M * K, size=1 << 21, dtype=np.int64))
     r, c = (lin // K).astype(np.int32), (lin % K).astype(np.int32)
     d = rng.random(lin.size, dtype=np.float32)
-    ell = build_block_ell(r, c, d, M, K)
+    rell = build_row_ell(r, c, d, M, K)
     B = jnp.asarray(rng.random((K, 128), dtype=np.float32))
+
+    def _rell_spmm(tiers, perm_inv, b):
+        return row_ell_spmm(RowEll(tiers, perm_inv, rell.n_rows, rell.n_cols, rell.nz_rows), b)
+
+    dt = device_bench(_rell_spmm, (rell.tiers, rell.perm_inv, B))
+    rows_out.append(("SpMM 65k^2 nnz=2.1M N=128 f32 (row-ELL)", f"{dt * 1e3:.2f} ms", f"{lin.size / dt / 1e6:.0f}M nnz/s"))
+
+    ell = build_block_ell(r, c, d, M, K)
     dt = device_bench(lambda er, ec, ed, b: ell_spmm(er, ec, ed, b, n_rows=M), (ell.e_rows, ell.e_cols, ell.e_data, B))
-    rows_out.append(("SpMM 65k^2 nnz=2.1M N=128 f32 (block-ELL)", f"{dt * 1e3:.2f} ms", f"{lin.size / dt / 1e6:.0f}M nnz/s"))
+    rows_out.append(("SpMM same (block-ELL one-hot, comparison)", f"{dt * 1e3:.2f} ms", f"{lin.size / dt / 1e6:.0f}M nnz/s"))
 
-    # 2. SpMV
+    # 2. SpMV — row-ELL lane-gather flagship
     x = jnp.asarray(rng.random(K, dtype=np.float32))
-    from sparse_tpu.kernels import ell_spmv
 
-    dt = device_bench(lambda er, ec, ed, xx: ell_spmv(er, ec, ed, xx, n_rows=M), (ell.e_rows, ell.e_cols, ell.e_data, x))
-    rows_out.append(("SpMV same matrix", f"{dt * 1e3:.2f} ms", f"{lin.size / dt / 1e6:.0f}M nnz/s"))
+    def _rell_spmv(tiers, perm_inv, xx):
+        return row_ell_spmv(RowEll(tiers, perm_inv, rell.n_rows, rell.n_cols, rell.nz_rows), xx)
+
+    dt = device_bench(_rell_spmv, (rell.tiers, rell.perm_inv, x))
+    rows_out.append(("SpMV same matrix (row-ELL lane)", f"{dt * 1e3:.2f} ms", f"{lin.size / dt / 1e6:.0f}M nnz/s"))
 
     # 3. SDDMM (10k^2 dense pair @ 1e-4 mask)
     n_s = 10000

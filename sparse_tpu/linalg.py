@@ -212,22 +212,23 @@ def _as_matvec(A):
                     from .kernels import dia_spmv
 
                     return lambda v: dia_spmv(dia.offsets, dia.bands, v)
-            # block-ELL construction stages jnp ops — building it under an
+            # row-ELL construction stages jnp ops — building it under an
             # outer trace would cache tracers; reuse only a PRE-BUILT layout
-            # there, else keep the general kernel
+            # there, else keep the general kernel. (Degree-sorted row-ELL
+            # replaced block-ELL as the unstructured matvec: 5.8 vs 9.5 ms
+            # at the bench shape — docs/spmm_roofline.md.)
             if _under_trace():
-                ell = _peek_cached(A, "block_ell", 128)
-                if ell is None:
+                rell = _peek_cached(A, "row_ell", (8, 16))
+                if rell is None:
                     return functools.partial(jitops.spmv, A)
             else:
                 try:
-                    ell = A.to_block_ell()
+                    rell = A.to_row_ell()
                 except Exception:
                     return functools.partial(jitops.spmv, A)
-            from .kernels import ell_spmv
+            from .kernels import row_ell_spmv
 
-            n_rows = A.shape[0]
-            return lambda v: ell_spmv(ell.e_rows, ell.e_cols, ell.e_data, v, n_rows=n_rows)
+            return lambda v: row_ell_spmv(rell, v)
         # GCXS operands: banded square matrices get the DIA upgrade too
         # (host-pure conversion, memoized on the GCXS instance)
         from .core.gcxs import GCXS
@@ -257,12 +258,20 @@ def _as_matvec(A):
 
 
 def _peek_cached(A, op, key):
-    """Read an existing layout memo without computing (trace-safe)."""
+    """Read an existing layout memo without computing (trace-safe).
+
+    ``COO._cached_layout`` stores ``[bufs, layout]`` entries guarded by
+    buffer identity — unwrap them (and refuse a stale entry whose buffers
+    were replaced) rather than handing the wrapper to the kernel."""
     cache = getattr(A, "_cache", None)
     if not cache or op not in cache:
         return None
     for k, v in cache[op]:
         if k == key:
+            if isinstance(v, list) and len(v) == 2 and isinstance(v[0], tuple):
+                if any(x is not y for x, y in zip(v[0], (A.coords, A.data))):
+                    return None
+                return v[1]
             return v
     return None
 

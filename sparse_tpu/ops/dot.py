@@ -418,15 +418,15 @@ def _spmm_dense_accelerator(a, b):
         return None
     import jax.numpy as jnp
 
-    from ..kernels.ell import ell_spmm, ell_spmv
+    from ..kernels.row_ell import row_ell_spmm, row_ell_spmv
 
-    ell = a.to_block_ell()
+    rell = a.to_row_ell()
+    # the row-ELL kernels promote internally (result_type of data and dense)
     bj = jnp.asarray(np.asarray(b), dtype=dt)
-    data = ell.e_data if np.asarray(ell.e_data).dtype == dt else jnp.asarray(ell.e_data, dtype=dt)
     if np.asarray(b).ndim == 1:
-        out = ell_spmv(ell.e_rows, ell.e_cols, data, bj, n_rows=a.shape[0])
+        out = row_ell_spmv(rell, bj)
     else:
-        out = ell_spmm(ell.e_rows, ell.e_cols, data, bj, n_rows=a.shape[0])
+        out = row_ell_spmm(rell, bj)
     return np.asarray(out)
 
 
