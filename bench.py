@@ -72,7 +72,7 @@ def main():
             # eps = i*1e-6 does not constant-fold (integer i - i would).
             eps = i.astype(jnp.float32) * 1e-6
             tiers_p = tuple((c2, d2 + eps) for c2, d2 in tiers)
-            rep = RowEll(tiers_p, perm_inv, re.n_rows, re.n_cols, re.nz_rows)
+            rep = re._replace(tiers=tiers_p, perm_inv=perm_inv)
             out = row_ell_spmm(rep, dense + eps)
             return carry + out.ravel()[0], None
         acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(n_iters))

@@ -1,19 +1,30 @@
 """Degree-sorted per-row ELL — the unstructured SpMM/SpMV fast path.
 
 Rows are relabeled by descending nnz count so consecutive rows have
-near-uniform width; rows of the same quantized width class share a tier
-padded to the class width (multiples of 8 — the f32 sublane tile — so the
-gather's (r, w, N) output layout is physically exact).  The SpMM is then,
-per tier::
+near-uniform width; rows of the same width class share a tier.  Two
+physical layouts:
 
-    out_tier = (data[:, :, None] * dense[cols]).sum(axis=1)
+**Grouped (default, ``group=16``)**: tiers keep EXACT per-degree widths
+(merged down to ``max_tiers`` classes) and store indices/data as
+``(r/G, w, G)`` — the physical f32 tile covers the trailing ``(G, 128)``
+dims of the gathered ``(r/G, w, G, N)`` block, so the free middle ``w``
+pays **zero sublane padding** (the round-1 ``(r, w)`` layout quantized w
+to multiples of 8: x1.109 fake entries at the bench density).  The
+traversal also interleaves G degree-sorted rows' ascending column runs,
+measurably closer to sorted order (700 GB/s vs 640 for a ``(w, r)``
+transpose and 605 for G=8).  The SpMM is then, per tier::
+
+    out_tier = (data[:, :, :, None] * dense[cols]).sum(axis=1)
 
 a uniform segmented reduction with **no one-hot and no MXU**: exact f32
-accumulation, measured 794 GB/s on the reduce phase (v5e) vs ~400 GB/s for
-the one-hot einsum scatter of the block-ELL form (`kernels/ell.py`), and
-~4.7-11% padding at the bench density.  Full study: docs/spmm_roofline.md
-(the gather's HBM round-trip is unavoidable: XLA never fuses gathers into
-reduce or elementwise fusion roots — measured, probes P1-P3).
+accumulation, and the ``(r/G, G, N) -> (r, N)`` reshape is a physical
+no-op (same tile bytes).  Measured on v5e at the bench shape (65k^2,
+2.1M nnz, N=128): 4.74 ms = 442 M nnz/s vs 5.18 ms for the round-1
+layout and 5.6 ms for the one-hot block-ELL.  Full study incl. the
+rejected (w, r) transpose and G sweep: docs/spmm_roofline.md.
+
+**Legacy (``group=0``)**: ``(r, w)`` tiers with w quantized to multiples
+of ``min_pad`` — kept for layout A/B comparison in bench_suite.
 
 Replaces the reference's 1-D Numba CSR dot kernels
 (/root/reference/sparse/numba_backend/_common.py:672-744) as the
@@ -34,10 +45,11 @@ import jax.numpy as jnp
 class RowEll(NamedTuple):
     """Tiered, degree-sorted per-row ELL layout of a 2-D sparse matrix.
 
-    ``tiers``: tuple of ``(cols, data)`` pairs, each ``(r_t, w_t)`` —
-    relabeled rows ``sum(r_1..r_{t-1}) .. +r_t`` with their column ids and
-    values, zero-padded to the tier width.  ``perm_inv`` maps original row
-    ids to relabeled positions (``out_original = out_relabeled[perm_inv]``).
+    ``tiers``: tuple of ``(cols, data)`` pairs — grouped layout arrays of
+    shape ``(r_t/G, w_t, G)`` (or legacy ``(r_t, w_t)``) holding the
+    relabeled rows' column ids and values, zero-padded to the tier shape.
+    ``perm_inv`` maps original row ids to positions in the concatenated
+    per-tier output (``out_original = out_relabeled[perm_inv]``).
     """
 
     tiers: tuple
@@ -47,52 +59,67 @@ class RowEll(NamedTuple):
     nz_rows: int
 
 
-def build_row_ell(rows, cols, data, n_rows, n_cols, min_pad=8, max_tiers=16):
-    """Host-side preprocessing: degree-sort rows, quantize widths to
-    multiples of ``min_pad`` (keep it a multiple of 8: narrower tiers are
-    physically padded to the sublane tile anyway and measure ~1.5x slower
-    gathers), merge adjacent width classes until at most ``max_tiers``.
-    """
+def _merge_bounds(bounds, max_tiers):
+    """Greedily merge adjacent width classes (narrower pads up to the
+    wider width), always taking the cheapest merge, until bounded."""
+    while len(bounds) > max_tiers:
+        costs = [
+            (bounds[i + 1][1] - bounds[i + 1][0]) * (bounds[i][2] - bounds[i + 1][2])
+            for i in range(len(bounds) - 1)
+        ]
+        i = int(np.argmin(costs))
+        bounds[i] = (bounds[i][0], bounds[i + 1][1], bounds[i][2])
+        del bounds[i + 1]
+    return bounds
+
+
+def build_row_ell(rows, cols, data, n_rows, n_cols, min_pad=8, max_tiers=None, group=16):
+    """Host-side preprocessing: degree-sort rows, tier them by width
+    class, lay each tier out grouped ``(r/G, w, G)`` (``group>0``, exact
+    widths, default) or legacy ``(r, w)`` (``group=0``, widths quantized
+    to multiples of ``min_pad``)."""
     rows = np.asarray(rows)
     cols = np.asarray(cols)
     data = np.asarray(data)
     nnz = rows.shape[0]
+    if max_tiers is None:
+        max_tiers = 32 if group else 16
 
     counts = np.bincount(rows, minlength=n_rows) if nnz else np.zeros(n_rows, dtype=np.int64)
     perm = np.argsort(-counts, kind="stable")  # relabeled -> original
-    perm_inv = np.empty(n_rows, dtype=np.int64)
-    perm_inv[perm] = np.arange(n_rows)
     sorted_counts = counts[perm]
     nz_rows = int((sorted_counts > 0).sum())
 
     tiers = []
+    pos_of_sorted = np.empty(n_rows, dtype=np.int64)
+    off = 0
     if nz_rows:
         order = np.argsort(rows, kind="stable")
         cols_s = cols[order]
         data_s = data[order]
         indptr = np.concatenate([[0], np.cumsum(counts)])
 
-        cls = -(-sorted_counts[:nz_rows] // min_pad)  # ceil width class
-        b = np.flatnonzero(np.diff(cls)) + 1
-        bounds = [
-            (int(s), int(e), int(cls[s]) * min_pad)
-            for s, e in zip(np.concatenate([[0], b]), np.concatenate([b, [nz_rows]]))
-        ]
-        # merge adjacent classes (narrower pads up to the wider width),
-        # always taking the cheapest merge, until the tier count is bounded
-        while len(bounds) > max_tiers:
-            costs = [
-                (bounds[i + 1][1] - bounds[i + 1][0]) * (bounds[i][2] - bounds[i + 1][2])
-                for i in range(len(bounds) - 1)
+        w_of = sorted_counts[:nz_rows]
+        if group:
+            b = np.flatnonzero(np.diff(w_of)) + 1
+            bounds = [
+                (int(s), int(e), int(w_of[s]))
+                for s, e in zip(np.concatenate([[0], b]), np.concatenate([b, [nz_rows]]))
             ]
-            i = int(np.argmin(costs))
-            bounds[i] = (bounds[i][0], bounds[i + 1][1], bounds[i][2])
-            del bounds[i + 1]
+        else:
+            cls = -(-w_of // min_pad)  # ceil width class
+            b = np.flatnonzero(np.diff(cls)) + 1
+            bounds = [
+                (int(s), int(e), int(cls[s]) * min_pad)
+                for s, e in zip(np.concatenate([[0], b]), np.concatenate([b, [nz_rows]]))
+            ]
+        bounds = _merge_bounds(bounds, max_tiers)
 
         for start, end, w in bounds:
             r = end - start
-            c2 = np.zeros((r, w), dtype=np.int32)
-            d2 = np.zeros((r, w), dtype=data.dtype)
+            rp = -(-r // group) * group if group else r
+            c2 = np.zeros((rp, w), dtype=np.int32)
+            d2 = np.zeros((rp, w), dtype=data.dtype)
             orig = perm[start:end]
             s = indptr[orig]
             cnt = indptr[orig + 1] - s
@@ -101,8 +128,29 @@ def build_row_ell(rows, cols, data, n_rows, n_cols, min_pad=8, max_tiers=16):
             src = np.repeat(s, cnt) + pos
             c2[rr, pos] = cols_s[src].astype(np.int32)
             d2[rr, pos] = data_s[src]
-            tiers.append((jnp.asarray(c2), jnp.asarray(d2)))
+            if group:
+                # rows within the tier sorted by first column id: keeps the
+                # interleaved gather order marginally closer to ascending
+                key = np.full(rp, np.iinfo(np.int64).max)  # dummy pad rows last
+                key[:r] = cols_s[s]  # every tier row has >=1 entry
+                o = np.argsort(key, kind="stable")
+                inv_o = np.empty(rp, dtype=np.int64)
+                inv_o[o] = np.arange(rp)
+                c2 = c2[o]
+                d2 = d2[o]
+                c3 = np.ascontiguousarray(c2.reshape(rp // group, group, w).transpose(0, 2, 1))
+                d3 = np.ascontiguousarray(d2.reshape(rp // group, group, w).transpose(0, 2, 1))
+                tiers.append((jnp.asarray(c3), jnp.asarray(d3)))
+                pos_of_sorted[start:end] = off + inv_o[np.arange(r)]
+            else:
+                tiers.append((jnp.asarray(c2), jnp.asarray(d2)))
+                pos_of_sorted[start:end] = off + np.arange(r)
+            off += rp
 
+    # zero-nnz rows read from the trailing zero block
+    pos_of_sorted[nz_rows:n_rows] = off + np.arange(n_rows - nz_rows)
+    perm_inv = np.empty(n_rows, dtype=np.int64)
+    perm_inv[perm] = pos_of_sorted
     return RowEll(
         tuple(tiers),
         jnp.asarray(perm_inv, dtype=jnp.int32),
@@ -117,9 +165,13 @@ def _spmm(tiers, perm_inv, dense, *, n_rows, nz_rows):
     n = dense.shape[1]
     dt = jnp.result_type(dense.dtype, tiers[0][1].dtype if tiers else dense.dtype)
     outs = []
-    for c2, d2 in tiers:
-        g = jnp.take(dense, c2, axis=0)  # (r, w, n) straight from the gather
-        outs.append((d2.astype(dt)[:, :, None] * g.astype(dt)).sum(axis=1))
+    for c, d in tiers:
+        g = jnp.take(dense, c, axis=0)  # grouped (r/G, w, G, n) / legacy (r, w, n)
+        if c.ndim == 3:
+            o = (d.astype(dt)[:, :, :, None] * g.astype(dt)).sum(axis=1)  # (r/G, G, n)
+            outs.append(o.reshape(-1, n))  # physical no-op: tile covers (G, n)
+        else:
+            outs.append((d.astype(dt)[:, :, None] * g.astype(dt)).sum(axis=1))
     pad = jnp.zeros((n_rows - nz_rows, n), dtype=dt)
     out_sorted = jnp.concatenate(outs + [pad], axis=0) if outs else pad
     return jnp.take(out_sorted, perm_inv, axis=0)
@@ -139,13 +191,14 @@ def _spmv(tiers, perm_inv, x, *, n_rows, nz_rows, lane_gather):
         kp = -(-k // 128) * 128
         xp = jnp.pad(x, (0, kp - k)).reshape(-1, 128)
         lanes = jnp.arange(128, dtype=jnp.int32)
-    for c2, d2 in tiers:
+    for c, d in tiers:
         if lane_gather:
-            g = jnp.take(xp, c2 // 128, axis=0)  # (r, w, 128)
-            sel = jnp.where((c2 % 128)[:, :, None] == lanes[None, None, :], g, 0).sum(axis=2)
+            g = jnp.take(xp, c // 128, axis=0)  # (..., w, [G,] 128)
+            sel = jnp.where((c % 128)[..., None] == lanes, g, 0).sum(axis=-1)
         else:
-            sel = jnp.take(x, c2)
-        outs.append((d2.astype(dt) * sel.astype(dt)).sum(axis=1))
+            sel = jnp.take(x, c)
+        o = (d.astype(dt) * sel.astype(dt)).sum(axis=1)
+        outs.append(o.reshape(-1) if c.ndim == 3 else o)
     pad = jnp.zeros(n_rows - nz_rows, dtype=dt)
     out_sorted = jnp.concatenate(outs + [pad]) if outs else pad
     return jnp.take(out_sorted, perm_inv)

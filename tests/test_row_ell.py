@@ -45,8 +45,7 @@ def test_row_ell_spmm_matches_dense(shape, density, skew):
         np.testing.assert_allclose(np.asarray(outv), ref_v, rtol=1e-10, atol=1e-12)
 
 
-def test_row_ell_tier_structure():
-    # widths quantized to multiples of min_pad; tier count capped by merge
+def _tier_problem():
     rng = np.random.default_rng(0)
     m, k = 500, 400
     rows = np.repeat(np.arange(m), rng.integers(0, 40, size=m))
@@ -54,12 +53,17 @@ def test_row_ell_tier_structure():
     lin = np.unique(rows * k + cols)
     rows, cols = lin // k, lin % k
     data = rng.standard_normal(lin.size)
+    return m, k, rows, cols, data
 
-    re = build_row_ell(rows, cols, data, m, k, min_pad=8, max_tiers=4)
+
+def test_row_ell_tier_structure_legacy():
+    # legacy (r, w): widths quantized to multiples of min_pad; merge-capped
+    m, k, rows, cols, data = _tier_problem()
+    re = build_row_ell(rows, cols, data, m, k, min_pad=8, max_tiers=4, group=0)
     assert len(re.tiers) <= 4
     counts = np.bincount(rows, minlength=m)
     for c2, d2 in re.tiers:
-        assert c2.shape[1] % 8 == 0
+        assert c2.ndim == 2 and c2.shape[1] % 8 == 0
         assert c2.shape == d2.shape
     # every row's entries survive with padding zero-valued
     total_nnz = sum(int((np.asarray(d2) != 0).sum()) for _, d2 in re.tiers)
@@ -71,6 +75,30 @@ def test_row_ell_tier_structure():
         r, w = c2.shape
         assert w >= sorted_counts[start]
         start += r
+
+
+def test_row_ell_tier_structure_grouped():
+    # grouped (r/G, w, G): exact tier widths, rows padded to the group
+    m, k, rows, cols, data = _tier_problem()
+    re = build_row_ell(rows, cols, data, m, k, max_tiers=6, group=16)
+    assert len(re.tiers) <= 6
+    counts = np.bincount(rows, minlength=m)
+    sorted_counts = np.sort(counts)[::-1]
+    start = 0
+    for c3, d3 in re.tiers:
+        assert c3.ndim == 3 and c3.shape[2] == 16
+        assert c3.shape == d3.shape
+        w = c3.shape[1]
+        assert w >= sorted_counts[start]
+        start += c3.shape[0] * c3.shape[2]
+    total_nnz = sum(int((np.asarray(d3) != 0).sum()) for _, d3 in re.tiers)
+    assert total_nnz == int((data != 0).sum())
+    # matvec correctness through the grouped layout
+    x = np.random.default_rng(5).standard_normal(k)
+    ref = np.zeros(m)
+    np.add.at(ref, rows, data * x[cols])
+    out = row_ell_spmv(re, jnp.asarray(x), lane_gather=True)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-10, atol=1e-12)
 
 
 def test_row_ell_empty_and_degenerate():
