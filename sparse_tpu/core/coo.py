@@ -891,10 +891,11 @@ class COO(SparseArray):
 
         return self._cached_layout("block_ell", block_rows, compute)
 
-    def to_row_ell(self, min_pad=8, max_tiers=16):
+    def to_row_ell(self, min_pad=8, max_tiers=None, group=16):
         """Cached degree-sorted per-row ELL layout — the TPU unstructured
         SpMM/SpMV fast path (``kernels.row_ell_spmm``); requires a 2-D
-        zero-fill matrix."""
+        zero-fill matrix.  ``group=16`` (default) builds the exact-width
+        grouped ``(r/G, w, G)`` layout; ``group=0`` the legacy ``(r, w)``."""
         from .._utils import check_zero_fill_value
         from ..kernels.row_ell import build_row_ell
 
@@ -912,9 +913,10 @@ class COO(SparseArray):
                 self.shape[1],
                 min_pad=min_pad,
                 max_tiers=max_tiers,
+                group=group,
             )
 
-        return self._cached_layout("row_ell", (min_pad, max_tiers), compute)
+        return self._cached_layout("row_ell", (min_pad, max_tiers, group), compute)
 
     def to_dia(self, max_bands=64, max_fill=8.0):
         """Cached DIA (banded) layout, or ``None`` when the matrix isn't

@@ -218,7 +218,7 @@ def _as_matvec(A):
             # replaced block-ELL as the unstructured matvec: 5.8 vs 9.5 ms
             # at the bench shape — docs/spmm_roofline.md.)
             if _under_trace():
-                rell = _peek_cached(A, "row_ell", (8, 16))
+                rell = _peek_cached(A, "row_ell", (8, None, 16))
                 if rell is None:
                     return functools.partial(jitops.spmv, A)
             else:
