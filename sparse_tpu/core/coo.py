@@ -32,6 +32,19 @@ from .._utils import can_store, equivalent, index_dtype_for, normalize_axis, zer
 from .base import SparseArray
 
 
+class _LayoutEntry:
+    """Entry type for ``COO._cached_layout``: a built kernel layout guarded
+    by the identities of the buffers it was derived from.  A dedicated type
+    (rather than a bare list) so ``peek_layout`` can recognize entries
+    without structural duck-typing."""
+
+    __slots__ = ("bufs", "value")
+
+    def __init__(self, bufs, value):
+        self.bufs = bufs
+        self.value = value
+
+
 class _ShapeOnly:
     """Stand-in for the transposed 2-D array in ``_reduce_calc``'s fast path
     (``_reduce_return`` only reads ``.shape``)."""
@@ -234,11 +247,27 @@ class COO(SparseArray):
         if self._cache is None:
             self.enable_caching()
         bufs = (self.coords, self.data)
-        entry = self._cached(op, key, lambda: [bufs, compute()])
-        if any(a is not b for a, b in zip(entry[0], bufs)):
-            entry[0] = bufs
-            entry[1] = compute()
-        return entry[1]
+        entry = self._cached(op, key, lambda: _LayoutEntry(bufs, compute()))
+        if any(a is not b for a, b in zip(entry.bufs, bufs)):
+            entry.bufs = bufs
+            entry.value = compute()
+        return entry.value
+
+    def peek_layout(self, op, key):
+        """Read an existing layout memo without computing (trace-safe):
+        returns the cached layout or ``None``; refuses entries whose
+        buffers were replaced.  Used by ``linalg`` to reuse a pre-built
+        row-ELL/DIA layout under an outer trace, where building one would
+        cache tracers."""
+        cache = getattr(self, "_cache", None)
+        if not cache or op not in cache:
+            return None
+        for k, v in cache[op]:
+            if k == key and isinstance(v, _LayoutEntry):
+                if any(a is not b for a, b in zip(v.bufs, (self.coords, self.data))):
+                    return None
+                return v.value
+        return None
 
     # -- canonicalization ----------------------------------------------------------
     def linear_loc(self, signed=False):
@@ -916,7 +945,9 @@ class COO(SparseArray):
                 group=group,
             )
 
-        return self._cached_layout("row_ell", (min_pad, max_tiers, group), compute)
+        from ..kernels.row_ell import row_ell_cache_key
+
+        return self._cached_layout("row_ell", row_ell_cache_key(min_pad, max_tiers, group), compute)
 
     def to_dia(self, max_bands=64, max_fill=8.0):
         """Cached DIA (banded) layout, or ``None`` when the matrix isn't

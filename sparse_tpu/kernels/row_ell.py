@@ -59,6 +59,19 @@ class RowEll(NamedTuple):
     nz_rows: int
 
 
+def row_ell_cache_key(min_pad=8, max_tiers=None, group=16):
+    """Normalized cache key for a built layout: ``min_pad`` only affects
+    the legacy ``group=0`` layout (grouped tiers keep exact widths), so it
+    is normalized out of the key when ``group > 0`` — calls differing only
+    in ``min_pad`` share one cached layout."""
+    return (None if group else min_pad, max_tiers, group)
+
+
+# the key under which COO.to_row_ell() with all-default arguments caches —
+# shared with linalg's trace-path peek so the two can't drift
+ROW_ELL_DEFAULT_KEY = row_ell_cache_key()
+
+
 def _merge_bounds(bounds, max_tiers):
     """Greedily merge adjacent width classes (narrower pads up to the
     wider width), always taking the cheapest merge, until bounded."""
@@ -149,6 +162,10 @@ def build_row_ell(rows, cols, data, n_rows, n_cols, min_pad=8, max_tiers=None, g
 
     # zero-nnz rows read from the trailing zero block
     pos_of_sorted[nz_rows:n_rows] = off + np.arange(n_rows - nz_rows)
+    # positions include per-tier group padding, so they can exceed n_rows;
+    # they must still fit the int32 gather indices used on device
+    if off + (n_rows - nz_rows) > np.iinfo(np.int32).max:
+        raise ValueError("row-ELL padded row count exceeds int32 index range")
     perm_inv = np.empty(n_rows, dtype=np.int64)
     perm_inv[perm] = pos_of_sorted
     return RowEll(

@@ -218,7 +218,9 @@ def _as_matvec(A):
             # replaced block-ELL as the unstructured matvec: 5.8 vs 9.5 ms
             # at the bench shape — docs/spmm_roofline.md.)
             if _under_trace():
-                rell = _peek_cached(A, "row_ell", (8, None, 16))
+                from .kernels.row_ell import ROW_ELL_DEFAULT_KEY
+
+                rell = _peek_cached(A, "row_ell", ROW_ELL_DEFAULT_KEY)
                 if rell is None:
                     return functools.partial(jitops.spmv, A)
             else:
@@ -258,22 +260,10 @@ def _as_matvec(A):
 
 
 def _peek_cached(A, op, key):
-    """Read an existing layout memo without computing (trace-safe).
-
-    ``COO._cached_layout`` stores ``[bufs, layout]`` entries guarded by
-    buffer identity — unwrap them (and refuse a stale entry whose buffers
-    were replaced) rather than handing the wrapper to the kernel."""
-    cache = getattr(A, "_cache", None)
-    if not cache or op not in cache:
-        return None
-    for k, v in cache[op]:
-        if k == key:
-            if isinstance(v, list) and len(v) == 2 and isinstance(v[0], tuple):
-                if any(x is not y for x, y in zip(v[0], (A.coords, A.data))):
-                    return None
-                return v[1]
-            return v
-    return None
+    """Read an existing layout memo without computing (trace-safe) —
+    delegates to ``COO.peek_layout``, which owns the entry format."""
+    peek = getattr(A, "peek_layout", None)
+    return peek(op, key) if peek is not None else None
 
 
 def _solver_program(A, key, build):

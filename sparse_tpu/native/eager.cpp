@@ -679,7 +679,9 @@ template <typename T, typename I>
 void csr_spmv(const I* pa, const I* ja, const T* va, int64_t n_rows, const T* x, T* out) {
   // 4 accumulators break the FP-add dependency chain: with x resident in
   // cache the plain  acc += v*x[j]  loop is add-LATENCY-bound (~4 cyc per
-  // nnz), not bandwidth-bound — measured 0.55 -> ~0.2 ms at 400k nnz
+  // nnz), not bandwidth-bound — measured 0.55 -> ~0.2 ms at 400k nnz.
+  // This reassociates each row's sum, so low-order bits differ from a
+  // sequential (scipy-order) accumulation: parity checks use tolerances.
   run_rows(pa, n_rows, 17, 1, [&](int64_t r0, int64_t r1) {
     for (int64_t r = r0; r < r1; ++r) {
       int64_t p = pa[r], e = pa[r + 1];

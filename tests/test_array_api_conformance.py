@@ -33,9 +33,9 @@ import sparse_tpu as xp
 from sparse_tpu._utils import equivalent
 
 XFAILS = frozenset(
-    line.strip()
+    line.split("#", 1)[0].strip()
     for line in (pathlib.Path(__file__).parent / "array_api_xfails.txt").read_text().splitlines()
-    if line.strip() and not line.startswith("#")
+    if line.split("#", 1)[0].strip()
 )
 
 
