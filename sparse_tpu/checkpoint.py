@@ -61,7 +61,31 @@ def load_partitioned(path, mesh=None, axis_name="x") -> PartitionedCOO:
             import orbax.checkpoint as ocp
 
             ckptr = ocp.StandardCheckpointer()
-            arrays = ckptr.restore(arr_dir)
+            if mesh is not None:
+                # restore DIRECTLY onto the target mesh sharding (each
+                # process reads only its addressable shards — required in
+                # multi-process runs, where a replicated restore would
+                # produce arrays this process cannot even np.asarray)
+                try:
+                    from jax.sharding import NamedSharding, PartitionSpec as P
+
+                    sh = NamedSharding(mesh, P(axis_name, None))
+                    md = ckptr.metadata(arr_dir)
+                    md = getattr(md, "item_metadata", md)  # StepMetadata wrapper
+                    abstract = jax.tree_util.tree_map(
+                        lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype, sharding=sh), md
+                    )
+                    arrays = ckptr.restore(arr_dir, abstract)
+                    pcoo = PartitionedCOO(
+                        arrays["rows"], arrays["cols"], arrays["data"], tuple(meta["shape"]), meta["block_rows"]
+                    )
+                    if meta.get("row_starts"):
+                        pcoo.row_starts = np.asarray(meta["row_starts"], dtype=np.int64)
+                    return pcoo
+                except Exception:
+                    arrays = None
+            if arrays is None and jax.process_count() == 1:
+                arrays = ckptr.restore(arr_dir)
         except Exception:
             arrays = None
     if arrays is None:

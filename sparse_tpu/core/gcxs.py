@@ -404,7 +404,198 @@ class GCXS(SparseArray):
         new_compressed_axes = _validate_compressed_axes(self.shape, new_compressed_axes)
         if new_compressed_axes == self.compressed_axes:
             return self
-        return GCXS.from_coo(self.tocoo(), compressed_axes=new_compressed_axes)
+        return self._restructure(self.shape, compressed_axes=new_compressed_axes)
+
+    def _restructure(self, new_shape, axes=None, compressed_axes=None):
+        """Fused uncompress → relinearize → sort → rebuild — the direct
+        N-D restructuring path (the role of reference
+        ``_compressed/convert.py:210-273``), never materializing a COO.
+
+        Applies an optional axis permutation ``axes`` (transpose), then —
+        when ``new_shape`` differs from the permuted shape — a C-order
+        relinearization (reshape), and recompresses along
+        ``compressed_axes`` of the target shape.  Per-entry target keys are
+        computed with a handful of vectorized mixed-radix int ops directly
+        from ``(indptr-expanded row ids, indices)``; the reorder is the
+        same threaded counting-sort + per-row-sort kernel COO
+        canonicalization uses."""
+        comp = self.compressed_axes
+        uncomp = tuple(a for a in range(self.ndim) if a not in comp)
+        comp_shape = tuple(self.shape[a] for a in comp)
+        uncomp_shape = tuple(self.shape[a] for a in uncomp)
+        new_shape = tuple(int(d) for d in new_shape)
+        new_comp = _validate_compressed_axes(new_shape, compressed_axes)
+        new_uncomp = tuple(a for a in range(len(new_shape)) if a not in new_comp)
+        new_row_size = int(np.prod([new_shape[a] for a in new_comp], dtype=np.float64)) if new_comp else 1
+        new_col_size = int(np.prod([new_shape[a] for a in new_uncomp], dtype=np.float64)) if new_uncomp else 1
+
+        data = np.asarray(self.data)
+        nnz = data.shape[0]
+        from .._utils import get_out_dtype
+
+        if nnz == 0:
+            idx_dtype = get_out_dtype(np.asarray(self.indices).dtype, max(new_row_size, new_col_size))
+            return GCXS._make(
+                data,
+                np.zeros(0, dtype=idx_dtype),
+                np.zeros(new_row_size + 1, dtype=idx_dtype),
+                new_shape,
+                new_comp,
+                self.fill_value,
+            )
+
+        # 1. describe each entry's target (row, col) keys as mixed-radix
+        # term lists  key = Σ ((src // div) % mod) * mul  over the
+        # compressed-row id (src 0), the stored index (src 1), or — for
+        # reshape — an intermediate C-order linear index (src 2) with its
+        # own term list.  The lists are evaluated by a fused threaded C++
+        # kernel (``native.eager.relinearize``) or a generic numpy loop.
+        def base_term(a):
+            """(src, div, mod) extracting original axis ``a``'s digit."""
+            if a in comp:
+                i = comp.index(a)
+                div = int(np.prod(comp_shape[i + 1 :], dtype=np.float64)) if i + 1 < len(comp) else 1
+                return (0, div, 0 if i == 0 else self.shape[a])
+            i = uncomp.index(a)
+            div = int(np.prod(uncomp_shape[i + 1 :], dtype=np.float64)) if i + 1 < len(uncomp) else 1
+            return (1, div, 0 if i == 0 else self.shape[a])
+
+        # axis permutation (transpose); ``sig`` tracks the significance
+        # sequence (in TARGET axis labels) the entries are currently lex-
+        # sorted by — it decides how much reordering step 5 really needs
+        if axes is not None:
+            shapeP = tuple(self.shape[a] for a in axes)
+            pos = {a: p for p, a in enumerate(axes)}
+            sig = tuple(pos[a] for a in comp + uncomp)
+            src_axis = list(axes)
+        else:
+            shapeP = self.shape
+            sig = comp + uncomp
+            src_axis = list(range(self.ndim))
+
+        if new_shape != shapeP:
+            # C-order relinearization (reshape): the linear order survives
+            # the re-split only when the entries were in C order already
+            if int(np.prod(new_shape, dtype=np.float64)) != self.size:
+                raise ValueError(f"cannot reshape array of size {self.size} into shape {new_shape}")
+            sig = tuple(range(len(new_shape))) if sig == tuple(range(self.ndim)) else None
+            lin_terms = []
+            for i, a in enumerate(src_axis):
+                s, d, m = base_term(a)
+                stride = int(np.prod(shapeP[i + 1 :], dtype=np.float64)) if i + 1 < len(shapeP) else 1
+                lin_terms.append((s, d, m, stride))
+
+            def key_terms(axs):
+                terms = []
+                for i, a in enumerate(axs):
+                    div = int(np.prod(new_shape[a + 1 :], dtype=np.float64)) if a + 1 < len(new_shape) else 1
+                    mod = 0 if a == 0 else new_shape[a]
+                    mul = (
+                        int(np.prod([new_shape[b] for b in axs[i + 1 :]], dtype=np.float64))
+                        if i + 1 < len(axs)
+                        else 1
+                    )
+                    terms.append((2, div, mod, mul))
+                return terms
+
+        else:
+            lin_terms = []
+
+            def key_terms(axs):
+                terms = []
+                for i, a in enumerate(axs):
+                    s, d, m = base_term(src_axis[a])
+                    mul = (
+                        int(np.prod([new_shape[b] for b in axs[i + 1 :]], dtype=np.float64))
+                        if i + 1 < len(axs)
+                        else 1
+                    )
+                    terms.append((s, d, m, mul))
+                return terms
+
+        row_terms = key_terms(new_comp)
+        col_terms = key_terms(new_uncomp)
+
+        from ..native import eager as _eager
+
+        res = _eager.relinearize(np.asarray(self.indptr), np.asarray(self.indices), lin_terms, row_terms, col_terms)
+        if res is not None:
+            new_row, new_col = res
+        else:
+            crow = _uncompress_indptr_np(np.asarray(self.indptr))
+            idx = np.asarray(self.indices).astype(np.int64, copy=False)
+
+            def eval_terms(terms, lin):
+                key = np.zeros(nnz, dtype=np.int64)
+                for s, d, m, u in terms:
+                    v = (crow, idx, lin)[s]
+                    if d != 1:
+                        v = v // d
+                    if m:
+                        v = v % m
+                    key += v * u if u != 1 else v
+                return key
+
+            lin = eval_terms(lin_terms, None) if lin_terms else None
+            new_row = eval_terms(row_terms, lin)
+            new_col = eval_terms(col_terms, lin)
+
+        # 5. reorder — cheapest sufficient strategy, judged from ``sig``:
+        #    - sig == new_comp+new_uncomp: already sorted, just build indptr;
+        #    - sig minus new_comp == new_uncomp: one STABLE counting scatter
+        #      by new_row (ties are already col-ascending);
+        #    - else: threaded counting-sort + per-row sorts (canonicalize2d),
+        #      argsort of the packed key as the last fallback.
+        from ..native import build_indptr
+
+        idx_dtype = get_out_dtype(np.asarray(self.indices).dtype, max(new_row_size, new_col_size, nnz))
+        if sig is not None and sig == new_comp + new_uncomp:
+            indptr = build_indptr(new_row, new_row_size).astype(idx_dtype, copy=False)
+            return GCXS._make(
+                data.copy(), new_col.astype(idx_dtype, copy=False), indptr, new_shape, new_comp, self.fill_value
+            )
+        if (
+            sig is not None
+            and tuple(a for a in sig if a not in new_comp) == new_uncomp
+            and new_row_size <= max(4 * nnz, 1 << 22)
+        ):
+            from ..native import eager as _eager
+
+            res = _eager.transpose2d(new_col, new_row, data, new_row_size, want_rows=False)
+            if res is not None:
+                indptr, _, new_col, data = res
+                return GCXS._make(
+                    data,
+                    new_col.astype(idx_dtype, copy=False),
+                    indptr.astype(idx_dtype, copy=False),
+                    new_shape,
+                    new_comp,
+                    self.fill_value,
+                )
+        res = None
+        if data.dtype in (np.float64, np.float32):
+            from ..native import eager as _eager
+
+            res = _eager.canonicalize2d(new_row, new_col, data, new_row_size)
+        if res is not None:
+            new_row, new_col, data = res
+        else:
+            from ..native import argsort_i64
+
+            order = argsort_i64(new_row * new_col_size + new_col)
+            new_row = new_row[order]
+            new_col = new_col[order]
+            data = data[order]
+
+        indptr = build_indptr(new_row, new_row_size).astype(idx_dtype, copy=False)
+        return GCXS._make(
+            data,
+            new_col.astype(idx_dtype, copy=False),
+            indptr,
+            new_shape,
+            new_comp,
+            self.fill_value,
+        )
 
     # -- structural ops ---------------------------------------------------------------------
     def reshape(self, shape, order="C", compressed_axes=None):
@@ -416,6 +607,8 @@ class GCXS(SparseArray):
             shape = tuple([d if d != -1 else extra for d in shape])
         if self.shape == shape:
             return self
+        if len(shape) >= 2 and self.ndim >= 1:
+            return self._restructure(shape, compressed_axes=compressed_axes)
         coo = self.tocoo().reshape(shape)
         if len(shape) == 1:
             return GCXS.from_coo(coo)
@@ -439,8 +632,9 @@ class GCXS(SparseArray):
                 (1 - self.compressed_axes[0],),
                 self.fill_value,
             )
-        coo = self.tocoo().transpose(axes)
-        return GCXS.from_coo(coo, compressed_axes=compressed_axes)
+        return self._restructure(
+            tuple(self.shape[a] for a in axes), axes=axes, compressed_axes=compressed_axes
+        )
 
     def __getitem__(self, index):
         from ..ops.indexing import getitem

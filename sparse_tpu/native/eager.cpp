@@ -1136,3 +1136,135 @@ int st_transpose2d_bytes_i32(const int32_t* rows, const int32_t* cols, const cha
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Mixed-radix relinearization for GCXS restructuring (change_compressed_axes /
+// N-D reshape / N-D transpose): per stored entry with compressed-row id r
+// (expanded from indptr in-loop) and stored index j, compute
+//     key = sum_k ((src_k / div_k) % mod_k) * mul_k
+// for the target row and column keys, where src_k selects r (0), j (1) or an
+// optional intermediate C-order linear index (2) assembled from its own term
+// list (needed by reshape).  mod_k == 0 means "no modulo" (top digit).
+// Threaded over the indptr row ranges (same balanced split as
+// st_uncompress_indptr).  Replaces the reference's uncompress/relinearize
+// Numba kernels (sparse/numba_backend/_compressed/convert.py:210-273 role).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct RelinTerms {
+  int n;
+  const int8_t* src;
+  const int64_t* div;
+  const int64_t* mod;
+  const int64_t* mul;
+};
+
+// preprocessed term: power-of-two divisors/moduli become shifts/masks
+// (runtime int64 division is ~25 cycles; the bench shapes are all pow2)
+struct PreTerm {
+  int8_t src;
+  int8_t dshift;  // -1: real divide
+  int8_t mshift;  // -1: real modulo, -2: no modulo
+  int64_t div, mod, mul;
+};
+
+inline int8_t pow2_shift(int64_t v) {
+  if (v > 0 && (v & (v - 1)) == 0) {
+    int8_t s = 0;
+    while ((int64_t(1) << s) != v) ++s;
+    return s;
+  }
+  return -1;
+}
+
+inline std::vector<PreTerm> relin_pre(const RelinTerms& t) {
+  std::vector<PreTerm> out(t.n);
+  for (int k = 0; k < t.n; ++k) {
+    PreTerm p;
+    p.src = t.src[k];
+    p.div = t.div[k];
+    p.mod = t.mod[k];
+    p.mul = t.mul[k];
+    p.dshift = p.div == 1 ? 0 : pow2_shift(p.div);
+    p.mshift = p.mod == 0 ? -2 : pow2_shift(p.mod);
+    out[k] = p;
+  }
+  return out;
+}
+
+inline int64_t relin_eval(const std::vector<PreTerm>& terms, int64_t r, int64_t j, int64_t lin) {
+  int64_t key = 0;
+  for (const PreTerm& t : terms) {
+    int64_t s = t.src == 0 ? r : (t.src == 1 ? j : lin);
+    int64_t d = t.dshift >= 0 ? (s >> t.dshift) : (s / t.div);
+    if (t.mshift >= 0)
+      d &= (int64_t(1) << t.mshift) - 1;
+    else if (t.mshift == -1)
+      d %= t.mod;
+    key += d * t.mul;
+  }
+  return key;
+}
+
+template <typename I>
+void relinearize_impl(const int64_t* pc, int64_t n_rows, const I* idxs, const RelinTerms& lt,
+                      const RelinTerms& rt, const RelinTerms& ct, int64_t* out_row,
+                      int64_t* out_col) {
+  int64_t nnz = pc[n_rows];
+  std::vector<PreTerm> lp = relin_pre(lt), rp = relin_pre(rt), cp = relin_pre(ct);
+  auto work = [&](int64_t r0, int64_t r1) {
+    for (int64_t r = r0; r < r1; ++r) {
+      for (int64_t p = pc[r]; p < pc[r + 1]; ++p) {
+        int64_t j = (int64_t)idxs[p];
+        int64_t lin = lp.empty() ? 0 : relin_eval(lp, r, j, 0);
+        out_row[p] = relin_eval(rp, r, j, lin);
+        out_col[p] = relin_eval(cp, r, j, lin);
+      }
+    }
+  };
+  unsigned hw = std::thread::hardware_concurrency();
+  int t = (int)std::min<int64_t>(hw ? hw : 1, nnz >> 18);
+  if (t < 2) {
+    work(0, n_rows);
+    return;
+  }
+  std::vector<int64_t> s(t + 1, 0);
+  for (int i = 1; i < t; ++i) {
+    int64_t target = nnz * i / t;
+    s[i] = std::upper_bound(pc, pc + n_rows + 1, target) - pc - 1;
+    if (s[i] < s[i - 1]) s[i] = s[i - 1];
+  }
+  s[t] = n_rows;
+  std::vector<std::thread> ts;
+  for (int i = 1; i < t; ++i) ts.emplace_back(work, s[i], s[i + 1]);
+  work(s[0], s[1]);
+  for (auto& th : ts) th.join();
+}
+
+}  // namespace
+
+extern "C" {
+
+#define RELIN_ARGS                                                                        \
+  const int64_t *pc, int64_t n_rows, int nl, const int8_t *lsrc, const int64_t *ldiv,     \
+      const int64_t *lmod, const int64_t *lmul, int nr, const int8_t *rsrc,               \
+      const int64_t *rdiv, const int64_t *rmod, const int64_t *rmul, int nc,              \
+      const int8_t *csrc, const int64_t *cdiv, const int64_t *cmod, const int64_t *cmul,  \
+      int64_t *out_row, int64_t *out_col
+
+int st_relinearize_i64(RELIN_ARGS, const int64_t* idxs) {
+  relinearize_impl<int64_t>(pc, n_rows, idxs, {nl, lsrc, ldiv, lmod, lmul},
+                            {nr, rsrc, rdiv, rmod, rmul}, {nc, csrc, cdiv, cmod, cmul}, out_row,
+                            out_col);
+  return 0;
+}
+
+int st_relinearize_i32(RELIN_ARGS, const int32_t* idxs) {
+  relinearize_impl<int32_t>(pc, n_rows, idxs, {nl, lsrc, ldiv, lmod, lmul},
+                            {nr, rsrc, rdiv, rmod, rmul}, {nc, csrc, cdiv, cmod, cmul}, out_row,
+                            out_col);
+  return 0;
+}
+
+}  // extern "C"

@@ -153,6 +153,12 @@ def get_lib():
                 fn.argtypes = [
                     vpp, vpp, vpp, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, _i64p, vpp, vpp, vpp,
                 ]
+            _i8p = ctypes.POINTER(ctypes.c_int8)
+            _terms = [ctypes.c_int, _i8p, _i64p, _i64p, _i64p]
+            for isuf in ("i64", "i32"):
+                fn = getattr(lib, f"st_relinearize_{isuf}")
+                fn.restype = ctypes.c_int
+                fn.argtypes = [_i64p, ctypes.c_int64] + _terms * 3 + [_i64p, _i64p, vpp]
             _lib = lib
         except Exception:
             _lib = None
@@ -565,3 +571,42 @@ def dense_spmm_csrt(indptr, kids, vals, x, n_out):
     fn = getattr(lib, f"st_dense_spmm_csrt_{_suffix(va.dtype)}_{isuf}")
     fn(_ip(pn), _ivp(kids), _vp(va), n_out, _vp(x), m, k, _vp(out))
     return out
+
+
+def relinearize(indptr, indices, lin_terms, row_terms, col_terms):
+    """Fused indptr-expansion + mixed-radix target-key computation for GCXS
+    restructuring.  Each term list holds ``(src, div, mod, mul)`` tuples
+    (``src``: 0 = compressed-row id, 1 = stored index, 2 = the intermediate
+    linear index built from ``lin_terms``; ``mod`` 0 = no modulo) and the
+    produced key is ``sum(((src // div) % mod) * mul)``.  Returns
+    ``(new_row, new_col)`` int64 arrays or None when the library is
+    unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    pc = _c64(indptr)
+    indices = np.ascontiguousarray(indices)
+    isuf = "i32" if indices.dtype == np.int32 else "i64"
+    if isuf == "i64":
+        indices = indices.astype(np.int64, copy=False)
+    n_rows = len(pc) - 1
+    nnz = int(pc[-1])
+    out_row = np.empty(nnz, dtype=np.int64)
+    out_col = np.empty(nnz, dtype=np.int64)
+
+    def pack(terms):
+        src = np.ascontiguousarray([t[0] for t in terms], dtype=np.int8)
+        div = np.ascontiguousarray([t[1] for t in terms], dtype=np.int64)
+        mod = np.ascontiguousarray([t[2] for t in terms], dtype=np.int64)
+        mul = np.ascontiguousarray([t[3] for t in terms], dtype=np.int64)
+        return (
+            [len(terms), src.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)), _ip(div), _ip(mod), _ip(mul)],
+            (src, div, mod, mul),  # keepalive
+        )
+
+    la, lk = pack(lin_terms)
+    ra, rk = pack(row_terms)
+    ca, ck = pack(col_terms)
+    fn = getattr(lib, f"st_relinearize_{isuf}")
+    fn(_ip(pc), n_rows, *la, *ra, *ca, _ip(out_row), _ip(out_col), indices.ctypes.data_as(ctypes.c_void_p))
+    return out_row, out_col

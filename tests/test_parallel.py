@@ -371,3 +371,56 @@ def test_random_partitioned_matches_global_law():
     p2 = parallel.random_partitioned((1000, 100), density=0.02, n_shards=8, random_state=2)
     total = int((np.asarray(p2.data) != 0).sum())
     assert total == round(1000 * 100 * 0.02)
+
+
+def test_spmm_ring_hlo_overlap_tpu_aot():
+    """The whole premise of the ring schedule is that the ppermute rotation
+    overlaps the local contraction.  AOT-compile the ring step against a
+    deviceless 8-chip TPU topology (v5e:2x4) and assert the scheduled
+    module issues the rotation as an async ``collective-permute-start`` /
+    ``-done`` pair with the local compute scheduled BETWEEN them — overlap
+    by construction, not hope.  (The CPU-mesh compile keeps
+    collective-permute synchronous, so only the TPU target can express
+    this assertion.)"""
+    try:
+        from jax.experimental import topologies
+
+        topo = topologies.get_topology_desc(platform="tpu", topology_name="v5e:2x4")
+        devices = topo.devices
+    except Exception as e:  # no libtpu / plugin in this environment
+        pytest.skip(f"TPU topology unavailable: {e}")
+
+    from jax.sharding import Mesh
+    from sparse_tpu.parallel.sharding import _spmm_ring_fn
+
+    mesh_t = Mesh(np.array(devices), ("x",))
+    n_dev = len(devices)
+    block_rows, n_buckets, bcap, block_cols, n = 16, n_dev, 32, 16, 8
+
+    f = _spmm_ring_fn(mesh_t, "x", block_rows)
+    sh_trip = NamedSharding(mesh_t, P("x", None, None))
+    sh_dense = NamedSharding(mesh_t, P("x", None))
+    args = (
+        jax.ShapeDtypeStruct((n_dev, n_buckets, bcap), jnp.int32, sharding=sh_trip),
+        jax.ShapeDtypeStruct((n_dev, n_buckets, bcap), jnp.int32, sharding=sh_trip),
+        jax.ShapeDtypeStruct((n_dev, n_buckets, bcap), jnp.float32, sharding=sh_trip),
+        jax.ShapeDtypeStruct((n_dev * block_cols, n), jnp.float32, sharding=sh_dense),
+    )
+    txt = f.lower(*args).compile().as_text()
+
+    assert txt.count("collective-permute-start") >= 1, "rotation not lowered async"
+    assert txt.count("collective-permute-done") >= 1
+
+    # the local contraction must be scheduled between at least one
+    # start/done pair (true overlap in the instruction schedule)
+    overlap = False
+    for i, line in enumerate(lines := txt.splitlines()):
+        if "collective-permute-start" in line and "=" in line:
+            for after in lines[i + 1 :]:
+                if "collective-permute-done" in after:
+                    break
+                if "fusion" in after or "dot(" in after or "scatter" in after:
+                    overlap = True
+            if overlap:
+                break
+    assert overlap, "no compute scheduled between collective-permute start/done"
