@@ -97,10 +97,16 @@ def main():
     rng = np.random.default_rng(0)
     want = set(args.families.split(",")) if args.families else None
 
-    def emit(family, mode, ms, unit_name=None, unit_value=None):
+    HBM_BYTES_PER_S = 819e9  # v5e one core
+
+    def emit(family, mode, ms, unit_name=None, unit_value=None, min_bytes=None):
         row = {"family": family, "mode": mode, "ms": round(ms * 1e3, 4)}
         if unit_name:
             row[unit_name] = round(unit_value, 1)
+        if min_bytes is not None:
+            # fraction of the HBM-bandwidth speed-of-light (strictest
+            # denominator, same roofline style as bench.py)
+            row["vs_sol"] = round((min_bytes / HBM_BYTES_PER_S) / ms, 4)
         results.append(row)
         print(json.dumps(row), flush=True)
 
@@ -128,7 +134,8 @@ def main():
             ),
             (rell.tiers, rell.perm_inv, B),
         )
-        emit("spmm", "jit", dt, "mnnz_per_s", lin.size / dt / 1e6)
+        emit("spmm", "jit", dt, "mnnz_per_s", lin.size / dt / 1e6,
+             min_bytes=lin.size * 128 * 4 + lin.size * 12 + M * 128 * 4)
         dt = device_bench(
             lambda er, ec, ed, b: ell_spmm(er, ec, ed, b, n_rows=M),
             (ell.e_rows, ell.e_cols, ell.e_data, B),
@@ -142,7 +149,8 @@ def main():
             ),
             (rell.tiers, rell.perm_inv, x),
         )
-        emit("spmv", "jit", dt, "mnnz_per_s", lin.size / dt / 1e6)
+        emit("spmv", "jit", dt, "mnnz_per_s", lin.size / dt / 1e6,
+             min_bytes=lin.size * 12 + (M + K) * 4)
         dt = device_bench(
             lambda er, ec, ed, xx: ell_spmv(er, ec, ed, xx, n_rows=M),
             (ell.e_rows, ell.e_cols, ell.e_data, x),
@@ -158,7 +166,23 @@ def main():
         A1 = jnp.asarray(rng.random((n_s, 128), dtype=np.float32))
         B1 = jnp.asarray(rng.random((128, n_s), dtype=np.float32))
         dt = device_bench(sddmm, (sr, sc, sd, A1, B1))
-        emit("sddmm", "jit", dt, "mnnz_per_s", s.nnz / dt / 1e6)
+        emit("sddmm", "jit", dt, "mnnz_per_s", s.nnz / dt / 1e6,
+             min_bytes=s.nnz * (2 * 128 * 4 + 16))
+
+    if on("mttkrp"):
+        from sparse_tpu.kernels import mttkrp
+
+        t3 = sparse.random((1000, 1000, 100), density=1e-4, random_state=12)
+        ci, cj, ck = (jnp.asarray(np.asarray(t3.coords[i])) for i in range(3))
+        tv = jnp.asarray(np.asarray(t3.data).astype(np.float32))
+        Cm = jnp.asarray(rng.random((1000, 25), dtype=np.float32))
+        Dm = jnp.asarray(rng.random((100, 25), dtype=np.float32))
+        dt = device_bench(
+            lambda a, b, c_, v, e, f: mttkrp(a, b, c_, v, e, f, n_rows=1000),
+            (ci, cj, ck, tv, Cm, Dm),
+        )
+        emit("mttkrp", "jit", dt, "mnnz_per_s", t3.nnz / dt / 1e6,
+             min_bytes=t3.nnz * (3 * 25 * 4 + 16))
 
     if on("spgemm"):
         from sparse_tpu.jitops import spgemm as jit_spgemm

@@ -69,6 +69,16 @@ def host_bench(fn, iters=5):
     return (time.perf_counter() - t) / iters
 
 
+HBM_BYTES_PER_S = 819e9  # v5e one core
+
+
+def _vs_sol(dt, min_bytes):
+    """Fraction of the HBM-bandwidth speed-of-light a kernel reaches: the
+    same strictest-denominator roofline style bench.py uses (min_bytes =
+    the bytes ANY scheme must stream)."""
+    return f"{(min_bytes / HBM_BYTES_PER_S) / dt:.2f} SoL"
+
+
 def main():
     import sparse_tpu as sparse
     from sparse_tpu.kernels import build_block_ell, ell_spmm, mttkrp, sddmm
@@ -93,7 +103,14 @@ def main():
         return row_ell_spmm(RowEll(tiers, perm_inv, rell.n_rows, rell.n_cols, rell.nz_rows), b)
 
     dt = device_bench(_rell_spmm, (rell.tiers, rell.perm_inv, B))
-    rows_out.append(("SpMM 65k^2 nnz=2.1M N=128 f32 (row-ELL)", f"{dt * 1e3:.2f} ms", f"{lin.size / dt / 1e6:.0f}M nnz/s"))
+    spmm_bytes = lin.size * 128 * 4 + lin.size * 12 + M * 128 * 4
+    rows_out.append(
+        (
+            "SpMM 65k^2 nnz=2.1M N=128 f32 (row-ELL)",
+            f"{dt * 1e3:.2f} ms",
+            f"{lin.size / dt / 1e6:.0f}M nnz/s, {_vs_sol(dt, spmm_bytes)}",
+        )
+    )
 
     ell = build_block_ell(r, c, d, M, K)
     dt = device_bench(lambda er, ec, ed, b: ell_spmm(er, ec, ed, b, n_rows=M), (ell.e_rows, ell.e_cols, ell.e_data, B))
@@ -106,7 +123,14 @@ def main():
         return row_ell_spmv(RowEll(tiers, perm_inv, rell.n_rows, rell.n_cols, rell.nz_rows), xx)
 
     dt = device_bench(_rell_spmv, (rell.tiers, rell.perm_inv, x))
-    rows_out.append(("SpMV same matrix (row-ELL lane)", f"{dt * 1e3:.2f} ms", f"{lin.size / dt / 1e6:.0f}M nnz/s"))
+    spmv_bytes = lin.size * 12 + (M + K) * 4  # triplet stream + x + out
+    rows_out.append(
+        (
+            "SpMV same matrix (row-ELL lane)",
+            f"{dt * 1e3:.2f} ms",
+            f"{lin.size / dt / 1e6:.0f}M nnz/s, {_vs_sol(dt, spmv_bytes)}",
+        )
+    )
 
     # 3. SDDMM (10k^2 dense pair @ 1e-4 mask)
     n_s = 10000
@@ -117,7 +141,15 @@ def main():
     A1 = jnp.asarray(rng.random((n_s, 128), dtype=np.float32))
     B1 = jnp.asarray(rng.random((128, n_s), dtype=np.float32))
     dt = device_bench(sddmm, (sr, sc, sd, A1, B1))
-    rows_out.append(("SDDMM 10k^2 K=128 mask@1e-4", f"{dt * 1e3:.2f} ms", f"{s.nnz / dt / 1e6:.0f}M nnz/s"))
+    # any scheme must stream two K-vectors per sample plus the triplet
+    sddmm_bytes = s.nnz * (2 * 128 * 4 + 16)
+    rows_out.append(
+        (
+            "SDDMM 10k^2 K=128 mask@1e-4",
+            f"{dt * 1e3:.2f} ms",
+            f"{s.nnz / dt / 1e6:.0f}M nnz/s, {_vs_sol(dt, sddmm_bytes)}",
+        )
+    )
 
     # 4. MTTKRP (reference example shape)
     t3 = sparse.random((1000, 1000, 100), density=1e-4, random_state=2)
@@ -126,7 +158,15 @@ def main():
     C = jnp.asarray(rng.random((1000, 25), dtype=np.float32))
     D = jnp.asarray(rng.random((100, 25), dtype=np.float32))
     dt = device_bench(lambda a, b, c_, v, e, f: mttkrp(a, b, c_, v, e, f, n_rows=1000), (ci, cj, ck, tv, C, D))
-    rows_out.append(("MTTKRP 1000x1000x100 J=25 @1e-4", f"{dt * 1e3:.2f} ms", f"{t3.nnz / dt / 1e6:.0f}M nnz/s"))
+    # two J-vectors read + one J-vector accumulated per entry + triplet
+    mttkrp_bytes = t3.nnz * (3 * 25 * 4 + 16)
+    rows_out.append(
+        (
+            "MTTKRP 1000x1000x100 J=25 @1e-4",
+            f"{dt * 1e3:.2f} ms",
+            f"{t3.nnz / dt / 1e6:.0f}M nnz/s, {_vs_sol(dt, mttkrp_bytes)}",
+        )
+    )
 
     # 5. BSR pallas (TPU only)
     if on_tpu:

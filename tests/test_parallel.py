@@ -424,3 +424,15 @@ def test_spmm_ring_hlo_overlap_tpu_aot():
             if overlap:
                 break
     assert overlap, "no compute scheduled between collective-permute start/done"
+
+
+def test_adversarial_shard_shapes(mesh):
+    """Ragged/degenerate partitions (VERDICT r2 item 7): m,k,n coprime to
+    the device count, a zero-nnz shard, nnz-balanced with empty blocks,
+    and a 2-D mesh whose factors divide neither M nor N."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+
+    ge._dryrun_adversarial(mesh, N_DEV)
