@@ -26,6 +26,7 @@ import sys
 import time
 
 sys.path.insert(0, "/root/repo")
+sys.setrecursionlimit(100000)
 
 import numpy as np
 

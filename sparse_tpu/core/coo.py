@@ -675,9 +675,41 @@ class COO(SparseArray):
 
             from .._utils import get_out_dtype
 
-            lin = self.linear_loc()
             # keep small input index dtypes, minimal upcast (uint8 -> uint16)
             idx_dtype = get_out_dtype(np.asarray(self.coords).dtype, max(shape) if shape else 0)
+            # 2-D -> 2-D with one column count dividing the other: the new
+            # coordinates are direct digit arithmetic on the old (no 64-bit
+            # linearization round trip) — the common matrix split/merge case
+            if self.ndim == 2 and len(shape) == 2 and self.nnz and all(shape):
+                k_old, k_new = self.shape[1], shape[1]
+                r = np.asarray(self.coords[0])
+                c = np.asarray(self.coords[1])
+                coords2 = None
+                if k_old % k_new == 0:
+                    q = k_old // k_new
+                    coords2 = np.empty((2, self.nnz), dtype=idx_dtype)
+                    np.floor_divide(c, k_new, out=coords2[1], casting="unsafe")
+                    np.multiply(r, q, out=coords2[0], casting="unsafe")
+                    coords2[0] += coords2[1]
+                    np.mod(c, k_new, out=coords2[1], casting="unsafe")
+                elif k_new % k_old == 0:
+                    q = k_new // k_old
+                    coords2 = np.empty((2, self.nnz), dtype=idx_dtype)
+                    np.floor_divide(r, q, out=coords2[0], casting="unsafe")
+                    np.mod(r, q, out=coords2[1], casting="unsafe")
+                    coords2[1] *= k_old
+                    coords2[1] += c.astype(idx_dtype, copy=False)
+                if coords2 is not None:
+                    return COO(
+                        coords2,
+                        self.data,
+                        shape=shape,
+                        has_duplicates=False,
+                        sorted=True,
+                        fill_value=self.fill_value,
+                    )
+
+            lin = self.linear_loc()
             native = (
                 _eager.unravel(lin, shape)
                 if self.nnz >= _eager.NATIVE_MIN_NNZ and all(shape)

@@ -739,20 +739,26 @@ class GCXS(SparseArray):
             n_sel = stop - start
         else:  # fancy: splice segments in pick order (duplicates allowed)
             sel_pos = payload
-            lo = indptr[sel_pos]
-            hi = indptr[sel_pos + 1]
-            counts = (hi - lo).astype(np.int64)
-            total = int(counts.sum())
-            if total:
-                ends = np.cumsum(counts)
-                within = np.arange(total, dtype=np.int64) - np.repeat(ends - counts, counts)
-                src = np.repeat(lo.astype(np.int64), counts) + within
-                sub_data = data[src]
-                sub_ind = indices[src]
+            from ..native import eager as _eager
+
+            res = _eager.csr_row_splice(indptr, indices, data, sel_pos)
+            if res is not None:
+                rel_indptr, sub_ind, sub_data = res
             else:
-                sub_data = data[:0]
-                sub_ind = indices[:0]
-            rel_indptr = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+                lo = indptr[sel_pos]
+                hi = indptr[sel_pos + 1]
+                counts = (hi - lo).astype(np.int64)
+                total = int(counts.sum())
+                if total:
+                    ends = np.cumsum(counts)
+                    within = np.arange(total, dtype=np.int64) - np.repeat(ends - counts, counts)
+                    src = np.repeat(lo.astype(np.int64), counts) + within
+                    sub_data = data[src]
+                    sub_ind = indices[src]
+                else:
+                    sub_data = data[:0]
+                    sub_ind = indices[:0]
+                rel_indptr = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
             n_sel = sel_pos.size
         comp_is_scalar = kind == "int"
 

@@ -1268,3 +1268,32 @@ int st_relinearize_i32(RELIN_ARGS, const int32_t* idxs) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// CSR fancy-row splice: pack rows picks[0..n_picks) of a CSR into a fresh
+// compact CSR (indices + values copied segment-wise, rel_indptr built in the
+// same pass).  One call replaces the repeat/cumsum/arange/gather numpy
+// pipeline in GCXS._getitem_fast (reference _compressed/indexing.py role).
+// Generic over index/value widths (byte copies).
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+int64_t st_csr_row_splice_bytes(const int64_t* pa, const char* ind, int64_t ind_isz,
+                                const char* dat, int64_t dat_isz, const int64_t* picks,
+                                int64_t n_picks, int64_t* rel_indptr, char* ind_out,
+                                char* dat_out) {
+  int64_t off = 0;
+  rel_indptr[0] = 0;
+  for (int64_t i = 0; i < n_picks; ++i) {
+    int64_t lo = pa[picks[i]], hi = pa[picks[i] + 1];
+    int64_t cnt = hi - lo;
+    std::memcpy(ind_out + off * ind_isz, ind + lo * ind_isz, (size_t)(cnt * ind_isz));
+    std::memcpy(dat_out + off * dat_isz, dat + lo * dat_isz, (size_t)(cnt * dat_isz));
+    off += cnt;
+    rel_indptr[i + 1] = off;
+  }
+  return off;
+}
+
+}  // extern "C"

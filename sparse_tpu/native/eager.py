@@ -159,6 +159,11 @@ def get_lib():
                 fn = getattr(lib, f"st_relinearize_{isuf}")
                 fn.restype = ctypes.c_int
                 fn.argtypes = [_i64p, ctypes.c_int64] + _terms * 3 + [_i64p, _i64p, vpp]
+            lib.st_csr_row_splice_bytes.restype = ctypes.c_int64
+            lib.st_csr_row_splice_bytes.argtypes = [
+                _i64p, vpp, ctypes.c_int64, vpp, ctypes.c_int64, _i64p, ctypes.c_int64,
+                _i64p, vpp, vpp,
+            ]
             _lib = lib
         except Exception:
             _lib = None
@@ -610,3 +615,34 @@ def relinearize(indptr, indices, lin_terms, row_terms, col_terms):
     fn = getattr(lib, f"st_relinearize_{isuf}")
     fn(_ip(pc), n_rows, *la, *ra, *ca, _ip(out_row), _ip(out_col), indices.ctypes.data_as(ctypes.c_void_p))
     return out_row, out_col
+
+
+def csr_row_splice(indptr, indices, data, picks):
+    """Pack CSR rows ``picks`` into a compact CSR: one native pass builds
+    ``(rel_indptr, indices_out, data_out)`` (segment memcpys), replacing
+    the repeat/cumsum/gather numpy pipeline.  Returns None when the
+    library is unavailable or the value dtype is not byte-copyable."""
+    lib = get_lib()
+    if lib is None or data.dtype.hasobject:
+        return None
+    pc = _c64(indptr)
+    picks = np.ascontiguousarray(picks, dtype=np.int64)
+    indices = np.ascontiguousarray(indices)
+    data = np.ascontiguousarray(data)
+    total = int(pc[picks + 1].sum() - pc[picks].sum())
+    rel_indptr = np.empty(picks.size + 1, dtype=np.int64)
+    ind_out = np.empty(total, dtype=indices.dtype)
+    dat_out = np.empty(total, dtype=data.dtype)
+    lib.st_csr_row_splice_bytes(
+        _ip(pc),
+        indices.ctypes.data_as(ctypes.c_void_p),
+        indices.dtype.itemsize,
+        data.ctypes.data_as(ctypes.c_void_p),
+        data.dtype.itemsize,
+        _ip(picks),
+        picks.size,
+        _ip(rel_indptr),
+        ind_out.ctypes.data_as(ctypes.c_void_p),
+        dat_out.ctypes.data_as(ctypes.c_void_p),
+    )
+    return rel_indptr, ind_out, dat_out
