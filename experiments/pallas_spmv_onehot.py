@@ -90,7 +90,13 @@ def products_kernel(hilo, blk):
         out_ref[:] = sel * dat_ref[:].reshape(blk, 1)
 
     def call(x2, cols, data):
+        # Mosaic rejects kernels traced in x64 mode (the package enables
+        # x64 for numpy parity) — same wrap as kernels/bsr.py
         n = cols.shape[0]
+        with jax.enable_x64(False):
+            return _call(x2, cols, data, n)
+
+    def _call(x2, cols, data, n):
         return pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((n, 1), jnp.float32),
