@@ -103,6 +103,37 @@ def main():
     sol_time = bytes_moved / HBM_BYTES_PER_S
     sol_nnz_per_s = nnz / sol_time
 
+    # ---- second metric: SpMV on the same matrix (BASELINE names
+    # "SpMV/SpMM nnz/s"), reported as extra keys of the same JSON line.
+    # The Pallas one-hot-MXU kernel (x VMEM-resident, hi|lo split —
+    # relerr ~2e-6, checked against the f64 oracle below); SoL denominator
+    # = the triplet stream + x + the output, each moved once.
+    from sparse_tpu.kernels import row_ell_spmv
+
+    x = jnp.asarray(rng.random(K, dtype=np.float32))
+    outv = row_ell_spmv(re, x, strategy="onehot")
+    refv = np.zeros(M, dtype=np.float64)
+    np.add.at(refv, rows, data.astype(np.float64) * np.asarray(x, np.float64)[cols])
+    np.testing.assert_allclose(np.asarray(outv), refv, rtol=1e-3, atol=1e-5)
+
+    @jax.jit
+    def run_v(tiers, perm_inv, x):
+        def body(carry, i):
+            eps = i.astype(jnp.float32) * 1e-6
+            rep = re._replace(tiers=tiers, perm_inv=perm_inv)
+            out = row_ell_spmv(rep, x + eps, strategy="onehot")
+            return carry + out[0], None
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(n_iters))
+        return acc
+
+    float(run_v(re.tiers, re.perm_inv, x))
+    start = time.perf_counter()
+    float(run_v(re.tiers, re.perm_inv, x))
+    elapsed_v = max(time.perf_counter() - start - rtt, (time.perf_counter() - start) * 0.1) / n_iters
+    spmv_nnz_per_s = nnz / elapsed_v
+    spmv_sol = (nnz * (2 * 4 + itemsize) + (M + K) * itemsize) / HBM_BYTES_PER_S
+
     print(
         json.dumps(
             {
@@ -110,6 +141,8 @@ def main():
                 "value": round(nnz_per_s, 1),
                 "unit": "nnz/s",
                 "vs_baseline": round(nnz_per_s / sol_nnz_per_s, 4),
+                "spmv_nnz_per_s": round(spmv_nnz_per_s, 1),
+                "spmv_vs_baseline": round(spmv_nnz_per_s / (nnz / spmv_sol), 4),
             }
         )
     )

@@ -126,11 +126,28 @@ def main():
     spmv_bytes = lin.size * 12 + (M + K) * 4  # triplet stream + x + out
     rows_out.append(
         (
-            "SpMV same matrix (row-ELL lane)",
+            "SpMV same matrix (row-ELL lane, exact)",
             f"{dt * 1e3:.2f} ms",
             f"{lin.size / dt / 1e6:.0f}M nnz/s, {_vs_sol(dt, spmv_bytes)}",
         )
     )
+
+    if on_tpu:
+        # throughput path: Pallas one-hot MXU pick, x VMEM-resident
+        # (hi|lo split, relerr ~2e-6 — docs/spmm_roofline.md round 3)
+        def _rell_spmv_oh(tiers, perm_inv, xx):
+            return row_ell_spmv(
+                RowEll(tiers, perm_inv, rell.n_rows, rell.n_cols, rell.nz_rows), xx, strategy="onehot"
+            )
+
+        dt = device_bench(_rell_spmv_oh, (rell.tiers, rell.perm_inv, x))
+        rows_out.append(
+            (
+                "SpMV same (Pallas one-hot MXU pick)",
+                f"{dt * 1e3:.2f} ms",
+                f"{lin.size / dt / 1e6:.0f}M nnz/s, {_vs_sol(dt, spmv_bytes)}",
+            )
+        )
 
     # 3. SDDMM (10k^2 dense pair @ 1e-4 mask)
     n_s = 10000

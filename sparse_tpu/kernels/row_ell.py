@@ -199,6 +199,103 @@ def row_ell_spmm(re: RowEll, dense):
     return _spmm(re.tiers, re.perm_inv, dense, n_rows=re.n_rows, nz_rows=re.nz_rows)
 
 
+def _onehot_products_call(n_entries, blk=4096, interpret=False):
+    """pallas_call computing per-entry products ``data[e] * x[cols[e]]``
+    with x resident in VMEM as a (T, 256) hi|lo bf16 split table.
+
+    The pick is an in-VMEM one-hot MXU contraction — measured at 1142 M
+    rows/s (MXU bf16 peak) vs the take-based gather's 706 M rows/s issue
+    bound; the kernel streams only the 4·nnz-byte products back to HBM
+    instead of round-tripping a gathered block (docs/spmm_roofline.md
+    "Round 3").  hi/lo split keeps relative error ~1e-5."""
+    import contextlib
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(x2_ref, col_ref, dat_ref, out_ref):
+        T = x2_ref.shape[0]
+        c = col_ref[:].reshape(blk, 1)
+        q = c // 128
+        m = c - q * 128
+        oh = (q == jax.lax.broadcasted_iota(jnp.int32, (blk, T), 1)).astype(jnp.bfloat16)
+        picked = jnp.dot(oh, x2_ref[:], preferred_element_type=jnp.float32)  # (blk, 256)
+        folded = picked[:, :128] + picked[:, 128:]
+        eq = m == jax.lax.broadcasted_iota(jnp.int32, (blk, 128), 1)
+        sel = jnp.sum(jnp.where(eq, folded, 0.0), axis=1, keepdims=True)
+        out_ref[:] = sel * dat_ref[:].reshape(blk, 1)
+
+    def call(x2, cols, data):
+        T = x2.shape[0]
+        # Mosaic rejects kernels traced in x64 mode (package enables x64)
+        ctx = contextlib.nullcontext() if interpret else jax.enable_x64(False)
+        with ctx:
+            return pl.pallas_call(
+                kernel,
+                out_shape=jax.ShapeDtypeStruct((n_entries, 1), jnp.float32),
+                grid=(n_entries // blk,),
+                in_specs=[
+                    pl.BlockSpec((T, 256), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((blk,), lambda i: (i,), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((blk,), lambda i: (i,), memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((blk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                interpret=interpret,
+            )(x2, cols, data)
+
+    return call
+
+
+# largest hi|lo table height kept resident in VMEM: (8192, 256) bf16 = 4 MB
+ONEHOT_SPMV_MAX_K = 8192 * 128
+
+
+def _spmv_onehot(tiers, perm_inv, x, *, n_rows, nz_rows, interpret=False, blk=4096):
+    if not tiers:
+        return jnp.take(jnp.zeros(n_rows, jnp.float32), perm_inv)
+    k = x.shape[0]
+    T = -(-k // 128)
+    xp = jnp.pad(x.astype(jnp.float32), (0, T * 128 - k)).reshape(T, 128)
+    # hi = round-to-nearest bf16 truncation computed via INTEGER bit
+    # arithmetic: on TPU, XLA's convert-folding rewrites the naive
+    # `(xp - bf16(xp).astype(f32))` so the subtraction happens in bf16 and
+    # the lo half folds to exactly zero (observed; optimization_barrier
+    # does not stop it).  Bitmasking is opaque to the algebraic simplifier.
+    xi = jax.lax.bitcast_convert_type(xp, jnp.int32)
+    hi_f32 = jax.lax.bitcast_convert_type((xi + 0x8000) & jnp.int32(-65536), jnp.float32)
+    x_hi = hi_f32.astype(jnp.bfloat16)  # exact: mantissa already truncated
+    x_lo = (xp - hi_f32).astype(jnp.bfloat16)
+    x2 = jnp.concatenate([x_hi, x_lo], axis=1)  # (T, 256)
+
+    # the kernel is order-independent (x is VMEM-resident), so stream the
+    # entries ROW-MAJOR — each row's products land contiguous and the tail
+    # reduce is a plain minor-axis (lane) row sum instead of a strided
+    # middle-axis reduce over the grouped (r/G, w, G) layout
+    def row_major(a):
+        return (a.transpose(0, 2, 1) if a.ndim == 3 else a).reshape(-1)
+
+    flat_cols = jnp.concatenate([row_major(c) for c, _ in tiers])
+    flat_data = jnp.concatenate([row_major(d.astype(jnp.float32)) for _, d in tiers])
+    n_flat = flat_cols.shape[0]
+    n_pad = -(-n_flat // blk) * blk
+    flat_cols = jnp.pad(flat_cols, (0, n_pad - n_flat))
+    flat_data = jnp.pad(flat_data, (0, n_pad - n_flat))
+
+    prods = _onehot_products_call(n_pad, blk=blk, interpret=interpret)(x2, flat_cols, flat_data)
+    prods = prods.reshape(-1)
+
+    outs = []
+    off = 0
+    for c, _ in tiers:
+        sz = int(np.prod(c.shape))
+        rp = c.shape[0] * c.shape[2] if c.ndim == 3 else c.shape[0]
+        outs.append(prods[off : off + sz].reshape(rp, -1).sum(axis=1))
+        off += sz
+    pad = jnp.zeros(n_rows - nz_rows, jnp.float32)
+    out_sorted = jnp.concatenate(outs + [pad]) if outs else pad
+    return jnp.take(out_sorted, perm_inv)
+
+
 @functools.partial(jax.jit, static_argnames=("n_rows", "nz_rows", "lane_gather"))
 def _spmv(tiers, perm_inv, x, *, n_rows, nz_rows, lane_gather):
     dt = jnp.result_type(x.dtype, tiers[0][1].dtype if tiers else x.dtype)
@@ -221,13 +318,30 @@ def _spmv(tiers, perm_inv, x, *, n_rows, nz_rows, lane_gather):
     return jnp.take(out_sorted, perm_inv)
 
 
-def row_ell_spmv(re: RowEll, x, lane_gather=None):
+_spmv_onehot_jit = functools.partial(jax.jit, static_argnames=("n_rows", "nz_rows", "interpret", "blk"))(
+    _spmv_onehot
+)
+
+
+def row_ell_spmv(re: RowEll, x, lane_gather=None, strategy=None, interpret=False):
     """``A @ x`` → dense ``(n_rows,)``.
 
-    ``lane_gather`` reads x through a ``(K/128, 128)`` view — one 512-byte
-    row gather per entry plus a fused one-hot lane select (the gather unit
-    is issue-rate-bound at ~140M scalar gathers/s but streams 512 B rows at
-    bandwidth; see docs/spmm_roofline.md).  Defaults to on for TPU."""
+    ``strategy``:
+
+    - ``"exact"`` (default): exact f32/f64 accumulation.  On TPU the
+      lane-gather form (x read through a ``(K/128, 128)`` view — one
+      512-byte row gather per entry plus a fused one-hot lane select;
+      scalar gathers are issue-rate-bound at ~140M/s), plain ``take`` on
+      CPU; override with ``lane_gather``.
+    - ``"onehot"``: the Pallas in-VMEM one-hot MXU pick (TPU;
+      ``n_cols <= ONEHOT_SPMV_MAX_K``): 1.14x the lane form at the bench
+      shape (5.68 -> 4.98 ms) with hi|lo-split relative error ~2e-5 —
+      the throughput path for f32 workloads that tolerate it
+      (docs/spmm_roofline.md "SpMV (round 3)")."""
+    if strategy == "onehot":
+        return _spmv_onehot_jit(
+            re.tiers, re.perm_inv, x, n_rows=re.n_rows, nz_rows=re.nz_rows, interpret=interpret
+        )
     if lane_gather is None:
         lane_gather = jax.default_backend() not in ("cpu",)
     return _spmv(

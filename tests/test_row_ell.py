@@ -137,3 +137,24 @@ def test_row_ell_spmv_unaligned_k():
     np.add.at(ref, rows, data * x[cols])
     out = row_ell_spmv(re, jnp.asarray(x), lane_gather=True)
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-10, atol=1e-12)
+
+
+def test_spmv_onehot_strategy_interpret():
+    """The Pallas one-hot MXU SpMV (throughput path; hi|lo split ~1e-5
+    relerr) vs the dense oracle, via the interpreter on CPU."""
+    rng = np.random.default_rng(11)
+    m, k = 150, 300
+    dense = (rng.random((m, k)) * (rng.random((m, k)) < 0.05)).astype(np.float32)
+    r, c = np.nonzero(dense)
+    re = build_row_ell(r.astype(np.int32), c.astype(np.int32), dense[r, c], m, k)
+    x = rng.random(k, dtype=np.float32)
+    out = np.asarray(row_ell_spmv(re, jnp.asarray(x), strategy="onehot", interpret=True))
+    expected = dense @ x
+    np.testing.assert_allclose(out, expected, rtol=1e-3, atol=1e-5)
+
+    # empty matrix
+    re0 = build_row_ell(
+        np.zeros(0, np.int32), np.zeros(0, np.int32), np.zeros(0, np.float32), 5, 7
+    )
+    out0 = np.asarray(row_ell_spmv(re0, jnp.ones(7, jnp.float32), strategy="onehot", interpret=True))
+    np.testing.assert_array_equal(out0, np.zeros(5))
