@@ -219,18 +219,22 @@ def _onehot_products_call(n_entries, blk=2048, interpret=False):
 
     def kernel(x2t_ref, col_ref, dat_ref, out_ref):
         T = x2t_ref.shape[1]
+        levels = x2t_ref.shape[0] // 128
         c = col_ref[:].reshape(1, blk)
         q = c // 128
         m = c - q * 128
         ohT = (jax.lax.broadcasted_iota(jnp.int32, (T, blk), 0) == q).astype(jnp.bfloat16)
-        pickedT = jnp.dot(x2t_ref[:], ohT, preferred_element_type=jnp.float32)  # (256, blk)
-        foldedT = pickedT[:128, :] + pickedT[128:, :]
+        pickedT = jnp.dot(x2t_ref[:], ohT, preferred_element_type=jnp.float32)  # (128*L, blk)
+        foldedT = pickedT[:128, :]
+        for lv in range(1, levels):
+            foldedT = foldedT + pickedT[128 * lv : 128 * (lv + 1), :]
         eqT = jax.lax.broadcasted_iota(jnp.int32, (128, blk), 0) == m
         selT = jnp.sum(jnp.where(eqT, foldedT, 0.0), axis=0, keepdims=True)  # (1, blk)
         out_ref[:] = (selT * dat_ref[:].reshape(1, blk)).reshape(blk // 128, 128)
 
     def call(x2t, cols, data):
         T = x2t.shape[1]
+        tab_rows = x2t.shape[0]
         # Mosaic rejects kernels traced in x64 mode (package enables x64)
         ctx = contextlib.nullcontext() if interpret else jax.enable_x64(False)
         with ctx:
@@ -239,7 +243,7 @@ def _onehot_products_call(n_entries, blk=2048, interpret=False):
                 out_shape=jax.ShapeDtypeStruct((n_entries // 128, 128), jnp.float32),
                 grid=(n_entries // blk,),
                 in_specs=[
-                    pl.BlockSpec((256, T), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((tab_rows, T), lambda i: (0, 0), memory_space=pltpu.VMEM),
                     pl.BlockSpec((blk,), lambda i: (i,), memory_space=pltpu.VMEM),
                     pl.BlockSpec((blk,), lambda i: (i,), memory_space=pltpu.VMEM),
                 ],
@@ -254,7 +258,7 @@ def _onehot_products_call(n_entries, blk=2048, interpret=False):
 ONEHOT_SPMV_MAX_K = 8192 * 128
 
 
-def _spmv_onehot(tiers, perm_inv, x, *, n_rows, nz_rows, interpret=False, blk=2048):
+def _spmv_onehot(tiers, perm_inv, x, *, n_rows, nz_rows, interpret=False, blk=2048, levels=2):
     if not tiers:
         return jnp.take(jnp.zeros(n_rows, jnp.float32), perm_inv)
     k = x.shape[0]
@@ -265,11 +269,17 @@ def _spmv_onehot(tiers, perm_inv, x, *, n_rows, nz_rows, interpret=False, blk=20
     # `(xp - bf16(xp).astype(f32))` so the subtraction happens in bf16 and
     # the lo half folds to exactly zero (observed; optimization_barrier
     # does not stop it).  Bitmasking is opaque to the algebraic simplifier.
-    xi = jax.lax.bitcast_convert_type(xp, jnp.int32)
-    hi_f32 = jax.lax.bitcast_convert_type((xi + 0x8000) & jnp.int32(-65536), jnp.float32)
-    x_hi = hi_f32.astype(jnp.bfloat16)  # exact: mantissa already truncated
-    x_lo = (xp - hi_f32).astype(jnp.bfloat16)
-    x2t = jnp.concatenate([x_hi.T, x_lo.T], axis=0)  # transposed (256, T)
+    # ``levels`` bf16 residual splits: 2 -> relerr ~1e-6, 3 -> ~1e-8
+    # (f32-roundoff scale) at +1 MXU level.
+    parts = []
+    rem = xp
+    for _ in range(levels - 1):
+        ri = jax.lax.bitcast_convert_type(rem, jnp.int32)
+        hi_f32 = jax.lax.bitcast_convert_type((ri + 0x8000) & jnp.int32(-65536), jnp.float32)
+        parts.append(hi_f32.astype(jnp.bfloat16).T)
+        rem = rem - hi_f32
+    parts.append(rem.astype(jnp.bfloat16).T)
+    x2t = jnp.concatenate(parts, axis=0)  # transposed (128*levels, T)
 
     # the kernel is order-independent (x is VMEM-resident), so stream the
     # entries ROW-MAJOR — each row's products land contiguous and the tail
@@ -345,9 +355,9 @@ def _spmv(tiers, perm_inv, x, *, n_rows, nz_rows, lane_gather):
     return jnp.take(out_sorted, perm_inv)
 
 
-_spmv_onehot_jit = functools.partial(jax.jit, static_argnames=("n_rows", "nz_rows", "interpret", "blk"))(
-    _spmv_onehot
-)
+_spmv_onehot_jit = functools.partial(
+    jax.jit, static_argnames=("n_rows", "nz_rows", "interpret", "blk", "levels")
+)(_spmv_onehot)
 
 
 def row_ell_spmv(re: RowEll, x, lane_gather=None, strategy=None, interpret=False):
@@ -361,13 +371,24 @@ def row_ell_spmv(re: RowEll, x, lane_gather=None, strategy=None, interpret=False
       scalar gathers are issue-rate-bound at ~140M/s), plain ``take`` on
       CPU; override with ``lane_gather``.
     - ``"onehot"``: the Pallas in-VMEM one-hot MXU pick (TPU;
-      ``n_cols <= ONEHOT_SPMV_MAX_K``): 1.14x the lane form at the bench
-      shape (5.68 -> 4.98 ms) with hi|lo-split relative error ~2e-5 —
-      the throughput path for f32 workloads that tolerate it
-      (docs/spmm_roofline.md "SpMV (round 3)")."""
-    if strategy == "onehot":
+      ``n_cols <= ONEHOT_SPMV_MAX_K``): 1.71x the lane form at the bench
+      shape (5.68 -> 3.32 ms, 631 M nnz/s) with 2-level hi|lo-split
+      relative error ~1e-6 — the throughput path for f32 workloads
+      (docs/spmm_roofline.md "SpMV (round 3)").
+    - ``"onehot3"``: same with a 3-level split — relative error ~1e-8
+      (f32-roundoff scale) at one extra MXU level; still well under the
+      exact path's cost.  Iterative solvers can pass
+      ``lambda v: row_ell_spmv(re, v, strategy="onehot3")`` as the
+      matvec callable."""
+    if strategy in ("onehot", "onehot3"):
         return _spmv_onehot_jit(
-            re.tiers, re.perm_inv, x, n_rows=re.n_rows, nz_rows=re.nz_rows, interpret=interpret
+            re.tiers,
+            re.perm_inv,
+            x,
+            n_rows=re.n_rows,
+            nz_rows=re.nz_rows,
+            interpret=interpret,
+            levels=3 if strategy == "onehot3" else 2,
         )
     if lane_gather is None:
         lane_gather = jax.default_backend() not in ("cpu",)
