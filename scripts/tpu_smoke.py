@@ -60,6 +60,14 @@ def main():
     ok &= check("coo_spmv lane", coo_spmv(rj, cj, dj, jnp.asarray(x), n_rows=M, lane_gather=True), dense_a @ x)
     ok &= check("coo_spmv scalar", coo_spmv(rj, cj, dj, jnp.asarray(x), n_rows=M, lane_gather=False), dense_a @ x)
 
+    from sparse_tpu.kernels import build_row_ell, row_ell_spmm, row_ell_spmv
+
+    rell = build_row_ell(rows, cols, data, M, K)
+    ok &= check("row_ell_spmm", row_ell_spmm(rell, jnp.asarray(B)), dense_a @ B)
+    ok &= check("row_ell_spmv exact", row_ell_spmv(rell, jnp.asarray(x)), dense_a @ x)
+    ok &= check("row_ell_spmv onehot", row_ell_spmv(rell, jnp.asarray(x), strategy="onehot"), dense_a @ x, tol=1e-3)
+    ok &= check("row_ell_spmv onehot3", row_ell_spmv(rell, jnp.asarray(x), strategy="onehot3"), dense_a @ x, tol=1e-4)
+
     lhs = rng.random((M, 32), dtype=np.float32)
     rhs = rng.random((32, K), dtype=np.float32)
     exp_sddmm = data * (lhs @ rhs)[rows, cols]

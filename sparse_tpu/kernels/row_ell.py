@@ -26,6 +26,11 @@ rejected (w, r) transpose and G sweep: docs/spmm_roofline.md.
 **Legacy (``group=0``)**: ``(r, w)`` tiers with w quantized to multiples
 of ``min_pad`` — kept for layout A/B comparison in bench_suite.
 
+SpMV has two strategies: the exact lane-gather form (5.68 ms at the
+bench shape) and the Pallas one-hot MXU pick with x VMEM-resident
+(``strategy="onehot"``: 3.32 ms = 631 M nnz/s, relerr ~1e-6;
+``"onehot3"``: ~1e-8) — see docs/spmm_roofline.md "SpMV (round 3)".
+
 Replaces the reference's 1-D Numba CSR dot kernels
 (/root/reference/sparse/numba_backend/_common.py:672-744) as the
 unstructured matmul engine; semantics (zero fill, dtype promotion) match.
