@@ -83,10 +83,20 @@ def load_partitioned(path, mesh=None, axis_name="x") -> PartitionedCOO:
                         pcoo.row_starts = np.asarray(meta["row_starts"], dtype=np.int64)
                     return pcoo
                 except Exception:
+                    # In multi-process runs the npz fallback below does not
+                    # exist for orbax-written checkpoints (each process only
+                    # wrote device shards) — re-raise the REAL restore error
+                    # instead of surfacing an unrelated FileNotFoundError.
+                    if jax.process_count() > 1:
+                        raise
                     arrays = None
             if arrays is None and jax.process_count() == 1:
                 arrays = ckptr.restore(arr_dir)
+        except ImportError:
+            arrays = None
         except Exception:
+            if jax.process_count() > 1:
+                raise
             arrays = None
     if arrays is None:
         with np.load(os.path.join(path, "arrays.npz")) as fp:

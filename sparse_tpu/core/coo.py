@@ -689,7 +689,10 @@ class COO(SparseArray):
                     q = k_old // k_new
                     coords2 = np.empty((2, self.nnz), dtype=idx_dtype)
                     np.floor_divide(c, k_new, out=coords2[1], casting="unsafe")
-                    np.multiply(r, q, out=coords2[0], casting="unsafe")
+                    # NEP 50: r * q would evaluate in the (possibly narrow)
+                    # input coords dtype and wrap before the cast to out —
+                    # promote r to idx_dtype first so the product is exact.
+                    np.multiply(r.astype(idx_dtype, copy=False), q, out=coords2[0], casting="unsafe")
                     coords2[0] += coords2[1]
                     np.mod(c, k_new, out=coords2[1], casting="unsafe")
                 elif k_new % k_old == 0:

@@ -386,6 +386,14 @@ def row_ell_spmv(re: RowEll, x, lane_gather=None, strategy=None, interpret=False
       ``lambda v: row_ell_spmv(re, v, strategy="onehot3")`` as the
       matvec callable."""
     if strategy in ("onehot", "onehot3"):
+        if x.shape[0] > ONEHOT_SPMV_MAX_K:
+            # An oversized x2t table would blow the VMEM budget and go
+            # straight to a Mosaic compile that can crash/hang the shared
+            # TPU compile service (ADVICE r3) — refuse before tracing.
+            raise ValueError(
+                f"strategy={strategy!r} requires n_cols <= {ONEHOT_SPMV_MAX_K} "
+                f"(got {x.shape[0]}); use the default exact lane-gather path"
+            )
         return _spmv_onehot_jit(
             re.tiers,
             re.perm_inv,

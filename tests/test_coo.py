@@ -137,6 +137,31 @@ def test_reshape_bad():
         x.reshape((5, 5))
 
 
+@pytest.mark.parametrize("coord_dtype", [np.uint16, np.int16, np.uint8, np.int32])
+def test_reshape_narrow_coord_dtype_no_overflow(coord_dtype):
+    # Regression: the 2-D digit-arithmetic fast path computed r*q in the
+    # INPUT coords dtype (NEP 50) and wrapped for narrow dtypes before the
+    # cast to the output idx dtype (ADVICE r3, high).
+    lim = int(np.iinfo(coord_dtype).max)
+    m = 300 if lim >= 300 else 48
+    k = 256 if lim >= 256 else 64
+    d = np.zeros((m, k), dtype=np.float64)
+    rng = np.random.default_rng(7)
+    ii = rng.integers(0, m, size=50)
+    jj = rng.integers(0, k, size=50)
+    d[ii, jj] = rng.random(50) + 0.5
+    x = sparse.COO.from_numpy(d)
+    x = sparse.COO(
+        x.coords.astype(coord_dtype), x.data, shape=x.shape, sorted=True, has_duplicates=False
+    )
+    # k_old % k_new == 0 branch with r*q exceeding the input dtype range
+    assert_eq(x.reshape((m * k, 1)), d.reshape((m * k, 1)))
+    assert_eq(x.reshape((m * (k // 4), 4)), d.reshape((m * (k // 4), 4)))
+    # sibling branch too
+    if m % 4 == 0:
+        assert_eq(x.reshape((m // 4, k * 4)), d.reshape((m // 4, k * 4)))
+
+
 def test_squeeze():
     x = sparse.random((1, 3, 1, 4), density=0.5, random_state=0)
     assert_eq(x.squeeze(), x.todense().squeeze())
