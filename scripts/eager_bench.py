@@ -81,6 +81,18 @@ def main():
     d32 = rng.random((n, 32))
     row("spmm (CSR @ (n,32))", bench(lambda: acsr @ d32, 10), bench(lambda: s_csr @ d32, 10))
 
+    # SpGEMM at the reference's matmul_example shape (100k^2 @ 1e-5,
+    # ref examples/matmul_example.py:11-62): CSR x CSR via the threaded
+    # C++ Gustavson (native/eager.cpp), vs scipy's csr @ csr
+    g1 = sparse.random((100_000, 100_000), density=1e-5, random_state=11, format="gcxs", compressed_axes=(0,))
+    g2 = sparse.random((100_000, 100_000), density=1e-5, random_state=12, format="gcxs", compressed_axes=(0,))
+    sg1 = sp.csr_array(g1.to_scipy_sparse())
+    sg2 = sp.csr_array(g2.to_scipy_sparse())
+    row("spgemm csr@csr 100k^2 @1e-5", bench(lambda: g1 @ g2, 10), bench(lambda: sg1 @ sg2, 10))
+    gc1 = g1.tocoo()
+    gc2 = g2.tocoo()
+    row("spgemm coo@coo 100k^2 @1e-5", bench(lambda: gc1 @ gc2, 10), bench(lambda: sg1 @ sg2, 10))
+
     # the reference spmv_add example shape (csc 99990 x 100k @ 1e-6)
     m2 = sparse.random((99990, 100000), density=1e-6, random_state=7, format="gcxs", compressed_axes=(1,))
     s2 = sp.csc_array(m2.to_scipy_sparse())

@@ -849,7 +849,14 @@ class COO(SparseArray):
                 # flatnonzero, the gather, AND the output COO's prune
                 from ..native import eager as _eager
 
-                compact = _eager.bincount_sum_compact(keys, data_np, keep)
+                if neg_axis == tuple(range(len(neg_axis))):
+                    # leading kept axes => keys ascending (canonical row-major
+                    # order): the run-unrolled one-pass kernel beats the
+                    # bincount form, which is FP-add-latency-bound on
+                    # consecutive same-bin adds
+                    compact = _eager.sorted_reduce_compact(keys, data_np, max_runs=keep)
+                else:
+                    compact = _eager.bincount_sum_compact(keys, data_np, keep)
                 if compact is not None:
                     inv_idx, result = compact
                     arr_attrs = (_ShapeOnly((keep, red)), neg_shape, inv_idx, True)

@@ -51,7 +51,10 @@ def get_lib():
             return _lib
         _tried = True
         try:
-            if not os.path.exists(_LIB_PATH) or os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC):
+            _deps = (_SRC, os.path.join(_HERE, "pool.h"))
+            if not os.path.exists(_LIB_PATH) or os.path.getmtime(_LIB_PATH) < max(
+                os.path.getmtime(d) for d in _deps if os.path.exists(d)
+            ):
                 _build()
             lib = ctypes.CDLL(_LIB_PATH)
             lib.st_argsort_i64.restype = ctypes.c_int

@@ -16,19 +16,20 @@
 #include <vector>
 #include <algorithm>
 
+#include "pool.h"
+
 namespace {
 
 constexpr int kRadixBits = 8;
 constexpr int kBuckets = 1 << kRadixBits;
 
 int n_threads_for(int64_t n) {
-  unsigned hw = std::thread::hardware_concurrency();
-  if (hw == 0) hw = 2;
-  // don't spin up threads for small arrays
-  int64_t per_thread = 1 << 18;
+  int hw = stpool::ThreadPool::max_threads();
+  // pool dispatch is ~µs; fan out once each slot has a few hundred k ops
+  int64_t per_thread = 1 << 16;
   int64_t want = (n + per_thread - 1) / per_thread;
   if (want < 1) want = 1;
-  if ((unsigned)want > hw) want = hw;
+  if (want > hw) want = hw;
   return (int)want;
 }
 
@@ -38,17 +39,11 @@ void radix_pass(const uint64_t* keys_in, const int64_t* idx_in, uint64_t* keys_o
   std::vector<std::vector<int64_t>> hist(n_threads, std::vector<int64_t>(kBuckets, 0));
   int64_t chunk = (n + n_threads - 1) / n_threads;
 
-  auto hist_worker = [&](int t) {
+  stpool::parallel_for_slots(n_threads, [&](int t) {
     int64_t lo = t * chunk, hi = std::min(n, lo + chunk);
     auto& h = hist[t];
     for (int64_t i = lo; i < hi; ++i) h[(keys_in[i] >> shift) & (kBuckets - 1)]++;
-  };
-  {
-    std::vector<std::thread> ts;
-    for (int t = 1; t < n_threads; ++t) ts.emplace_back(hist_worker, t);
-    hist_worker(0);
-    for (auto& th : ts) th.join();
-  }
+  });
 
   // exclusive prefix over (bucket, thread)
   int64_t total = 0;
@@ -60,7 +55,7 @@ void radix_pass(const uint64_t* keys_in, const int64_t* idx_in, uint64_t* keys_o
     }
   }
 
-  auto scatter_worker = [&](int t) {
+  stpool::parallel_for_slots(n_threads, [&](int t) {
     int64_t lo = t * chunk, hi = std::min(n, lo + chunk);
     auto& h = hist[t];
     for (int64_t i = lo; i < hi; ++i) {
@@ -69,13 +64,7 @@ void radix_pass(const uint64_t* keys_in, const int64_t* idx_in, uint64_t* keys_o
       keys_out[pos] = keys_in[i];
       idx_out[pos] = idx_in[i];
     }
-  };
-  {
-    std::vector<std::thread> ts;
-    for (int t = 1; t < n_threads; ++t) ts.emplace_back(scatter_worker, t);
-    scatter_worker(0);
-    for (auto& th : ts) th.join();
-  }
+  });
 }
 
 }  // namespace

@@ -16,6 +16,8 @@
 #include <thread>
 #include <vector>
 
+#include "pool.h"
+
 namespace {
 
 inline bool is_pos_zero64(double v) {
@@ -236,6 +238,44 @@ BINCOUNT_SUM_COMPACT(st_bincount_sum_compact_f32, float, int64_t)
 BINCOUNT_SUM_COMPACT(st_bincount_sum_compact_f64_i32, double, int32_t)
 BINCOUNT_SUM_COMPACT(st_bincount_sum_compact_f32_i32, float, int32_t)
 
+// Compact add-reduce over SORTED keys.  bincount_sum_compact on sorted
+// keys is FP-add-LATENCY-bound (consecutive entries hit the same bin, so
+// every add store-forwards into the next: ~5 cyc/entry); here each run is
+// summed with 4 accumulators (the csr_spmv trick) and there is no n_bins
+// array to zero or compaction scan — one pass, ~3x at 400k entries.
+// Keeps bincount_sum_compact's prune rule (drop sums == 0).
+#define SORTED_REDUCE_COMPACT(NAME, T, KT)                                                   \
+  int64_t NAME(const KT* keys, const T* w, int64_t n, int64_t* out_idx, T* out_vals) {       \
+    int64_t m = 0, i = 0;                                                                    \
+    while (i < n) {                                                                          \
+      KT k = keys[i];                                                                        \
+      int64_t j = i + 1;                                                                     \
+      while (j < n && keys[j] == k) ++j;                                                     \
+      T a0 = T(0), a1 = T(0), a2 = T(0), a3 = T(0);                                          \
+      int64_t p = i;                                                                         \
+      for (; p + 4 <= j; p += 4) {                                                           \
+        a0 += w[p];                                                                          \
+        a1 += w[p + 1];                                                                      \
+        a2 += w[p + 2];                                                                      \
+        a3 += w[p + 3];                                                                      \
+      }                                                                                      \
+      for (; p < j; ++p) a0 += w[p];                                                         \
+      T v = (a0 + a1) + (a2 + a3);                                                           \
+      if (v != T(0)) {                                                                       \
+        out_idx[m] = (int64_t)k;                                                             \
+        out_vals[m] = v;                                                                     \
+        ++m;                                                                                 \
+      }                                                                                      \
+      i = j;                                                                                 \
+    }                                                                                        \
+    return m;                                                                                \
+  }
+
+SORTED_REDUCE_COMPACT(st_sorted_reduce_compact_f64, double, int64_t)
+SORTED_REDUCE_COMPACT(st_sorted_reduce_compact_f32, float, int64_t)
+SORTED_REDUCE_COMPACT(st_sorted_reduce_compact_f64_i32, double, int32_t)
+SORTED_REDUCE_COMPACT(st_sorted_reduce_compact_f32_i32, float, int32_t)
+
 // One-pass grouped add-reduce over SORTED keys (the canonical leading-axis
 // case): emits each group's key, sum, and size. Replaces the
 // flatnonzero(diff) + reduceat + gather trio with a single stream.
@@ -275,9 +315,8 @@ ROW_REDUCE_SORTED(st_row_reduce_sorted_f32, float)
 // threaded over entries (role of np.unravel_index in the eager paths).
 int st_unravel_i64(const int64_t* keys, int64_t n, const int64_t* shape, int64_t ndim,
                    int64_t* coords_out) {
-  unsigned hw = std::thread::hardware_concurrency();
-  // thread spawn costs ~100µs; only fan out when each thread gets real work
-  int t = (int)std::min<int64_t>(hw ? hw : 1, n >> 18);
+  // pool dispatch costs a few µs; only fan out when each slot gets real work
+  int t = (int)std::min<int64_t>(stpool::ThreadPool::max_threads(), n >> 16);
   if (t < 2) t = 1;
   auto work = [&](int64_t i0, int64_t i1) {
     for (int64_t i = i0; i < i1; ++i) {
@@ -294,12 +333,10 @@ int st_unravel_i64(const int64_t* keys, int64_t n, const int64_t* shape, int64_t
     work(0, n);
     return 0;
   }
-  std::vector<std::thread> ts;
   int64_t chunk = (n + t - 1) / t;
-  for (int i = 1; i < t; ++i)
-    ts.emplace_back(work, i * chunk, std::min<int64_t>(n, (i + 1) * chunk));
-  work(0, std::min<int64_t>(n, chunk));
-  for (auto& th : ts) th.join();
+  stpool::parallel_for_slots(t, [&](int i) {
+    work(i * chunk, std::min<int64_t>(n, (i + 1) * chunk));
+  });
   return 0;
 }
 
@@ -457,9 +494,8 @@ void spgemm_numeric_range(const int64_t* pa, const int64_t* ja, const T* va, con
 }
 
 int spgemm_threads(int64_t n_rows, int64_t nnz_a) {
-  unsigned hw = std::thread::hardware_concurrency();
-  if (hw == 0) hw = 1;
-  if (nnz_a < (1 << 15) || n_rows < 2) return 1;
+  int hw = stpool::ThreadPool::max_threads();
+  if (nnz_a < (1 << 14) || n_rows < 2) return 1;
   return (int)std::min<int64_t>(hw, n_rows);
 }
 
@@ -490,11 +526,9 @@ int st_spgemm_symbolic(const int64_t* pa, const int64_t* ja, int64_t n_rows, con
     return 0;
   }
   auto s = row_splits(pa, n_rows, t);
-  std::vector<std::thread> ts;
-  for (int i = 1; i < t; ++i)
-    ts.emplace_back(spgemm_symbolic_range, pa, ja, pb, jb, n_cols, s[i], s[i + 1], row_nnz);
-  spgemm_symbolic_range(pa, ja, pb, jb, n_cols, s[0], s[1], row_nnz);
-  for (auto& th : ts) th.join();
+  stpool::parallel_for_slots(t, [&](int i) {
+    spgemm_symbolic_range(pa, ja, pb, jb, n_cols, s[i], s[i + 1], row_nnz);
+  });
   return 0;
 }
 
@@ -508,12 +542,9 @@ int st_spgemm_symbolic(const int64_t* pa, const int64_t* ja, int64_t n_rows, con
       return 0;                                                                               \
     }                                                                                         \
     auto s = row_splits(pa, n_rows, t);                                                       \
-    std::vector<std::thread> ts;                                                              \
-    for (int i = 1; i < t; ++i)                                                               \
-      ts.emplace_back(spgemm_numeric_range<T>, pa, ja, va, pb, jb, vb, n_cols, s[i],          \
-                      s[i + 1], pc, jc, vc);                                                  \
-    spgemm_numeric_range<T>(pa, ja, va, pb, jb, vb, n_cols, s[0], s[1], pc, jc, vc);          \
-    for (auto& th : ts) th.join();                                                            \
+    stpool::parallel_for_slots(t, [&](int i) {                                                \
+      spgemm_numeric_range<T>(pa, ja, va, pb, jb, vb, n_cols, s[i], s[i + 1], pc, jc, vc);    \
+    });                                                                                       \
     return 0;                                                                                 \
   }
 
@@ -541,8 +572,7 @@ int st_spgemm_ubcount(const int64_t* pa, const int64_t* ja, int64_t n_rows, cons
 // (role of reference `_compressed/convert.py:82 uncompress_dimension`).
 int st_uncompress_indptr(const int64_t* pc, int64_t n_rows, int64_t* ic) {
   int64_t nnz = pc[n_rows];
-  unsigned hw = std::thread::hardware_concurrency();
-  int t = (int)std::min<int64_t>(hw ? hw : 1, nnz >> 19);
+  int t = (int)std::min<int64_t>(stpool::ThreadPool::max_threads(), nnz >> 17);
   auto work = [&](int64_t r0, int64_t r1) {
     for (int64_t r = r0; r < r1; ++r)
       for (int64_t p = pc[r]; p < pc[r + 1]; ++p) ic[p] = r;
@@ -558,10 +588,7 @@ int st_uncompress_indptr(const int64_t* pc, int64_t n_rows, int64_t* ic) {
     if (s[i] < s[i - 1]) s[i] = s[i - 1];
   }
   s[t] = n_rows;
-  std::vector<std::thread> ts;
-  for (int i = 1; i < t; ++i) ts.emplace_back(work, s[i], s[i + 1]);
-  work(s[0], s[1]);
-  for (auto& th : ts) th.join();
+  stpool::parallel_for_slots(t, [&](int i) { work(s[i], s[i + 1]); });
   return 0;
 }
 
@@ -616,10 +643,7 @@ int st_uncompress_indptr(const int64_t* pc, int64_t n_rows, int64_t* ic) {
       work(0, n_rows);                                                                        \
     } else {                                                                                  \
       auto s = row_splits(pa, n_rows, t);                                                     \
-      std::vector<std::thread> ts;                                                            \
-      for (int i = 1; i < t; ++i) ts.emplace_back(work, s[i], s[i + 1]);                      \
-      work(s[0], s[1]);                                                                       \
-      for (auto& th : ts) th.join();                                                          \
+      stpool::parallel_for_slots(t, [&](int i) { work(s[i], s[i + 1]); });                    \
     }                                                                                         \
     int64_t dst = 0;                                                                          \
     pc_out[0] = 0;                                                                            \
@@ -655,8 +679,10 @@ namespace {
 template <typename P, typename F>
 void run_rows(const P* pa, int64_t n_rows, int64_t min_per_thread_shift, int64_t work_scale,
               F&& body) {
-  unsigned hw = std::thread::hardware_concurrency();
-  int t = (int)std::min<int64_t>(hw ? hw : 1, ((int64_t)pa[n_rows] * work_scale) >> min_per_thread_shift);
+  // pool dispatch is ~µs (persistent workers), so the fan-out threshold is
+  // ~4x lower than the old per-call std::thread spawn allowed
+  int t = (int)std::min<int64_t>(stpool::ThreadPool::max_threads(),
+                                 ((int64_t)pa[n_rows] * work_scale) >> (min_per_thread_shift - 2));
   if (t < 2 || n_rows < 2) {
     body(0, n_rows);
     return;
@@ -669,10 +695,7 @@ void run_rows(const P* pa, int64_t n_rows, int64_t min_per_thread_shift, int64_t
     if (s[i] < s[i - 1]) s[i] = s[i - 1];
   }
   s[t] = n_rows;
-  std::vector<std::thread> ts;
-  for (int i = 1; i < t; ++i) ts.emplace_back(body, s[i], s[i + 1]);
-  body(s[0], s[1]);
-  for (auto& th : ts) th.join();
+  stpool::parallel_for_slots(t, [&](int i) { body(s[i], s[i + 1]); });
 }
 
 template <typename T, typename I>
@@ -741,23 +764,21 @@ void csc_spmm(const I* pc, const I* ia, const T* va, int64_t n_cols, int64_t n_r
       }
     }
   };
-  unsigned hw = std::thread::hardware_concurrency();
   int64_t nnz = pc[n_cols];
   // chunks span whole 64-byte cache lines of the output rows, else threads
   // false-share every accumulation
   int64_t min_chunk = 64 / (int64_t)sizeof(T);
-  int t = (int)std::min<int64_t>(std::min<int64_t>(hw ? hw : 1, n_cols_out / min_chunk),
-                                 (nnz * n_cols_out) >> 19);
+  int t = (int)std::min<int64_t>(
+      std::min<int64_t>(stpool::ThreadPool::max_threads(), n_cols_out / min_chunk),
+      (nnz * n_cols_out) >> 17);
   if (t < 2) {
     work(0, n_cols_out);
     return;
   }
   int64_t chunk = ((n_cols_out + t - 1) / t + min_chunk - 1) / min_chunk * min_chunk;
-  std::vector<std::thread> ts;
-  for (int i = 1; i < t; ++i)
-    ts.emplace_back(work, i * chunk, std::min<int64_t>(n_cols_out, (i + 1) * chunk));
-  work(0, chunk);
-  for (auto& th : ts) th.join();
+  stpool::parallel_for_slots(t, [&](int i) {
+    work(i * chunk, std::min<int64_t>(n_cols_out, (i + 1) * chunk));
+  });
 }
 
 }  // namespace
@@ -868,8 +889,7 @@ int64_t canonicalize2d(const I* rows, const I* cols, const T* vals, int64_t n, i
       row_nnz[r] = out - lo;
     }
   };
-  unsigned hw = std::thread::hardware_concurrency();
-  int t = (int)std::min<int64_t>(hw ? hw : 1, n >> 18);
+  int t = (int)std::min<int64_t>(stpool::ThreadPool::max_threads(), n >> 16);
   if (t < 2) {
     work(0, n_rows);
   } else {
@@ -880,10 +900,7 @@ int64_t canonicalize2d(const I* rows, const I* cols, const T* vals, int64_t n, i
       if (s[i] < s[i - 1]) s[i] = s[i - 1];
     }
     s[t] = n_rows;
-    std::vector<std::thread> ts;
-    for (int i = 1; i < t; ++i) ts.emplace_back(work, s[i], s[i + 1]);
-    work(s[0], s[1]);
-    for (auto& th : ts) th.join();
+    stpool::parallel_for_slots(t, [&](int i) { work(s[i], s[i + 1]); });
   }
 
   // compaction
@@ -933,25 +950,18 @@ void transpose2d(const I* rows, const I* cols, const T* vals, int64_t n, int64_t
                  int64_t* indptr_out, I* rows_out, I* cols_out, T* vals_out) {
   for (int64_t c = 0; c <= n_cols; ++c) indptr_out[c] = 0;
 
-  unsigned hw = std::thread::hardware_concurrency();
-  int t = (int)std::min<int64_t>(hw ? hw : 1, n >> 17);
+  int t = (int)std::min<int64_t>(stpool::ThreadPool::max_threads(), n >> 15);
   if (t >= 2 && n_cols <= (int64_t)1 << 21) {
     // two-pass parallel counting sort: per-thread histograms keep the
     // scatter stable (chunk i's entries land before chunk i+1's per column)
     int64_t chunk = (n + t - 1) / t;
     std::vector<std::vector<int64_t>> hist(t);
-    {
-      std::vector<std::thread> ts;
-      auto count = [&](int ti) {
-        auto& h = hist[ti];
-        h.assign(n_cols, 0);
-        int64_t i0 = ti * chunk, i1 = std::min<int64_t>(n, i0 + chunk);
-        for (int64_t i = i0; i < i1; ++i) ++h[cols[i]];
-      };
-      for (int i = 1; i < t; ++i) ts.emplace_back(count, i);
-      count(0);
-      for (auto& th : ts) th.join();
-    }
+    stpool::parallel_for_slots(t, [&](int ti) {
+      auto& h = hist[ti];
+      h.assign(n_cols, 0);
+      int64_t i0 = ti * chunk, i1 = std::min<int64_t>(n, i0 + chunk);
+      for (int64_t i = i0; i < i1; ++i) ++h[cols[i]];
+    });
     for (int64_t c = 0; c < n_cols; ++c) {
       int64_t s = 0;
       for (int ti = 0; ti < t; ++ti) {
@@ -961,8 +971,7 @@ void transpose2d(const I* rows, const I* cols, const T* vals, int64_t n, int64_t
       }
       indptr_out[c + 1] = indptr_out[c] + s;
     }
-    std::vector<std::thread> ts;
-    auto scatter = [&](int ti) {
+    stpool::parallel_for_slots(t, [&](int ti) {
       auto& cur = hist[ti];
       int64_t i0 = ti * chunk, i1 = std::min<int64_t>(n, i0 + chunk);
       for (int64_t i = i0; i < i1; ++i) {
@@ -972,10 +981,7 @@ void transpose2d(const I* rows, const I* cols, const T* vals, int64_t n, int64_t
         cols_out[p] = rows[i];
         vals_out[p] = vals[i];
       }
-    };
-    for (int i = 1; i < t; ++i) ts.emplace_back(scatter, i);
-    scatter(0);
-    for (auto& th : ts) th.join();
+    });
     return;
   }
 
@@ -1003,18 +1009,15 @@ void blocked_transpose(const T* src, int64_t R, int64_t C, T* dst) {
           for (int64_t c = cb; c < ce; ++c) dst[c * R + r] = src[r * C + c];
       }
   };
-  unsigned hw = std::thread::hardware_concurrency();
-  int t = (int)std::min<int64_t>(hw ? hw : 1, (R * C) >> 20);
+  int t = (int)std::min<int64_t>(stpool::ThreadPool::max_threads(), (R * C) >> 18);
   if (t < 2) {
     work(0, R);
     return;
   }
   int64_t chunk = ((R + t - 1) / t + B - 1) / B * B;
-  std::vector<std::thread> ts;
-  for (int i = 1; i < t; ++i)
-    ts.emplace_back(work, i * chunk, std::min<int64_t>(R, (i + 1) * chunk));
-  work(0, std::min<int64_t>(R, chunk));
-  for (auto& th : ts) th.join();
+  stpool::parallel_for_slots(t, [&](int i) {
+    work(i * chunk, std::min<int64_t>(R, (i + 1) * chunk));
+  });
 }
 
 // dense (M, K) x sparse (K, N) via the CSR of the sparse TRANSPOSE
@@ -1223,8 +1226,7 @@ void relinearize_impl(const int64_t* pc, int64_t n_rows, const I* idxs, const Re
       }
     }
   };
-  unsigned hw = std::thread::hardware_concurrency();
-  int t = (int)std::min<int64_t>(hw ? hw : 1, nnz >> 18);
+  int t = (int)std::min<int64_t>(stpool::ThreadPool::max_threads(), nnz >> 16);
   if (t < 2) {
     work(0, n_rows);
     return;
@@ -1236,10 +1238,7 @@ void relinearize_impl(const int64_t* pc, int64_t n_rows, const I* idxs, const Re
     if (s[i] < s[i - 1]) s[i] = s[i - 1];
   }
   s[t] = n_rows;
-  std::vector<std::thread> ts;
-  for (int i = 1; i < t; ++i) ts.emplace_back(work, s[i], s[i + 1]);
-  work(s[0], s[1]);
-  for (auto& th : ts) th.join();
+  stpool::parallel_for_slots(t, [&](int i) { work(s[i], s[i + 1]); });
 }
 
 }  // namespace

@@ -48,7 +48,10 @@ def get_lib():
             return _lib
         _tried = True
         try:
-            if not os.path.exists(_LIB_PATH) or os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC):
+            _deps = (_SRC, os.path.join(_HERE, "pool.h"))
+            if not os.path.exists(_LIB_PATH) or os.path.getmtime(_LIB_PATH) < max(
+                os.path.getmtime(d) for d in _deps if os.path.exists(d)
+            ):
                 _build()
             lib = ctypes.CDLL(_LIB_PATH)
             lib.st_union_join_i64.restype = ctypes.c_int64
@@ -351,6 +354,36 @@ def bincount_sum_compact(keys, weights, n_bins):
     fn = getattr(lib, f"st_bincount_sum_compact_{suf}{isuf}")
     fn.restype = ctypes.c_int64
     m = fn(kp, _vp(weights), keys.shape[0], n_bins, _vp(sums), _ip(out_idx), _vp(out_vals))
+    return out_idx[:m], out_vals[:m]
+
+
+def sorted_reduce_compact(keys, weights, max_runs=None):
+    """Compact add-reduce over SORTED keys: returns ``(idx, vals)`` for
+    runs with nonzero sum (same prune rule as :func:`bincount_sum_compact`)
+    — one pass with per-run 4-way unrolled accumulation, ~3x the bincount
+    form on sorted keys (which is FP-add-latency-bound there).
+    ``max_runs``: caller-known bound on distinct keys (sizes the output
+    buffers; a few-MB np.empty per call is measurable).  Returns None
+    without the native lib / unsupported dtype."""
+    lib = get_lib()
+    if lib is None or weights.dtype not in (np.float64, np.float32):
+        return None
+    if keys.dtype == np.int32 and keys.flags.c_contiguous:
+        isuf = "_i32"
+        kp = keys.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+    else:
+        isuf = ""
+        keys = _c64(keys)
+        kp = _ip(keys)
+    weights = np.ascontiguousarray(weights)
+    n = keys.shape[0]
+    cap = n if max_runs is None else min(n, int(max_runs))
+    out_idx = np.empty(cap, dtype=np.int64)
+    out_vals = np.empty(cap, dtype=weights.dtype)
+    suf = "f64" if weights.dtype == np.float64 else "f32"
+    fn = getattr(lib, f"st_sorted_reduce_compact_{suf}{isuf}")
+    fn.restype = ctypes.c_int64
+    m = fn(kp, _vp(weights), n, _ip(out_idx), _vp(out_vals))
     return out_idx[:m], out_vals[:m]
 
 

@@ -234,14 +234,17 @@ def _has_nan(x):
         if memo is not None and memo[0] is data:
             return memo[1]
         arr = np.asarray(data) if data is not None else np.empty(0)
-        res = bool(np.issubdtype(arr.dtype, np.floating) and np.isnan(arr).any())
+        res = bool(arr.size and np.issubdtype(arr.dtype, np.floating) and np.isnan(np.min(arr)))
         try:
             x._nan_memo = (data, res)
         except AttributeError:
             pass
         return res
     x = np.asarray(x)
-    return bool(np.issubdtype(x.dtype, np.floating) and np.isnan(x).any())
+    # min-reduce propagates NaN in ONE pass with no bool temporary
+    # (isnan().any() materializes x.size bools first) — the same trick the
+    # reference uses (_common.py:67)
+    return bool(x.size and np.issubdtype(x.dtype, np.floating) and np.isnan(np.min(x)))
 
 
 def dot(a, b):
