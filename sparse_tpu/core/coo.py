@@ -703,14 +703,11 @@ class COO(SparseArray):
                     coords2[1] *= k_old
                     coords2[1] += c.astype(idx_dtype, copy=False)
                 if coords2 is not None:
-                    return COO(
-                        coords2,
-                        self.data,
-                        shape=shape,
-                        has_duplicates=False,
-                        sorted=True,
-                        fill_value=self.fill_value,
-                    )
+                    # provably canonical: the digit arithmetic preserves the
+                    # linearization (r*k_old + c == r2*k_new + c2), so order,
+                    # uniqueness, and bounds all carry over — skip the ctor's
+                    # validation scans (_make), they were ~25% of reshape
+                    return COO._make(coords2, self.data, shape, self.fill_value)
 
             lin = self.linear_loc()
             native = (

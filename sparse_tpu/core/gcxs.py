@@ -793,14 +793,17 @@ class GCXS(SparseArray):
         if comp_is_scalar and ukind == "int":
             return new_data[0] if new_data.size else np.asarray(self.fill_value)[()]
         if comp_is_scalar:
-            return COO(
-                new_ind[None, :],
+            # 1-D row result: build the GCXS directly (compressed_axes=(),
+            # indptr=[0, nnz]) — the COO round trip re-ran ctor validation
+            # on a provably canonical slice (~2x on single-row getitem)
+            return GCXS._make(
                 new_data,
-                shape=(new_width,),
-                has_duplicates=False,
-                sorted=True,
-                fill_value=self.fill_value,
-            ).asformat("gcxs")
+                new_ind,
+                np.array([0, new_ind.size], dtype=np.asarray(self.indptr).dtype),
+                (new_width,),
+                (),
+                self.fill_value,
+            )
         if ukind == "int":
             # 1-D result along the compressed axis: recover each hit's
             # segment from the spliced indptr

@@ -114,16 +114,61 @@ def build_block_ell_3d(ci, cj, ck, data, n_rows, block_rows=DEFAULT_BLOCK_ROWS, 
     return jnp.asarray(e_rows), jnp.asarray(e_j), jnp.asarray(e_k), jnp.asarray(e_data)
 
 
-@functools.partial(jax.jit, static_argnames=("n_rows", "block_rows"))
-def ell_mttkrp(e_rows, e_j, e_k, e_data, c, d, *, n_rows, block_rows=DEFAULT_BLOCK_ROWS):
+def _hilo_split_cols(x):
+    """bf16 hi|lo split along columns: (n, r) f32 -> (n, 2r) bf16 with
+    hi = round-to-nearest-bf16(x), lo = bf16(x - hi).  Computed with
+    integer bit arithmetic — XLA rewrites the naive ``x - bf16(x)``
+    subtraction to bf16 on TPU and folds lo to exactly 0 (CLAUDE.md)."""
+    xi = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
+    hi_bits = (xi + jnp.uint32(0x8000)) & jnp.uint32(0xFFFF0000)
+    hi = jax.lax.bitcast_convert_type(hi_bits, jnp.float32)
+    lo = x.astype(jnp.float32) - hi
+    return jnp.concatenate([hi.astype(jnp.bfloat16), lo.astype(jnp.bfloat16)], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("n_rows", "block_rows", "strategy"))
+def ell_mttkrp(e_rows, e_j, e_k, e_data, c, d, *, n_rows, block_rows=DEFAULT_BLOCK_ROWS, strategy="exact"):
     """MTTKRP with the one-hot MXU scatter: per 128-row block,
     ``out_block = onehot(local_i)ᵀ @ (data ⊙ C[j] ⊙ D[k])`` — 17× over the
-    segment-sum form at 10M nnz (7.9 ms vs 136 ms, J=32, v5e)."""
+    segment-sum form at 10M nnz (7.9 ms vs 136 ms, J=32, v5e).
+
+    ``strategy`` (r4 measurement campaign, docs/spmm_roofline.md "MTTKRP"):
+
+    - ``"exact"`` (default): f32 gathers and products.  67.6 ms at the
+      10M-nnz bench shape — measured near the structural floor: the two
+      factor gathers are ISSUE-bound (~28.6 ms; sorting the entries does
+      NOT lift the issue rate on cache-resident tables), and six
+      reformulations (data-folded operand, pair-product table, 4-per-row
+      lane packing, j-sort, one-hot pick, packed+bf16) all measured
+      slower.
+    - ``"bf16"``: C/D gathered as bf16, f32 accumulation — halves the
+      padded gather-output streams: 58.0 ms (1.17x), relerr ~1e-3.
+    - ``"hilo"``: (J, 2r) hi|lo bf16 split tables — same gathered bytes
+      as ``"bf16"`` (the (…, r) tile pads to 128 lanes either way below
+      r=64), f32-reconstructed factors: relerr ~1e-7 at a small extra
+      VPU cost.  Use when bf16 error is too coarse but exact is too slow.
+    """
     n_blocks, cap = e_j.shape
     r = c.shape[1]
-    g = (jnp.take(c, e_j.reshape(-1), axis=0) * jnp.take(d, e_k.reshape(-1), axis=0)).reshape(n_blocks, cap, r)
-    prod = e_data[:, :, None] * g
-    onehot = (e_rows[:, :, None] == jnp.arange(block_rows, dtype=e_rows.dtype)[None, None, :]).astype(e_data.dtype)
+    if strategy == "bf16":
+        g = (
+            jnp.take(c.astype(jnp.bfloat16), e_j.reshape(-1), axis=0).astype(jnp.float32)
+            * jnp.take(d.astype(jnp.bfloat16), e_k.reshape(-1), axis=0).astype(jnp.float32)
+        ).reshape(n_blocks, cap, r)
+    elif strategy == "hilo":
+        c2 = _hilo_split_cols(c)
+        d2 = _hilo_split_cols(d)
+        gc = jnp.take(c2, e_j.reshape(-1), axis=0).reshape(n_blocks, cap, 2 * r)
+        gd = jnp.take(d2, e_k.reshape(-1), axis=0).reshape(n_blocks, cap, 2 * r)
+        g = (gc[:, :, :r].astype(jnp.float32) + gc[:, :, r:].astype(jnp.float32)) * (
+            gd[:, :, :r].astype(jnp.float32) + gd[:, :, r:].astype(jnp.float32)
+        )
+    else:
+        g = (jnp.take(c, e_j.reshape(-1), axis=0) * jnp.take(d, e_k.reshape(-1), axis=0)).reshape(
+            n_blocks, cap, r
+        )
+    prod = e_data[:, :, None] * g.astype(e_data.dtype) if strategy in ("bf16", "hilo") else e_data[:, :, None] * g
+    onehot = (e_rows[:, :, None] == jnp.arange(block_rows, dtype=e_rows.dtype)[None, None, :]).astype(prod.dtype)
     acc_dtype = jnp.float32 if prod.dtype == jnp.bfloat16 else prod.dtype
     precision = jax.lax.Precision.DEFAULT if prod.dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
     out = jnp.einsum(

@@ -270,6 +270,33 @@ def test_ell_mttkrp_matches_segment_form():
     np.testing.assert_allclose(out, np.einsum("ijk,jr,kr->ir", dense, C, D), atol=1e-4)
 
 
+@pytest.mark.parametrize("strategy,tol", [("bf16", 3e-2), ("hilo", 1e-4)])
+def test_ell_mttkrp_strategies(strategy, tol):
+    # opt-in reduced-precision factor-gather modes (r4): bf16 halves the
+    # padded gather streams (relerr ~1e-3), hilo reconstructs ~f32 from a
+    # (J, 2r) split table at the same gathered bytes
+    from sparse_tpu.kernels import build_block_ell_3d, ell_mttkrp
+
+    rng = np.random.default_rng(29)
+    I, J, K, R = 300, 40, 50, 8
+    lin = np.unique(rng.integers(0, I * J * K, 5000))
+    ci = (lin // (J * K)).astype(np.int32)
+    cj = ((lin // K) % J).astype(np.int32)
+    ck = (lin % K).astype(np.int32)
+    tv = rng.random(lin.size).astype(np.float32)
+    C = rng.random((J, R)).astype(np.float32)
+    D = rng.random((K, R)).astype(np.float32)
+    er, ej, ek, ed = build_block_ell_3d(ci, cj, ck, tv, I)
+    out = np.asarray(
+        ell_mttkrp(er, ej, ek, ed, jnp.asarray(C), jnp.asarray(D), n_rows=I, strategy=strategy)
+    )
+    dense = np.zeros((I, J, K))
+    dense[ci, cj, ck] = tv
+    ref = np.einsum("ijk,jr,kr->ir", dense, C, D)
+    rel = np.abs(out - ref).max() / np.abs(ref).max()
+    assert rel < tol, rel
+
+
 def test_ell_mttkrp_empty():
     from sparse_tpu.kernels import build_block_ell_3d, ell_mttkrp
 
