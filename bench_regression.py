@@ -64,7 +64,9 @@ def device_bench(fn, args, iters=30, perturb=None):
     def run(*a):
         def body(carry, i):
             out = fn(*perturb(a, i))
-            return carry + jnp.asarray(out).ravel()[0].astype(jnp.float32), None
+            # full-reduction consumer: no output phase can be DCE-sliced
+            # (same discipline as bench.py, VERDICT r3 #2)
+            return carry + jnp.asarray(out).sum().astype(jnp.float32), None
 
         acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(iters))
         return acc
@@ -183,6 +185,46 @@ def main():
         )
         emit("mttkrp", "jit", dt, "mnnz_per_s", t3.nnz / dt / 1e6,
              min_bytes=t3.nnz * (3 * 25 * 4 + 16))
+
+    if on("sddmm_flagship"):
+        # bench-scale SDDMM (VERDICT r3 #4): 65536^2 mask, 2.1M nnz, d=128
+        rngS = np.random.default_rng(0)
+        linS = np.unique(rngS.integers(0, (1 << 16) * (1 << 16), size=1 << 21, dtype=np.int64))
+        srL = jnp.asarray((linS // (1 << 16)).astype(np.int32))
+        scL = jnp.asarray((linS % (1 << 16)).astype(np.int32))
+        sdL = jnp.asarray(rngS.random(linS.size, dtype=np.float32))
+        AL = jnp.asarray(rngS.random((1 << 16, 128), dtype=np.float32))
+        BL = jnp.asarray(rngS.random((128, 1 << 16), dtype=np.float32))
+        dt = device_bench(sddmm, (srL, scL, sdL, AL, BL), iters=20)
+        emit("sddmm_flagship", "jit", dt, "mnnz_per_s", linS.size / dt / 1e6,
+             min_bytes=linS.size * (2 * 128 * 4 + 16))
+        del linS, srL, scL, sdL, AL, BL
+
+    if on("mttkrp_large"):
+        # the BASELINE workload shape (ref examples/mttkrp_example.py:10-58):
+        # 100k x 2k x 2k, 10M nnz, J=32 — exact and the r4 hilo fast mode
+        from sparse_tpu.kernels import build_block_ell_3d, ell_mttkrp
+
+        rngL = np.random.default_rng(0)
+        I_, J_, K_ = 100_000, 2000, 2000
+        linL = np.unique(rngL.integers(0, I_ * J_ * K_, size=10_000_000, dtype=np.int64))
+        ciL = (linL // (J_ * K_)).astype(np.int32)
+        cjL = ((linL // K_) % J_).astype(np.int32)
+        ckL = (linL % K_).astype(np.int32)
+        tvL = rngL.random(linL.size, dtype=np.float32)
+        CL = jnp.asarray(rngL.random((J_, 32), dtype=np.float32))
+        DL = jnp.asarray(rngL.random((K_, 32), dtype=np.float32))
+        erL, ejL, ekL, edL = build_block_ell_3d(ciL, cjL, ckL, tvL, I_)
+        mtt_bytes = linL.size * (2 * 32 * 4 + 16) + I_ * 32 * 4
+        for mode in ("exact", "hilo"):
+            dt = device_bench(
+                lambda c_, d_, _m=mode: ell_mttkrp(erL, ejL, ekL, edL, c_, d_, n_rows=I_, strategy=_m),
+                (CL, DL),
+                iters=10,
+            )
+            emit("mttkrp_large", f"jit_{mode}", dt, "mnnz_per_s", linL.size / dt / 1e6,
+                 min_bytes=mtt_bytes)
+        del erL, ejL, ekL, edL, linL, ciL, cjL, ckL, tvL
 
     if on("spgemm"):
         from sparse_tpu.jitops import spgemm as jit_spgemm

@@ -48,7 +48,8 @@ def device_bench(fn, args, iters=50):
         def body(carry, i):
             perturbed = a[:-1] + (a[-1] + i.astype(a[-1].dtype) * 1e-6,)
             out = fn(*perturbed)
-            return carry + jnp.asarray(out).ravel()[0].astype(jnp.float32), None
+            # full-reduction consumer (DCE-proof, same as bench.py)
+            return carry + jnp.asarray(out).sum().astype(jnp.float32), None
 
         acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(iters))
         return acc
@@ -168,6 +169,27 @@ def main():
         )
     )
 
+    # 3b. SDDMM at flagship scale (the SpMM bench mask: 65536^2, 2.1M nnz,
+    # d=128) — phase split in docs/spmm_roofline.md "SDDMM (round 4)"
+    if on_tpu:
+        rngS = np.random.default_rng(0)
+        linS = np.unique(rngS.integers(0, (1 << 16) * (1 << 16), size=1 << 21, dtype=np.int64))
+        srL = jnp.asarray((linS // (1 << 16)).astype(np.int32))
+        scL = jnp.asarray((linS % (1 << 16)).astype(np.int32))
+        sdL = jnp.asarray(rngS.random(linS.size, dtype=np.float32))
+        AL = jnp.asarray(rngS.random((1 << 16, 128), dtype=np.float32))
+        BL = jnp.asarray(rngS.random((128, 1 << 16), dtype=np.float32))
+        dt = device_bench(sddmm, (srL, scL, sdL, AL, BL), iters=20)
+        sddmmL_bytes = linS.size * (2 * 128 * 4 + 16)
+        rows_out.append(
+            (
+                "SDDMM 65k^2 K=128 2.1M nnz",
+                f"{dt * 1e3:.2f} ms",
+                f"{linS.size / dt / 1e6:.0f}M nnz/s, {_vs_sol(dt, sddmmL_bytes)}",
+            )
+        )
+        del linS, srL, scL, sdL, AL, BL
+
     # 4. MTTKRP (reference example shape)
     t3 = sparse.random((1000, 1000, 100), density=1e-4, random_state=2)
     ci, cj, ck = (jnp.asarray(np.asarray(t3.coords[i])) for i in range(3))
@@ -184,6 +206,38 @@ def main():
             f"{t3.nnz / dt / 1e6:.0f}M nnz/s, {_vs_sol(dt, mttkrp_bytes)}",
         )
     )
+
+    # 4b. large MTTKRP (the BASELINE workload scale: 100k x 2k x 2k, 10M
+    # nnz, J=32) — exact and the r4 hi|lo fast mode (44.7 vs 67.5 ms on
+    # v5e, relerr 1.7e-6; docs/spmm_roofline.md "MTTKRP round-4 campaign")
+    if on_tpu:
+        from sparse_tpu.kernels import build_block_ell_3d, ell_mttkrp
+
+        rngL = np.random.default_rng(0)
+        I_, J_, K_ = 100_000, 2000, 2000
+        linL = np.unique(rngL.integers(0, I_ * J_ * K_, size=10_000_000, dtype=np.int64))
+        ciL = (linL // (J_ * K_)).astype(np.int32)
+        cjL = ((linL // K_) % J_).astype(np.int32)
+        ckL = (linL % K_).astype(np.int32)
+        tvL = rngL.random(linL.size, dtype=np.float32)
+        CL = jnp.asarray(rngL.random((J_, 32), dtype=np.float32))
+        DL = jnp.asarray(rngL.random((K_, 32), dtype=np.float32))
+        erL, ejL, ekL, edL = build_block_ell_3d(ciL, cjL, ckL, tvL, I_)
+        mttL_bytes = linL.size * (2 * 32 * 4 + 16) + I_ * 32 * 4
+        for mode in ("exact", "hilo"):
+            dt = device_bench(
+                lambda c_, d_, _m=mode: ell_mttkrp(erL, ejL, ekL, edL, c_, d_, n_rows=I_, strategy=_m),
+                (CL, DL),
+                iters=10,
+            )
+            rows_out.append(
+                (
+                    f"MTTKRP 100kx2kx2k J=32 10M nnz [{mode}]",
+                    f"{dt * 1e3:.2f} ms",
+                    f"{linL.size / dt / 1e6:.0f}M nnz/s, {_vs_sol(dt, mttL_bytes)}",
+                )
+            )
+        del erL, ejL, ekL, edL, linL, ciL, cjL, ckL, tvL
 
     # 5. BSR pallas (TPU only)
     if on_tpu:
