@@ -84,7 +84,7 @@ def run_shape(m, k, n, density, tag):
     rb, cb, vb = make(k, n, 2)
     P = product_count(ca, rb, k)
     pcap = max(int(P * 1.02) + 256, 1024)
-    ocap = min(pcap, m * 8)
+    ocap = pcap  # collisions are rare at these densities; don't truncate
     print(f"[{tag}] nnz_a={va.size} nnz_b={vb.size} products={P} pcap={pcap}", flush=True)
 
     raj, caj, vaj = map(jnp.asarray, (ra, ca, va))

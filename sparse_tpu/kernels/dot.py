@@ -111,9 +111,14 @@ def _sorted_segment_sum_cumsum(values, segment_ids, num_segments):
     serial XLA scatter on TPU. values: (nnz, N)."""
     nnz = values.shape[0]
     cs = jnp.cumsum(values, axis=0)
-    # ends[m] = index of last entry of segment m (exclusive end - 1)
-    counts = jnp.bincount(segment_ids, length=num_segments)
-    ends = jnp.cumsum(counts)
+    # ends[m] = index of last entry of segment m (exclusive end - 1).
+    # searchsorted, NOT bincount: jnp.bincount lowers to the serial XLA
+    # scatter this function exists to avoid (r4, same finding as
+    # kernels/spgemm.py)
+    ends = jnp.searchsorted(
+        segment_ids, jnp.arange(num_segments, dtype=segment_ids.dtype), side="right"
+    )
+    counts = jnp.diff(jnp.concatenate([jnp.zeros(1, ends.dtype), ends]))
     hi = jnp.where((ends > 0)[:, None], cs[jnp.clip(ends - 1, 0, nnz - 1)], 0)
     starts = ends - counts
     lo = jnp.where((starts > 0)[:, None], cs[jnp.clip(starts - 1, 0, nnz - 1)], 0)

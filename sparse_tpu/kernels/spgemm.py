@@ -47,9 +47,13 @@ def esc_spgemm(rows_a, cols_a, data_a, rows_b, cols_b, data_b, *, k, n, product_
     nnz_b = data_b.shape[0]
     dt = jnp.promote_types(data_a.dtype, data_b.dtype)
 
-    # B row segmentation (B canonical: sorted by row)
-    counts_b = jnp.bincount(rows_b, length=k)
-    starts_b = jnp.concatenate([jnp.zeros(1, counts_b.dtype), jnp.cumsum(counts_b)[:-1]])
+    # B row segmentation (B canonical: sorted by row).  searchsorted edges,
+    # NOT bincount: jnp.bincount lowers to XLA scatter-add, which
+    # SERIALIZES on TPU — measured 28.8 of 33.6 ms at the reference
+    # 100k^2 @ 1e-5 SpGEMM shape (experiments/spgemm_esc_roofline.py, r4)
+    edges = jnp.searchsorted(rows_b, jnp.arange(k + 1, dtype=rows_b.dtype), side="left")
+    counts_b = jnp.diff(edges)
+    starts_b = edges[:-1]
 
     # expansion: product p belongs to A-entry e(p)
     repeats = counts_b[cols_a]
