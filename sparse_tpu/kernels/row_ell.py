@@ -19,7 +19,8 @@ transpose and 605 for G=8).  The SpMM is then, per tier::
 a uniform segmented reduction with **no one-hot and no MXU**: exact f32
 accumulation, and the ``(r/G, G, N) -> (r, N)`` reshape is a physical
 no-op (same tile bytes).  Measured on v5e at the bench shape (65k^2,
-2.1M nnz, N=128): 4.74 ms = 442 M nnz/s vs 5.18 ms for the round-1
+2.1M nnz, N=128): 3.78 ms = 555 M nnz/s with the r4 w-split (4.74 ms
+without; see SPMM_WSPLIT below) vs 5.18 ms for the round-1
 layout and 5.6 ms for the one-hot block-ELL.  Full study incl. the
 rejected (w, r) transpose and G sweep: docs/spmm_roofline.md.
 
@@ -182,17 +183,40 @@ def build_row_ell(rows, cols, data, n_rows, n_cols, min_pad=8, max_tiers=None, g
     )
 
 
+# w-split: wide grouped tiers run as SPMM_WSPLIT independent half-width
+# gather->multiply->reduce chains summed at the end — 4.21 -> 3.78 ms =
+# 555 M nnz/s at the bench shape (exact; halves the peak gathered-block
+# footprint and the chains pipeline).  Sweep over split {1,2,3,4} x
+# min_w {8,16,32}: split2/minw8 best (experiments/spmm_wsplit.py).
+# Measured negatives at the same shape: bf16 table (5.73), einsum-over-w
+# MXU (tie), fully-sorted gather order (tie) — docs "Round 4".
+SPMM_WSPLIT = 2
+SPMM_WSPLIT_MIN_W = 8
+
+
 @functools.partial(jax.jit, static_argnames=("n_rows", "nz_rows"))
 def _spmm(tiers, perm_inv, dense, *, n_rows, nz_rows):
     n = dense.shape[1]
     dt = jnp.result_type(dense.dtype, tiers[0][1].dtype if tiers else dense.dtype)
     outs = []
     for c, d in tiers:
-        g = jnp.take(dense, c, axis=0)  # grouped (r/G, w, G, n) / legacy (r, w, n)
         if c.ndim == 3:
-            o = (d.astype(dt)[:, :, :, None] * g.astype(dt)).sum(axis=1)  # (r/G, G, n)
+            w = c.shape[1]
+            k = SPMM_WSPLIT if w >= SPMM_WSPLIT_MIN_W else 1
+            if k > 1 and w >= 2 * k:
+                bnds = [w * t // k for t in range(k + 1)]
+                o = None
+                for t in range(k):
+                    s0, s1 = bnds[t], bnds[t + 1]
+                    g = jnp.take(dense, c[:, s0:s1], axis=0)
+                    p = (d[:, s0:s1, :, None].astype(dt) * g.astype(dt)).sum(axis=1)
+                    o = p if o is None else o + p
+            else:
+                g = jnp.take(dense, c, axis=0)  # grouped (r/G, w, G, n)
+                o = (d.astype(dt)[:, :, :, None] * g.astype(dt)).sum(axis=1)  # (r/G, G, n)
             outs.append(o.reshape(-1, n))  # physical no-op: tile covers (G, n)
         else:
+            g = jnp.take(dense, c, axis=0)  # legacy (r, w, n)
             outs.append((d.astype(dt)[:, :, None] * g.astype(dt)).sum(axis=1))
     pad = jnp.zeros((n_rows - nz_rows, n), dtype=dt)
     out_sorted = jnp.concatenate(outs + [pad], axis=0) if outs else pad
