@@ -120,8 +120,9 @@ def run_shape(m, k, n, density, tag):
     # expansion phase only
     def expand_only(va_, vb_):
         nnz_a = va_.shape[0]
-        counts_b = jnp.bincount(rbj, length=k)
-        starts_b = jnp.concatenate([jnp.zeros(1, counts_b.dtype), jnp.cumsum(counts_b)[:-1]])
+        edges = jnp.searchsorted(rbj, jnp.arange(k + 1, dtype=rbj.dtype), side="left")
+        counts_b = jnp.diff(edges)
+        starts_b = edges[:-1]
         repeats = counts_b[caj]
         ends = jnp.cumsum(repeats)
         p_idx = jnp.arange(pcap, dtype=ends.dtype)

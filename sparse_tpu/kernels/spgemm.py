@@ -79,15 +79,29 @@ def esc_spgemm(rows_a, cols_a, data_a, rows_b, cols_b, data_b, *, k, n, product_
     is_new = jnp.concatenate([jnp.ones(1, bool), key_s[1:] != key_s[:-1]]) & (
         key_s < jnp.asarray(jnp.iinfo(jnp.int32).max, key.dtype) * n
     )
-    # segment id per product; products of the same (i,j) share one id
+    # segment id per product; products of the same (i,j) share one id.
+    # (Invalid/sentinel products fold into the last real segment with
+    # v == 0 — harmless for sums.)
     seg = jnp.cumsum(is_new) - 1
     out_nnz = is_new.sum()
 
-    sums = jax.ops.segment_sum(v_s, seg.astype(jnp.int32), num_segments=out_capacity, indices_are_sorted=True)
-    first_pos = jax.ops.segment_min(
-        jnp.arange(product_capacity), seg.astype(jnp.int32), num_segments=out_capacity, indices_are_sorted=True
-    )
+    # Scatter-free contraction (r4): jax.ops.segment_sum/min lower to XLA
+    # scatters, which SERIALIZE on TPU (~28 of 32 ms at the reference
+    # 100k^2 shape).  seg is SORTED, so: per-segment sums via a segmented
+    # Hillis-Steele scan (log2(P) shift-add passes, adds stay WITHIN
+    # segments — exact, unlike a global-cumsum difference whose f32 error
+    # scales with the running total), and each segment's first/last
+    # position via vectorized searchsorted.
+    x = v_s
+    d = 1
+    while d < product_capacity:
+        same = seg[d:] == seg[:-d]
+        x = x + jnp.concatenate([jnp.zeros(d, x.dtype), jnp.where(same, x[:-d], 0)])
+        d *= 2
     slot = jnp.arange(out_capacity)
+    first_pos = jnp.searchsorted(seg, slot, side="left")
+    end_pos = jnp.searchsorted(seg, slot, side="right")
+    sums = jnp.where(end_pos > first_pos, x[jnp.clip(end_pos - 1, 0, product_capacity - 1)], 0)
     in_range = slot < out_nnz
     first_pos_c = jnp.clip(first_pos, 0, product_capacity - 1)
     keys_out = jnp.where(in_range, key_s[first_pos_c], jnp.asarray(-1, key.dtype))

@@ -68,6 +68,26 @@ def test_sddmm(problem):
     np.testing.assert_allclose(np.asarray(vals), expected)
 
 
+def test_sddmm_chunked_matches_monolithic():
+    # nnz above SDDMM_CHUNK_MIN_NNZ takes the scan-chunked path (r4);
+    # results must match the monolithic form (incl. the pad tail)
+    from sparse_tpu.kernels.dot import SDDMM_CHUNK_MIN_NNZ
+
+    rng = np.random.default_rng(11)
+    m = k = 2048
+    nnz = SDDMM_CHUNK_MIN_NNZ + 1234  # non-multiple of chunk: pad exercised
+    rows = jnp.asarray(np.sort(rng.integers(0, m, nnz)).astype(np.int32))
+    cols = jnp.asarray(rng.integers(0, k, nnz).astype(np.int32))
+    vals = jnp.asarray(rng.random(nnz, dtype=np.float32))
+    lhs = jnp.asarray(rng.random((m, 16), dtype=np.float32))
+    rhs = jnp.asarray(rng.random((16, k), dtype=np.float32))
+    out = np.asarray(sddmm(rows, cols, vals, lhs, rhs))
+    lg = np.asarray(lhs)[np.asarray(rows)]
+    rg = np.asarray(rhs).T[np.asarray(cols)]
+    expected = np.asarray(vals) * np.sum(lg * rg, axis=1)
+    np.testing.assert_allclose(out, expected, rtol=1e-5)
+
+
 def test_mttkrp():
     t = sparse.random((20, 10, 12), density=0.05, random_state=0)
     c = np.random.default_rng(1).random((10, 4))
