@@ -89,10 +89,11 @@ def dense_coo_matmul(dense, rows, cols, data, *, n_out_cols):
 # Above this nnz, SDDMM runs as a lax.scan over entry chunks: the
 # per-chunk gathered (chunk, K) blocks stay VMEM-resident instead of
 # materializing two (nnz, K) streams in HBM — 14.0 -> 9.9 ms at the
-# flagship shape (65536^2 mask, 2.1M nnz, K=128; chunk sweep in
-# experiments/sddmm_chunked{,2}.py).  Small problems keep the monolithic
-# form (scan overhead dominates below ~64k entries).
-SDDMM_CHUNK = 16384
+# flagship shape (65536^2 mask, 2.1M nnz, K=128; chunk sweep
+# 2k/4k/8k/16k/32k/64k/128k/256k -> 26.0/10.7/10.1/9.9/9.8/10.4/11.1/33.1
+# in experiments/sddmm_chunked{,2}.py).  Small problems keep the
+# monolithic form (scan overhead dominates).
+SDDMM_CHUNK = 32768
 SDDMM_CHUNK_MIN_NNZ = 4 * SDDMM_CHUNK
 
 
