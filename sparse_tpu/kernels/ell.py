@@ -114,6 +114,12 @@ def build_block_ell_3d(ci, cj, ck, data, n_rows, block_rows=DEFAULT_BLOCK_ROWS, 
     return jnp.asarray(e_rows), jnp.asarray(e_j), jnp.asarray(e_k), jnp.asarray(e_data)
 
 
+# exact-path scan-over-blocks (see ell_mttkrp): group size and the
+# minimum block count below which the monolithic form stays
+MTTKRP_SCAN_GROUP = 4
+MTTKRP_SCAN_MIN_BLOCKS = 32
+
+
 def _hilo_split_cols(x):
     """bf16 hi|lo split along columns: (n, r) f32 -> (n, 2r) bf16 with
     hi = round-to-nearest-bf16(x), lo = bf16(x - hi).  Computed with
@@ -134,13 +140,14 @@ def ell_mttkrp(e_rows, e_j, e_k, e_data, c, d, *, n_rows, block_rows=DEFAULT_BLO
 
     ``strategy`` (r4 measurement campaign, docs/spmm_roofline.md "MTTKRP"):
 
-    - ``"exact"`` (default): f32 gathers and products.  67.6 ms at the
-      10M-nnz bench shape — measured near the structural floor: the two
-      factor gathers are ISSUE-bound (~28.6 ms; sorting the entries does
-      NOT lift the issue rate on cache-resident tables), and six
-      reformulations (data-folded operand, pair-product table, 4-per-row
-      lane packing, j-sort, one-hot pick, packed+bf16) all measured
-      slower.
+    - ``"exact"`` (default): f32 gathers and products.  Large problems
+      (>= 32 row blocks) run as a scan over block groups whose
+      gathered/product slices stay VMEM-resident: 51.8 ms at the 10M-nnz
+      bench shape (67.6 monolithic).  The two factor gathers are
+      ISSUE-bound (~28.6 ms; sorting the entries does NOT lift the issue
+      rate on cache-resident tables), and six other reformulations
+      (data-folded operand, pair-product table, 4-per-row lane packing,
+      j-sort, one-hot pick, packed+bf16) all measured slower.
     - ``"bf16"``: C/D gathered as bf16, f32 accumulation — halves the
       padded gather-output streams: 58.0 ms (1.17x), relerr ~1e-3.
     - ``"hilo"``: (J, 2r) hi|lo bf16 split tables — same gathered bytes
@@ -150,6 +157,45 @@ def ell_mttkrp(e_rows, e_j, e_k, e_data, c, d, *, n_rows, block_rows=DEFAULT_BLO
     """
     n_blocks, cap = e_j.shape
     r = c.shape[1]
+    if strategy == "exact" and n_blocks >= MTTKRP_SCAN_MIN_BLOCKS:
+        # scan over groups of blocks: per-iteration gathered/product slices
+        # stay VMEM-resident instead of materializing 4x-lane-padded
+        # (E, r) streams in HBM — 67.6 -> 51.8 ms exact at the 10M-nnz
+        # bench shape (group sweep {1,2,4,8} -> 59.6/52.2/51.8/65.5;
+        # hilo+scan measured WORSE than plain hilo, so only exact scans).
+        group = MTTKRP_SCAN_GROUP
+        nb = -(-n_blocks // group) * group
+        pb = nb - n_blocks
+
+        def padb(x):
+            if pb == 0:
+                return x
+            return jnp.concatenate([x, jnp.zeros((pb,) + x.shape[1:], x.dtype)], axis=0)
+
+        erp = padb(e_rows).reshape(nb // group, group, cap)
+        ejp = padb(e_j).reshape(nb // group, group, cap)
+        ekp = padb(e_k).reshape(nb // group, group, cap)
+        edp = padb(e_data).reshape(nb // group, group, cap)
+        dt_ = jnp.promote_types(e_data.dtype, jnp.promote_types(c.dtype, d.dtype))
+        acc = jnp.float32 if dt_ == jnp.bfloat16 else dt_
+        prec = jax.lax.Precision.DEFAULT if dt_ == jnp.bfloat16 else jax.lax.Precision.HIGHEST
+
+        def body(_, x):
+            erx, ejx, ekx, edx = x
+            g_ = (
+                jnp.take(c, ejx.reshape(-1), axis=0) * jnp.take(d, ekx.reshape(-1), axis=0)
+            ).reshape(group, cap, r)
+            prod_ = edx[:, :, None] * g_
+            oh = (
+                erx[:, :, None] == jnp.arange(block_rows, dtype=erx.dtype)[None, None, :]
+            ).astype(prod_.dtype)
+            out_ = jnp.einsum(
+                "ben,ber->bnr", oh, prod_, preferred_element_type=acc, precision=prec
+            )
+            return None, out_
+
+        _, outs = jax.lax.scan(body, None, (erp, ejp, ekp, edp))
+        return outs.reshape(nb * block_rows, r).astype(dt_)[:n_rows]
     if strategy == "bf16":
         g = (
             jnp.take(c.astype(jnp.bfloat16), e_j.reshape(-1), axis=0).astype(jnp.float32)

@@ -290,6 +290,30 @@ def test_ell_mttkrp_matches_segment_form():
     np.testing.assert_allclose(out, np.einsum("ijk,jr,kr->ir", dense, C, D), atol=1e-4)
 
 
+def test_ell_mttkrp_scan_path_matches():
+    # n_blocks >= MTTKRP_SCAN_MIN_BLOCKS takes the exact scan-over-blocks
+    # path (r4) incl. the block-padding tail; compare vs the dense oracle
+    from sparse_tpu.kernels import build_block_ell_3d, ell_mttkrp
+    from sparse_tpu.kernels.ell import MTTKRP_SCAN_MIN_BLOCKS
+
+    rng = np.random.default_rng(31)
+    I = (MTTKRP_SCAN_MIN_BLOCKS * 128) + 77  # non-multiple: padding exercised
+    J, K, R = 30, 40, 8
+    lin = np.unique(rng.integers(0, I * J * K, 20000))
+    ci = (lin // (J * K)).astype(np.int32)
+    cj = ((lin // K) % J).astype(np.int32)
+    ck = (lin % K).astype(np.int32)
+    tv = rng.random(lin.size).astype(np.float32)
+    C = rng.random((J, R)).astype(np.float32)
+    D = rng.random((K, R)).astype(np.float32)
+    er, ej, ek, ed = build_block_ell_3d(ci, cj, ck, tv, I)
+    assert ej.shape[0] >= MTTKRP_SCAN_MIN_BLOCKS
+    out = np.asarray(ell_mttkrp(er, ej, ek, ed, jnp.asarray(C), jnp.asarray(D), n_rows=I))
+    ref = np.zeros((I, R))
+    np.add.at(ref, ci, tv[:, None].astype(np.float64) * C[cj].astype(np.float64) * D[ck].astype(np.float64))
+    np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
 @pytest.mark.parametrize("strategy,tol", [("bf16", 3e-2), ("hilo", 1e-4)])
 def test_ell_mttkrp_strategies(strategy, tol):
     # opt-in reduced-precision factor-gather modes (r4): bf16 halves the
