@@ -52,7 +52,7 @@ def _triplet(a):
         idx = jnp.asarray(a.indices)
         nnz = idx.shape[0]
         comp_ids = (
-            jnp.searchsorted(indptr, jnp.arange(nnz, dtype=indptr.dtype), side="right") - 1
+            jnp.searchsorted(indptr, jnp.arange(nnz, dtype=indptr.dtype), side="right", method="sort") - 1
         ).astype(idx.dtype)
         if a.compressed_axes == (0,):
             return comp_ids, idx, jnp.asarray(a.data)

@@ -51,7 +51,12 @@ def esc_spgemm(rows_a, cols_a, data_a, rows_b, cols_b, data_b, *, k, n, product_
     # NOT bincount: jnp.bincount lowers to XLA scatter-add, which
     # SERIALIZES on TPU — measured 28.8 of 33.6 ms at the reference
     # 100k^2 @ 1e-5 SpGEMM shape (experiments/spgemm_esc_roofline.py, r4)
-    edges = jnp.searchsorted(rows_b, jnp.arange(k + 1, dtype=rows_b.dtype), side="left")
+    # method="sort": the default searchsorted lowering is a while_loop of
+    # scalar gathers (~140 M probes/s TPU issue bound); the sort-based
+    # form is one vectorized sort of keys+probes
+    edges = jnp.searchsorted(
+        rows_b, jnp.arange(k + 1, dtype=rows_b.dtype), side="left", method="sort"
+    )
     counts_b = jnp.diff(edges)
     starts_b = edges[:-1]
 
@@ -60,7 +65,7 @@ def esc_spgemm(rows_a, cols_a, data_a, rows_b, cols_b, data_b, *, k, n, product_
     ends = jnp.cumsum(repeats)
     total = ends[-1] if nnz_a else jnp.asarray(0, ends.dtype)
     p_idx = jnp.arange(product_capacity, dtype=ends.dtype)
-    e = jnp.searchsorted(ends, p_idx, side="right")
+    e = jnp.searchsorted(ends, p_idx, side="right", method="sort")
     e_c = jnp.clip(e, 0, nnz_a - 1)
     within = p_idx - (ends[e_c] - repeats[e_c])
     b_idx = jnp.clip(starts_b[cols_a[e_c]] + within, 0, nnz_b - 1)
@@ -85,23 +90,16 @@ def esc_spgemm(rows_a, cols_a, data_a, rows_b, cols_b, data_b, *, k, n, product_
     seg = jnp.cumsum(is_new) - 1
     out_nnz = is_new.sum()
 
-    # Scatter-free contraction (r4): jax.ops.segment_sum/min lower to XLA
-    # scatters, which SERIALIZE on TPU (~28 of 32 ms at the reference
-    # 100k^2 shape).  seg is SORTED, so: per-segment sums via a segmented
-    # Hillis-Steele scan (log2(P) shift-add passes, adds stay WITHIN
-    # segments — exact, unlike a global-cumsum difference whose f32 error
-    # scales with the running total), and each segment's first/last
-    # position via vectorized searchsorted.
-    x = v_s
-    d = 1
-    while d < product_capacity:
-        same = seg[d:] == seg[:-d]
-        x = x + jnp.concatenate([jnp.zeros(d, x.dtype), jnp.where(same, x[:-d], 0)])
-        d *= 2
+    # Contraction via segment ops over the SORTED ids.  (r4 measured: a
+    # segmented-scan + searchsorted rewrite was 2.4x SLOWER at the
+    # reference shape and crashed the TPU worker at 2.8M products — the
+    # default searchsorted lowering is a scalar-gather while_loop and the
+    # sorted-indices segment ops were never the bottleneck here.)
+    sums = jax.ops.segment_sum(v_s, seg.astype(jnp.int32), num_segments=out_capacity, indices_are_sorted=True)
+    first_pos = jax.ops.segment_min(
+        jnp.arange(product_capacity), seg.astype(jnp.int32), num_segments=out_capacity, indices_are_sorted=True
+    )
     slot = jnp.arange(out_capacity)
-    first_pos = jnp.searchsorted(seg, slot, side="left")
-    end_pos = jnp.searchsorted(seg, slot, side="right")
-    sums = jnp.where(end_pos > first_pos, x[jnp.clip(end_pos - 1, 0, product_capacity - 1)], 0)
     in_range = slot < out_nnz
     first_pos_c = jnp.clip(first_pos, 0, product_capacity - 1)
     keys_out = jnp.where(in_range, key_s[first_pos_c], jnp.asarray(-1, key.dtype))
