@@ -89,9 +89,14 @@ def main():
     sg1 = sp.csr_array(g1.to_scipy_sparse())
     sg2 = sp.csr_array(g2.to_scipy_sparse())
     row("spgemm csr@csr 100k^2 @1e-5", bench(lambda: g1 @ g2, 10), bench(lambda: sg1 @ sg2, 10))
+    # input-format-fair: scipy also starts from COO operands (it converts
+    # internally and returns CSR; ours returns a canonical COO, which
+    # includes the indptr->rows uncompress the CSR result skips)
     gc1 = g1.tocoo()
     gc2 = g2.tocoo()
-    row("spgemm coo@coo 100k^2 @1e-5", bench(lambda: gc1 @ gc2, 10), bench(lambda: sg1 @ sg2, 10))
+    sc1 = sp.coo_array(sg1)
+    sc2 = sp.coo_array(sg2)
+    row("spgemm coo@coo 100k^2 @1e-5", bench(lambda: gc1 @ gc2, 10), bench(lambda: sc1 @ sc2, 10))
 
     # the reference spmv_add example shape (csc 99990 x 100k @ 1e-6)
     m2 = sparse.random((99990, 100000), density=1e-6, random_state=7, format="gcxs", compressed_axes=(1,))

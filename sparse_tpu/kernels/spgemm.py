@@ -90,19 +90,32 @@ def esc_spgemm(rows_a, cols_a, data_a, rows_b, cols_b, data_b, *, k, n, product_
     seg = jnp.cumsum(is_new) - 1
     out_nnz = is_new.sum()
 
-    # Contraction via segment ops over the SORTED ids.  (r4 measured: a
-    # segmented-scan + searchsorted rewrite was 2.4x SLOWER at the
-    # reference shape and crashed the TPU worker at 2.8M products — the
-    # default searchsorted lowering is a scalar-gather while_loop and the
-    # sorted-indices segment ops were never the bottleneck here.)
-    sums = jax.ops.segment_sum(v_s, seg.astype(jnp.int32), num_segments=out_capacity, indices_are_sorted=True)
-    first_pos = jax.ops.segment_min(
-        jnp.arange(product_capacity), seg.astype(jnp.int32), num_segments=out_capacity, indices_are_sorted=True
-    )
+    # Scatter-free contraction (r4): XLA scatter serializes on TPU —
+    # segment_sum/min measured ~420 of 456 ms at 2.8M products (fine at
+    # 100k).  seg is SORTED, so (a) per-segment prefix sums via a
+    # segmented Hillis-Steele scan (log2(P) shift-add passes; adds stay
+    # WITHIN segments — exact, no global-cumsum error growth), and
+    # (b) each segment's last position via ONE sort-based searchsorted
+    # (the default searchsorted lowering is a scalar-gather while_loop —
+    # as slow as the scatter it replaces).
+    x = v_s
+    d = 1
+    while d < product_capacity:
+        same = seg[d:] == seg[:-d]
+        x = x + jnp.concatenate([jnp.zeros(d, x.dtype), jnp.where(same, x[:-d], 0)])
+        d *= 2
     slot = jnp.arange(out_capacity)
+    end_pos = jnp.searchsorted(seg, slot, side="right", method="sort")
     in_range = slot < out_nnz
-    first_pos_c = jnp.clip(first_pos, 0, product_capacity - 1)
-    keys_out = jnp.where(in_range, key_s[first_pos_c], jnp.asarray(-1, key.dtype))
+    tail = jnp.clip(end_pos - 1, 0, product_capacity - 1)
+    # sentinel products fold into the LAST segment with v == 0: their zeros
+    # don't disturb x[tail], but the tail KEY there is the sentinel — take
+    # keys from the segment head instead
+    head = jnp.clip(
+        jnp.searchsorted(seg, slot, side="left", method="sort"), 0, product_capacity - 1
+    )
+    sums = jnp.where(in_range, x[tail], 0)
+    keys_out = jnp.where(in_range, key_s[head], jnp.asarray(-1, key.dtype))
     out_rows = jnp.where(in_range, keys_out // n, jnp.iinfo(jnp.int32).max).astype(jnp.int32)
     out_cols = jnp.where(in_range, keys_out % n, 0).astype(jnp.int32)
     out_data = jnp.where(in_range, sums, 0)

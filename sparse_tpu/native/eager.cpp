@@ -13,6 +13,7 @@
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <memory>
 #include <thread>
 #include <vector>
 
@@ -219,8 +220,31 @@ BINCOUNT_SUM(st_bincount_sum_f32, float)
 #define BINCOUNT_SUM_COMPACT(NAME, T, KT)                                                    \
   int64_t NAME(const KT* keys, const T* w, int64_t n, int64_t n_bins, T* sums,              \
                int64_t* out_idx, T* out_vals) {                                              \
-    for (int64_t b = 0; b < n_bins; ++b) sums[b] = T(0);                                     \
-    for (int64_t i = 0; i < n; ++i) sums[keys[i]] += w[i];                                   \
+    int t = (int)std::min<int64_t>(stpool::ThreadPool::max_threads(), n >> 17);              \
+    if (t >= 2 && n_bins <= (int64_t)1 << 22) {                                              \
+      /* per-slot private bins, merged serially (bins are small) */                          \
+      std::vector<std::unique_ptr<T[]>> priv(t - 1);                                         \
+      int64_t chunk = (n + t - 1) / t;                                                       \
+      stpool::parallel_for_slots(t, [&](int i) {                                             \
+        T* bins;                                                                             \
+        if (i == 0) {                                                                        \
+          bins = sums;                                                                       \
+        } else {                                                                             \
+          priv[i - 1].reset(new T[n_bins]);                                                  \
+          bins = priv[i - 1].get();                                                          \
+        }                                                                                    \
+        for (int64_t b = 0; b < n_bins; ++b) bins[b] = T(0);                                 \
+        int64_t lo = i * chunk, hi = std::min<int64_t>(n, lo + chunk);                       \
+        for (int64_t p = lo; p < hi; ++p) bins[keys[p]] += w[p];                             \
+      });                                                                                    \
+      for (int i = 1; i < t; ++i) {                                                          \
+        const T* b2 = priv[i - 1].get();                                                     \
+        for (int64_t b = 0; b < n_bins; ++b) sums[b] += b2[b];                               \
+      }                                                                                      \
+    } else {                                                                                 \
+      for (int64_t b = 0; b < n_bins; ++b) sums[b] = T(0);                                   \
+      for (int64_t i = 0; i < n; ++i) sums[keys[i]] += w[i];                                 \
+    }                                                                                        \
     int64_t m = 0;                                                                           \
     for (int64_t b = 0; b < n_bins; ++b) {                                                   \
       T v = sums[b];                                                                         \
@@ -244,29 +268,73 @@ BINCOUNT_SUM_COMPACT(st_bincount_sum_compact_f32_i32, float, int32_t)
 // summed with 4 accumulators (the csr_spmv trick) and there is no n_bins
 // array to zero or compaction scan — one pass, ~3x at 400k entries.
 // Keeps bincount_sum_compact's prune rule (drop sums == 0).
+}  // extern "C"
+
+namespace {
+
+template <typename T, typename KT>
+int64_t sorted_reduce_range(const KT* keys, const T* w, int64_t i, int64_t n, int64_t* out_idx,
+                            T* out_vals) {
+  int64_t m = 0;
+  while (i < n) {
+    KT k = keys[i];
+    int64_t j = i + 1;
+    while (j < n && keys[j] == k) ++j;
+    T a0 = T(0), a1 = T(0), a2 = T(0), a3 = T(0);
+    int64_t p = i;
+    for (; p + 4 <= j; p += 4) {
+      a0 += w[p];
+      a1 += w[p + 1];
+      a2 += w[p + 2];
+      a3 += w[p + 3];
+    }
+    for (; p < j; ++p) a0 += w[p];
+    T v = (a0 + a1) + (a2 + a3);
+    if (v != T(0)) {
+      out_idx[m] = (int64_t)k;
+      out_vals[m] = v;
+      ++m;
+    }
+    i = j;
+  }
+  return m;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Threaded over run-boundary-aligned chunks: each slot reduces into its
+// own scratch region, then the (small) outputs are compacted serially.
 #define SORTED_REDUCE_COMPACT(NAME, T, KT)                                                   \
   int64_t NAME(const KT* keys, const T* w, int64_t n, int64_t* out_idx, T* out_vals) {       \
-    int64_t m = 0, i = 0;                                                                    \
-    while (i < n) {                                                                          \
-      KT k = keys[i];                                                                        \
-      int64_t j = i + 1;                                                                     \
-      while (j < n && keys[j] == k) ++j;                                                     \
-      T a0 = T(0), a1 = T(0), a2 = T(0), a3 = T(0);                                          \
-      int64_t p = i;                                                                         \
-      for (; p + 4 <= j; p += 4) {                                                           \
-        a0 += w[p];                                                                          \
-        a1 += w[p + 1];                                                                      \
-        a2 += w[p + 2];                                                                      \
-        a3 += w[p + 3];                                                                      \
+    int t = (int)std::min<int64_t>(stpool::ThreadPool::max_threads(), n >> 17);              \
+    if (t < 2) return sorted_reduce_range<T, KT>(keys, w, 0, n, out_idx, out_vals);          \
+    std::vector<int64_t> s(t + 1, 0);                                                        \
+    for (int i = 1; i < t; ++i) {                                                            \
+      int64_t p = n * i / t;                                                                 \
+      while (p < n && p > 0 && keys[p] == keys[p - 1]) ++p; /* advance to a run boundary */  \
+      s[i] = std::max(p, s[i - 1]);                                                          \
+    }                                                                                        \
+    s[t] = n;                                                                                \
+    std::vector<std::unique_ptr<int64_t[]>> idx_buf(t);                                      \
+    std::vector<std::unique_ptr<T[]>> val_buf(t);                                            \
+    std::vector<int64_t> cnt(t, 0);                                                          \
+    stpool::parallel_for_slots(t, [&](int i) {                                               \
+      int64_t len = s[i + 1] - s[i];                                                         \
+      if (len <= 0) return;                                                                  \
+      idx_buf[i].reset(new int64_t[len]); /* uninitialized POD */                            \
+      val_buf[i].reset(new T[len]);                                                          \
+      cnt[i] = sorted_reduce_range<T, KT>(keys, w, s[i], s[i + 1], idx_buf[i].get(),         \
+                                          val_buf[i].get());                                 \
+    });                                                                                      \
+    int64_t m = 0;                                                                           \
+    for (int i = 0; i < t; ++i) {                                                            \
+      if (cnt[i]) {                                                                          \
+        std::memcpy(out_idx + m, idx_buf[i].get(), cnt[i] * sizeof(int64_t));                \
+        std::memcpy(out_vals + m, val_buf[i].get(), cnt[i] * sizeof(T));                     \
+        m += cnt[i];                                                                         \
       }                                                                                      \
-      for (; p < j; ++p) a0 += w[p];                                                         \
-      T v = (a0 + a1) + (a2 + a3);                                                           \
-      if (v != T(0)) {                                                                       \
-        out_idx[m] = (int64_t)k;                                                             \
-        out_vals[m] = v;                                                                     \
-        ++m;                                                                                 \
-      }                                                                                      \
-      i = j;                                                                                 \
     }                                                                                        \
     return m;                                                                                \
   }
@@ -740,10 +808,12 @@ void csr_spmm(const I* pa, const I* ja, const T* va, int64_t n_rows, const T* b,
 template <typename T, typename I>
 void csc_spmv(const I* pc, const I* ia, const T* va, int64_t n_cols, int64_t n_rows, const T* x,
               T* out) {
-  for (int64_t r = 0; r < n_rows; ++r) out[r] = T(0);
+  std::memset(out, 0, n_rows * sizeof(T));  // +0.0 is all-zero bits
   for (int64_t j = 0; j < n_cols; ++j) {
+    I p = pc[j], e = pc[j + 1];
+    if (p == e) continue;
     T xv = x[j];
-    for (int64_t p = pc[j]; p < pc[j + 1]; ++p) out[ia[p]] += va[p] * xv;
+    for (; p < e; ++p) out[ia[p]] += va[p] * xv;
   }
 }
 

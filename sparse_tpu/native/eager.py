@@ -406,31 +406,45 @@ def _suffix(dtype):
     return "f64" if dtype == np.float64 else "f32"
 
 
-def _index_pair(indptr, idx):
+def _index_pair(indptr, idx, owner=None):
     """(indptr, idx, isuffix) with ONE common index dtype, converting only
-    the (small) indptr when the (large) index array is int32."""
-    indptr = np.ascontiguousarray(indptr)
-    idx = np.ascontiguousarray(idx)
-    if idx.dtype == np.int32 and indptr[-1] <= np.iinfo(np.int32).max:
-        return indptr.astype(np.int32, copy=False), idx, "i32"
-    return indptr.astype(np.int64, copy=False), idx.astype(np.int64, copy=False), "i64"
+    the (small) indptr when the (large) index array is int32.  ``owner``:
+    an immutable-buffer holder (GCXS) to memoize the prepared pair on —
+    repeated matvecs on the same matrix skip the contiguity/dtype passes
+    (the fixed ~30 us matters at spmv_add's 10k-nnz scale)."""
+    if owner is not None:
+        memo = getattr(owner, "_idxpair_memo", None)
+        if memo is not None and memo[0] is indptr and memo[1] is idx:
+            return memo[2], memo[3], memo[4]
+    indptr_c = np.ascontiguousarray(indptr)
+    idx_c = np.ascontiguousarray(idx)
+    if idx_c.dtype == np.int32 and indptr_c[-1] <= np.iinfo(np.int32).max:
+        res = indptr_c.astype(np.int32, copy=False), idx_c, "i32"
+    else:
+        res = indptr_c.astype(np.int64, copy=False), idx_c.astype(np.int64, copy=False), "i64"
+    if owner is not None:
+        try:
+            owner._idxpair_memo = (indptr, idx) + res
+        except AttributeError:
+            pass
+    return res
 
 
 def _ivp(a):
     return a.ctypes.data_as(ctypes.c_void_p)
 
 
-def csr_spmm_dense(indptr, cols, vals, b, n_rows):
+def csr_spmm_dense(indptr, cols, vals, b, n_rows, owner=None):
     """CSR × dense → dense (threaded rows). ``b`` is ``(K,)`` or ``(K, N)``
     matching vals' dtype (f32/f64). Returns the dense result or None."""
     lib = get_lib()
     if lib is None or vals.dtype not in (np.float64, np.float32):
         return None
-    pa, ja, isuf = _index_pair(indptr, cols)
+    pa, ja, isuf = _index_pair(indptr, cols, owner=owner)
     va = np.ascontiguousarray(vals)
     b = np.ascontiguousarray(b, dtype=va.dtype)
     if b.ndim == 2 and b.shape[1] == 1:
-        return csr_spmm_dense(pa, ja, va, b[:, 0], n_rows)[:, None]
+        return csr_spmm_dense(pa, ja, va, b[:, 0], n_rows, owner=owner)[:, None]
     if b.ndim == 1:
         out = np.empty(n_rows, dtype=va.dtype)
         getattr(lib, f"st_csr_spmv_{_suffix(va.dtype)}_{isuf}")(_ivp(pa), _ivp(ja), _vp(va), n_rows, _vp(b), _vp(out))
@@ -441,17 +455,17 @@ def csr_spmm_dense(indptr, cols, vals, b, n_rows):
     return out
 
 
-def csc_spmm_dense(indptr, rows, vals, b, n_rows, n_cols):
+def csc_spmm_dense(indptr, rows, vals, b, n_rows, n_cols, owner=None):
     """CSC × dense → dense (single scatter pass). ``indptr`` over columns,
     ``rows`` the row ids. Returns the dense result or None."""
     lib = get_lib()
     if lib is None or vals.dtype not in (np.float64, np.float32):
         return None
-    pc, ia, isuf = _index_pair(indptr, rows)
+    pc, ia, isuf = _index_pair(indptr, rows, owner=owner)
     va = np.ascontiguousarray(vals)
     b = np.ascontiguousarray(b, dtype=va.dtype)
     if b.ndim == 2 and b.shape[1] == 1:
-        return csc_spmm_dense(pc, ia, va, b[:, 0], n_rows, n_cols)[:, None]
+        return csc_spmm_dense(pc, ia, va, b[:, 0], n_rows, n_cols, owner=owner)[:, None]
     if b.ndim == 1:
         out = np.empty(n_rows, dtype=va.dtype)
         getattr(lib, f"st_csc_spmv_{_suffix(va.dtype)}_{isuf}")(

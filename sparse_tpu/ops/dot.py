@@ -444,9 +444,9 @@ def _spmm_dense_native(a, b):
     if isinstance(a, GCXS) and a.ndim == 2 and a.compressed_axes in ((0,), (1,)):
         data = np.asarray(a.data).astype(dt, copy=False)
         if a.compressed_axes == (0,):  # CSR
-            return _native_eager.csr_spmm_dense(np.asarray(a.indptr), np.asarray(a.indices), data, b, a.shape[0])
+            return _native_eager.csr_spmm_dense(np.asarray(a.indptr), np.asarray(a.indices), data, b, a.shape[0], owner=a)
         return _native_eager.csc_spmm_dense(
-            np.asarray(a.indptr), np.asarray(a.indices), data, b, a.shape[0], a.shape[1]
+            np.asarray(a.indptr), np.asarray(a.indices), data, b, a.shape[0], a.shape[1], owner=a
         )
     if isinstance(a, COO) and a.ndim == 2:
         coords = np.asarray(a.coords)
