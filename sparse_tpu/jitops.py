@@ -20,6 +20,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from .kernels.search import searchsorted_sorted_probes as _ssp
+
 from .core.coo import COO
 from .kernels import dot as _kdot
 
@@ -52,7 +54,7 @@ def _triplet(a):
         idx = jnp.asarray(a.indices)
         nnz = idx.shape[0]
         comp_ids = (
-            jnp.searchsorted(indptr, jnp.arange(nnz, dtype=indptr.dtype), side="right", method="sort") - 1
+            _ssp(indptr, jnp.arange(nnz, dtype=indptr.dtype), side="right") - 1
         ).astype(idx.dtype)
         if a.compressed_axes == (0,):
             return comp_ids, idx, jnp.asarray(a.data)

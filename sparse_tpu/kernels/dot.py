@@ -24,6 +24,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from .search import searchsorted_sorted_probes
+
 DEFAULT_SEGMENT_STRATEGY = "scatter"
 
 
@@ -146,9 +148,8 @@ def _sorted_segment_sum_cumsum(values, segment_ids, num_segments):
     # searchsorted, NOT bincount: jnp.bincount lowers to the serial XLA
     # scatter this function exists to avoid (r4, same finding as
     # kernels/spgemm.py)
-    ends = jnp.searchsorted(
-        segment_ids, jnp.arange(num_segments, dtype=segment_ids.dtype), side="right",
-        method="sort",
+    ends = searchsorted_sorted_probes(
+        segment_ids, jnp.arange(num_segments, dtype=segment_ids.dtype), side="right"
     )
     counts = jnp.diff(jnp.concatenate([jnp.zeros(1, ends.dtype), ends]))
     hi = jnp.where((ends > 0)[:, None], cs[jnp.clip(ends - 1, 0, nnz - 1)], 0)
@@ -160,7 +161,7 @@ def _sorted_segment_sum_cumsum(values, segment_ids, num_segments):
 def uncompress_indptr(indptr, nnz):
     """Row id of each stored entry, from CSR indptr. Traceable."""
     positions = jnp.arange(nnz)
-    return jnp.searchsorted(indptr, positions, side="right", method="sort") - 1
+    return searchsorted_sorted_probes(indptr, positions, side="right") - 1
 
 
 @functools.partial(jax.jit, static_argnames=("shape", "axes"))

@@ -28,6 +28,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from .search import searchsorted_sorted_probes
+
 
 def product_count(cols_a, rows_b, k):
     """Host helper: the exact number of expanded partial products."""
@@ -54,9 +56,7 @@ def esc_spgemm(rows_a, cols_a, data_a, rows_b, cols_b, data_b, *, k, n, product_
     # method="sort": the default searchsorted lowering is a while_loop of
     # scalar gathers (~140 M probes/s TPU issue bound); the sort-based
     # form is one vectorized sort of keys+probes
-    edges = jnp.searchsorted(
-        rows_b, jnp.arange(k + 1, dtype=rows_b.dtype), side="left", method="sort"
-    )
+    edges = searchsorted_sorted_probes(rows_b, jnp.arange(k + 1, dtype=rows_b.dtype), side="left")
     counts_b = jnp.diff(edges)
     starts_b = edges[:-1]
 
@@ -65,7 +65,7 @@ def esc_spgemm(rows_a, cols_a, data_a, rows_b, cols_b, data_b, *, k, n, product_
     ends = jnp.cumsum(repeats)
     total = ends[-1] if nnz_a else jnp.asarray(0, ends.dtype)
     p_idx = jnp.arange(product_capacity, dtype=ends.dtype)
-    e = jnp.searchsorted(ends, p_idx, side="right", method="sort")
+    e = searchsorted_sorted_probes(ends, p_idx, side="right")
     e_c = jnp.clip(e, 0, nnz_a - 1)
     within = p_idx - (ends[e_c] - repeats[e_c])
     b_idx = jnp.clip(starts_b[cols_a[e_c]] + within, 0, nnz_b - 1)
@@ -105,14 +105,14 @@ def esc_spgemm(rows_a, cols_a, data_a, rows_b, cols_b, data_b, *, k, n, product_
         x = x + jnp.concatenate([jnp.zeros(d, x.dtype), jnp.where(same, x[:-d], 0)])
         d *= 2
     slot = jnp.arange(out_capacity)
-    end_pos = jnp.searchsorted(seg, slot, side="right", method="sort")
+    end_pos = searchsorted_sorted_probes(seg, slot, side="right")
     in_range = slot < out_nnz
     tail = jnp.clip(end_pos - 1, 0, product_capacity - 1)
     # sentinel products fold into the LAST segment with v == 0: their zeros
     # don't disturb x[tail], but the tail KEY there is the sentinel — take
     # keys from the segment head instead
     head = jnp.clip(
-        jnp.searchsorted(seg, slot, side="left", method="sort"), 0, product_capacity - 1
+        searchsorted_sorted_probes(seg, slot, side="left"), 0, product_capacity - 1
     )
     sums = jnp.where(in_range, x[tail], 0)
     keys_out = jnp.where(in_range, key_s[head], jnp.asarray(-1, key.dtype))
