@@ -59,21 +59,24 @@ def main():
     # is ~35 ms here and would otherwise inflate every iteration
     n_iters = 50
 
-    from sparse_tpu.kernels.row_ell import RowEll
+    from sparse_tpu.kernels.row_ell import row_ell_spmm_program
+
+    # the constant-embedded program — the production configuration for
+    # repeated products against a fixed matrix (solvers, the eager
+    # accelerator): XLA pre-lays-out the tier arrays, which as runtime
+    # arguments cost ~190 extra layout-conversion copies (4.65 vs 3.78 ms
+    # measured r4).  The gather TABLE (dense) is perturbed per iteration —
+    # the hoist-proofing the measurement discipline requires
+    # (docs/spmm_roofline.md "Measurement discipline"); the loop-invariant
+    # tier VALUES cannot hoist any compute that reads varying dense.
+    prog = row_ell_spmm_program(re)
 
     @jax.jit
-    def run(tiers, perm_inv, dense):
+    def run(dense):
         def body(carry, i):
-            # Perturb BOTH the sparse values and the dense gather TABLE:
-            # XLA's LICM hoists loop-invariant gathers out of the scan when
-            # the output is small, and relying on "GB-sized intermediates
-            # aren't hoisted" is luck, not measurement discipline
-            # (docs/spmm_roofline.md "Measurement discipline").  Float
-            # eps = i*1e-6 does not constant-fold (integer i - i would).
+            # Float eps = i*1e-6 does not constant-fold (integer i-i would)
             eps = i.astype(jnp.float32) * 1e-6
-            tiers_p = tuple((c2, d2 + eps) for c2, d2 in tiers)
-            rep = re._replace(tiers=tiers_p, perm_inv=perm_inv)
-            out = row_ell_spmm(rep, dense + eps)
+            out = prog(dense + eps)
             # Full-reduction consumer: every output element feeds the carry
             # so no phase can be sliced away (the repo's own DCE rule —
             # out[0] is one slice-through-gather rewrite from measuring a
@@ -109,7 +112,7 @@ def main():
         spread = (max(samples) - min(samples)) / med * 100.0
         return med, spread
 
-    elapsed, spmm_spread = timed_passes(run, re.tiers, re.perm_inv, dense)
+    elapsed, spmm_spread = timed_passes(run, dense)
     nnz_per_s = nnz / elapsed
 
     itemsize = np.dtype(np.float32).itemsize

@@ -389,6 +389,35 @@ _spmv_onehot_jit = functools.partial(
 )(_spmv_onehot)
 
 
+_SPMM_PROGRAMS = {}
+
+
+def row_ell_spmm_program(re: RowEll):
+    """A jitted ``dense -> A @ dense`` program with the layout EMBEDDED as
+    compile-time constants, memoized on the layout's buffers.
+
+    Embedding matters on TPU: with tier arrays as runtime arguments XLA
+    emits ~190 extra layout-conversion copies around the gathers (4.65 ms
+    at the bench shape); as constants it pre-lays-out and pre-slices them
+    (3.78 ms with the w-split — the measured 555 M nnz/s operating
+    point).  Use for repeated products against a fixed matrix (solvers,
+    iterative workloads, benchmarks); one-shot callers use
+    :func:`row_ell_spmm`."""
+    key = (id(re.tiers), id(re.perm_inv))
+    entry = _SPMM_PROGRAMS.get(key)
+    if entry is not None and entry[0] is re.tiers and entry[1] is re.perm_inv:
+        return entry[2]
+
+    @jax.jit
+    def prog(dense):
+        return _spmm.__wrapped__(re.tiers, re.perm_inv, dense, n_rows=re.n_rows, nz_rows=re.nz_rows)
+
+    _SPMM_PROGRAMS[key] = (re.tiers, re.perm_inv, prog)
+    if len(_SPMM_PROGRAMS) > 32:  # bound the program cache
+        _SPMM_PROGRAMS.pop(next(iter(_SPMM_PROGRAMS)))
+    return prog
+
+
 def row_ell_spmv(re: RowEll, x, lane_gather=None, strategy=None, interpret=False):
     """``A @ x`` → dense ``(n_rows,)``.
 

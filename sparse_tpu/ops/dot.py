@@ -421,7 +421,7 @@ def _spmm_dense_accelerator(a, b):
         return None
     import jax.numpy as jnp
 
-    from ..kernels.row_ell import row_ell_spmm, row_ell_spmv
+    from ..kernels.row_ell import row_ell_spmm_program, row_ell_spmv
 
     rell = a.to_row_ell()
     # the row-ELL kernels promote internally (result_type of data and dense)
@@ -429,7 +429,9 @@ def _spmm_dense_accelerator(a, b):
     if np.asarray(b).ndim == 1:
         out = row_ell_spmv(rell, bj)
     else:
-        out = row_ell_spmm(rell, bj)
+        # constant-embedded program (memoized on the layout): XLA
+        # pre-lays-out the tier arrays — 3.78 vs 4.65 ms at the bench shape
+        out = row_ell_spmm_program(rell)(bj)
     return np.asarray(out)
 
 
