@@ -15,8 +15,17 @@ capacities (the "capacity/padding discipline" of SURVEY §7.2):
   an out-of-range sentinel coordinate and zero data, plus the true count as
   a traced scalar.
 
-Every step is a sort / cumsum / gather / segment-op — the primitives the
-TPU runs well.
+TPU cost model (r4 measurements at 2.8M products, v5e):
+
+- XLA scatter SERIALIZES: ``jnp.bincount`` and ``segment_sum/min`` were
+  420+ ms — replaced by searchsorted edges and a segmented scan;
+- every JAX ``searchsorted`` lowering loses (scalar-gather while_loop /
+  scatter-based rank) — replaced by :func:`searchsorted_sorted_probes`
+  (double argsort, two vectorized sorts);
+- per-product SCALAR gathers issue at ~140 M/s — the f32 path packs the
+  per-entry columns into int32 lane tables (one row gather replaces 3-4
+  scalar gathers) and co-sorts values with keys via multi-operand
+  ``lax.sort`` (no permutation gathers).
 """
 
 from __future__ import annotations
@@ -37,6 +46,14 @@ def product_count(cols_a, rows_b, k):
     return int(counts_b[np.asarray(cols_a)].sum())
 
 
+def _f32_bits(x):
+    return jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.int32)
+
+
+def _bits_f32(i):
+    return jax.lax.bitcast_convert_type(i, jnp.float32)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "n", "product_capacity", "out_capacity"))
 def esc_spgemm(rows_a, cols_a, data_a, rows_b, cols_b, data_b, *, k, n, product_capacity, out_capacity):
     """``A (m,k) @ B (k,n)`` for canonical COO operands, fully traceable.
@@ -48,38 +65,57 @@ def esc_spgemm(rows_a, cols_a, data_a, rows_b, cols_b, data_b, *, k, n, product_
     nnz_a = data_a.shape[0]
     nnz_b = data_b.shape[0]
     dt = jnp.promote_types(data_a.dtype, data_b.dtype)
+    packed = dt == jnp.float32 and product_capacity < np.iinfo(np.int32).max
 
-    # B row segmentation (B canonical: sorted by row).  searchsorted edges,
-    # NOT bincount: jnp.bincount lowers to XLA scatter-add, which
-    # SERIALIZES on TPU — measured 28.8 of 33.6 ms at the reference
-    # 100k^2 @ 1e-5 SpGEMM shape (experiments/spgemm_esc_roofline.py, r4)
-    # method="sort": the default searchsorted lowering is a while_loop of
-    # scalar gathers (~140 M probes/s TPU issue bound); the sort-based
-    # form is one vectorized sort of keys+probes
+    # B row segmentation (B canonical: sorted by row): searchsorted edges,
+    # not bincount (XLA scatter-add serializes on TPU)
     edges = searchsorted_sorted_probes(rows_b, jnp.arange(k + 1, dtype=rows_b.dtype), side="left")
     counts_b = jnp.diff(edges)
     starts_b = edges[:-1]
 
-    # expansion: product p belongs to A-entry e(p)
+    # per-A-entry quantities (nnz_a-sized gathers: cheap)
     repeats = counts_b[cols_a]
     ends = jnp.cumsum(repeats)
+    starts_prod = ends - repeats
+    startsb_a = starts_b[cols_a]
     total = ends[-1] if nnz_a else jnp.asarray(0, ends.dtype)
+
+    # expansion: product p belongs to A-entry e(p)
     p_idx = jnp.arange(product_capacity, dtype=ends.dtype)
     e = searchsorted_sorted_probes(ends, p_idx, side="right")
-    e_c = jnp.clip(e, 0, nnz_a - 1)
-    within = p_idx - (ends[e_c] - repeats[e_c])
-    b_idx = jnp.clip(starts_b[cols_a[e_c]] + within, 0, nnz_b - 1)
+    e_c = jnp.clip(e, 0, max(nnz_a - 1, 0))
     valid = p_idx < total
 
-    out_i = jnp.where(valid, rows_a[e_c], jnp.iinfo(jnp.int32).max).astype(jnp.int64)
-    out_j = jnp.where(valid, cols_b[b_idx], 0).astype(jnp.int64)
-    v = jnp.where(valid, data_a[e_c].astype(dt) * data_b[b_idx].astype(dt), 0)
+    if packed:
+        # ONE row gather per product per side instead of 3-4 scalar gathers
+        a_tab = jnp.stack(
+            [
+                rows_a.astype(jnp.int32),
+                starts_prod.astype(jnp.int32),
+                startsb_a.astype(jnp.int32),
+                _f32_bits(data_a),
+            ],
+            axis=1,
+        )
+        ga = jnp.take(a_tab, e_c, axis=0)  # (P, 4)
+        within = p_idx.astype(jnp.int32) - ga[:, 1]
+        b_idx = jnp.clip(ga[:, 2] + within, 0, max(nnz_b - 1, 0))
+        b_tab = jnp.stack([cols_b.astype(jnp.int32), _f32_bits(data_b)], axis=1)
+        gb = jnp.take(b_tab, b_idx, axis=0)  # (P, 2)
+        out_i = jnp.where(valid, ga[:, 0], jnp.iinfo(jnp.int32).max).astype(jnp.int64)
+        out_j = jnp.where(valid, gb[:, 0], 0).astype(jnp.int64)
+        v = jnp.where(valid, _bits_f32(ga[:, 3]) * _bits_f32(gb[:, 1]), 0.0)
+    else:
+        within = p_idx - starts_prod[e_c]
+        b_idx = jnp.clip(startsb_a[e_c] + within, 0, max(nnz_b - 1, 0))
+        out_i = jnp.where(valid, rows_a[e_c], jnp.iinfo(jnp.int32).max).astype(jnp.int64)
+        out_j = jnp.where(valid, cols_b[b_idx], 0).astype(jnp.int64)
+        v = jnp.where(valid, data_a[e_c].astype(dt) * data_b[b_idx].astype(dt), 0)
 
-    # contract: sort by (i, j) then sum runs of equal keys
-    key = out_i * n + out_j  # sentinel rows sort last
-    order = jnp.argsort(key)
-    key_s = key[order]
-    v_s = v[order]
+    # contract: co-sort (key, value) in ONE multi-operand lax.sort — no
+    # argsort permutation gathers; sentinel rows sort last
+    key = out_i * n + out_j
+    key_s, v_s = jax.lax.sort((key, v), num_keys=1)
 
     is_new = jnp.concatenate([jnp.ones(1, bool), key_s[1:] != key_s[:-1]]) & (
         key_s < jnp.asarray(jnp.iinfo(jnp.int32).max, key.dtype) * n
@@ -90,33 +126,51 @@ def esc_spgemm(rows_a, cols_a, data_a, rows_b, cols_b, data_b, *, k, n, product_
     seg = jnp.cumsum(is_new) - 1
     out_nnz = is_new.sum()
 
-    # Scatter-free contraction (r4): XLA scatter serializes on TPU —
-    # segment_sum/min measured ~420 of 456 ms at 2.8M products (fine at
-    # 100k).  seg is SORTED, so (a) per-segment prefix sums via a
-    # segmented Hillis-Steele scan (log2(P) shift-add passes; adds stay
-    # WITHIN segments — exact, no global-cumsum error growth), and
-    # (b) each segment's last position via ONE sort-based searchsorted
-    # (the default searchsorted lowering is a scalar-gather while_loop —
-    # as slow as the scatter it replaces).
+    # per-segment prefix sums via a segmented Hillis-Steele scan (adds stay
+    # WITHIN segments — exact, no global-cumsum error growth)
     x = v_s
     d = 1
     while d < product_capacity:
         same = seg[d:] == seg[:-d]
         x = x + jnp.concatenate([jnp.zeros(d, x.dtype), jnp.where(same, x[:-d], 0)])
         d *= 2
-    slot = jnp.arange(out_capacity)
-    end_pos = searchsorted_sorted_probes(seg, slot, side="right")
-    in_range = slot < out_nnz
-    tail = jnp.clip(end_pos - 1, 0, product_capacity - 1)
-    # sentinel products fold into the LAST segment with v == 0: their zeros
-    # don't disturb x[tail], but the tail KEY there is the sentinel — take
-    # keys from the segment head instead
-    head = jnp.clip(
-        searchsorted_sorted_probes(seg, slot, side="left"), 0, product_capacity - 1
+
+    # seg ids are contiguous 0..out_nnz-1, so ONE searchsorted over an
+    # (out_capacity+1) probe grid gives both each segment's head and (via
+    # shift) its end
+    head_ext = searchsorted_sorted_probes(
+        seg, jnp.arange(out_capacity + 1, dtype=seg.dtype), side="left"
     )
-    sums = jnp.where(in_range, x[tail], 0)
-    keys_out = jnp.where(in_range, key_s[head], jnp.asarray(-1, key.dtype))
+    head = jnp.clip(head_ext[:-1], 0, product_capacity - 1)
+    end_pos = head_ext[1:]
+    tail = jnp.clip(end_pos - 1, 0, product_capacity - 1)
+    slot = jnp.arange(out_capacity)
+    in_range = slot < out_nnz
+
+    if packed:
+        # pack (key lo32, key hi32, bitcast(x)) so the head/tail lookups
+        # are row gathers too.  The sentinel tail folds into the last
+        # segment: take keys from the head, sums from the tail.
+        out_tab = jnp.stack(
+            [
+                (key_s & jnp.int64(0xFFFFFFFF)).astype(jnp.int32),
+                (key_s >> jnp.int64(32)).astype(jnp.int32),
+                _f32_bits(x),
+            ],
+            axis=1,
+        )
+        gh = jnp.take(out_tab, head, axis=0)
+        gt = jnp.take(out_tab, tail, axis=0)
+        keys_out_raw = (gh[:, 1].astype(jnp.int64) << jnp.int64(32)) | (
+            gh[:, 0].astype(jnp.int64) & jnp.int64(0xFFFFFFFF)
+        )
+        keys_out = jnp.where(in_range, keys_out_raw, jnp.asarray(-1, key.dtype))
+        sums = jnp.where(in_range, _bits_f32(gt[:, 2]), 0.0)
+    else:
+        sums = jnp.where(in_range, x[tail], 0)
+        keys_out = jnp.where(in_range, key_s[head], jnp.asarray(-1, key.dtype))
+
     out_rows = jnp.where(in_range, keys_out // n, jnp.iinfo(jnp.int32).max).astype(jnp.int32)
     out_cols = jnp.where(in_range, keys_out % n, 0).astype(jnp.int32)
-    out_data = jnp.where(in_range, sums, 0)
+    out_data = jnp.where(in_range, sums, 0).astype(dt)
     return out_rows, out_cols, out_data, out_nnz
