@@ -349,3 +349,39 @@ def test_ell_mttkrp_empty():
     )
     out = ell_mttkrp(er, ej, ek, ed, jnp.ones((4, 3), jnp.float32), jnp.ones((5, 3), jnp.float32), n_rows=16)
     np.testing.assert_allclose(np.asarray(out), 0)
+
+
+@pytest.mark.parametrize("side", ["left", "right"])
+def test_searchsorted_sorted_probes(side):
+    # scatter-free double-argsort searchsorted (r4): parity with numpy for
+    # sorted unique probes, incl. heavy ties and out-of-range probes
+    from sparse_tpu.kernels.search import searchsorted_sorted_probes
+
+    rng = np.random.default_rng(17)
+    for trial in range(5):
+        keys = np.sort(rng.integers(0, 50, size=rng.integers(0, 300)))
+        probes = np.unique(rng.integers(-5, 60, size=rng.integers(1, 120)))
+        got = np.asarray(searchsorted_sorted_probes(jnp.asarray(keys), jnp.asarray(probes), side=side))
+        np.testing.assert_array_equal(got, np.searchsorted(keys, probes, side=side))
+
+
+def test_row_ell_spmm_program_memoized():
+    from sparse_tpu.kernels import build_row_ell
+    from sparse_tpu.kernels.row_ell import row_ell_spmm, row_ell_spmm_program
+
+    rng = np.random.default_rng(19)
+    a = sparse.random((300, 200), density=0.05, random_state=19)
+    re = build_row_ell(
+        np.asarray(a.coords[0]), np.asarray(a.coords[1]),
+        np.asarray(a.data, np.float32), 300, 200,
+    )
+    d = jnp.asarray(rng.random((200, 8), dtype=np.float32))
+    p1 = row_ell_spmm_program(re)
+    p2 = row_ell_spmm_program(re)
+    assert p1 is p2  # memoized on the layout buffers
+    np.testing.assert_allclose(
+        np.asarray(p1(d)), np.asarray(row_ell_spmm(re, d)), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(p1(d)), a.todense().astype(np.float32) @ np.asarray(d), rtol=1e-4
+    )
