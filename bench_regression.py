@@ -159,6 +159,25 @@ def main():
         )
         emit("spmv_block_ell", "jit", dt, "mnnz_per_s", lin.size / dt / 1e6)
 
+    if on("spmm_program"):
+        # constant-embedded row-ELL program at quarter scale (r4; the
+        # bench.py metric path)
+        from sparse_tpu.kernels import build_row_ell
+        from sparse_tpu.kernels.row_ell import row_ell_spmm_program
+
+        rngp = np.random.default_rng(0)
+        Mq = Kq = 1 << 14
+        linq = np.unique(rngp.integers(0, Mq * Kq, size=1 << 19, dtype=np.int64))
+        rq = (linq // Kq).astype(np.int32)
+        cq = (linq % Kq).astype(np.int32)
+        dq = rngp.random(linq.size, dtype=np.float32)
+        rellq = build_row_ell(rq, cq, dq, Mq, Kq)
+        Bq = jnp.asarray(rngp.random((Kq, 128), dtype=np.float32))
+        progq = row_ell_spmm_program(rellq)
+        dt = device_bench(lambda b: progq(b), (Bq,))
+        emit("spmm_program", "jit", dt, "mnnz_per_s", linq.size / dt / 1e6,
+             min_bytes=linq.size * 128 * 4 + linq.size * 12 + Mq * 128 * 4)
+
     if on("sddmm"):
         n_s = 10000
         s = sparse.random((n_s, n_s), density=1e-4, random_state=1)

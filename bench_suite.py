@@ -113,6 +113,20 @@ def main():
         )
     )
 
+    # constant-embedded program (the production form for repeated products
+    # against a fixed matrix — bench.py's metric path; r4)
+    from sparse_tpu.kernels.row_ell import row_ell_spmm_program
+
+    prog = row_ell_spmm_program(rell)
+    dt = device_bench(lambda b: prog(b), (B,))
+    rows_out.append(
+        (
+            "SpMM same (constant-embedded program)",
+            f"{dt * 1e3:.2f} ms",
+            f"{lin.size / dt / 1e6:.0f}M nnz/s, {_vs_sol(dt, spmm_bytes)}",
+        )
+    )
+
     ell = build_block_ell(r, c, d, M, K)
     dt = device_bench(lambda er, ec, ed, b: ell_spmm(er, ec, ed, b, n_rows=M), (ell.e_rows, ell.e_cols, ell.e_data, B))
     rows_out.append(("SpMM same (block-ELL one-hot, comparison)", f"{dt * 1e3:.2f} ms", f"{lin.size / dt / 1e6:.0f}M nnz/s"))
