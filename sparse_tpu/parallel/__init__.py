@@ -11,11 +11,13 @@ from .sharding import (  # noqa: F401
     mttkrp_sharded_ell,
     partition_coo_rows,
     partition_mttkrp_ell,
+    partition_spmm_ell,
     random_partitioned,
     sddmm_sharded,
     spgemm_sharded,
     spmm_2d,
     spmm_replicated,
     spmm_ring,
+    spmm_sharded_ell,
     sum_partitioned,
 )

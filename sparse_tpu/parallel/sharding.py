@@ -687,6 +687,84 @@ def sum_partitioned(pcoo: PartitionedCOO, mesh, axis=None, axis_name="x"):
     return np.asarray(out)[0]
 
 
+def partition_spmm_ell(coo, n_shards, block_rows_ell=128):
+    """Host-side partitioner for :func:`spmm_sharded_ell`: row-partition a
+    2-D COO matrix into shards, each laid out in block-ELL form (local
+    128-row blocks, common per-shard capacity).  Returns
+    ``(e_rows, e_cols, e_data, block_rows)``, the first three shaped
+    ``(n_shards, n_blocks, cap)``.
+
+    This is the TPU-production sharded-SpMM layout: the per-shard kernel
+    is the one-hot MXU block scatter (``ell_spmm``), with NO
+    ``segment_sum`` — XLA scatter serializes on real TPU hardware (the
+    flat-triplet paths are fine on the CPU test mesh but would crawl on a
+    pod)."""
+    from ..kernels.ell import build_block_ell
+
+    coords = np.asarray(coo.coords)
+    data = np.asarray(coo.data)
+    n_rows, n_cols = coo.shape
+    block_rows = -(-n_rows // n_shards)
+    block_rows = -(-block_rows // block_rows_ell) * block_rows_ell
+    shard_of = np.minimum(coords[0] // block_rows, n_shards - 1)
+    parts = []
+    for s in range(n_shards):
+        sel = shard_of == s
+        parts.append(
+            build_block_ell(
+                coords[0][sel] - s * block_rows,
+                coords[1][sel],
+                data[sel],
+                block_rows,
+                n_cols,
+                block_rows=block_rows_ell,
+            )
+        )
+    cap = max(max(int(p.e_cols.shape[1]) for p in parts), 1)
+    nb = parts[0].e_cols.shape[0]
+
+    def pad(get, dtype):
+        out = np.zeros((n_shards, nb, cap), dtype=dtype)
+        for s, p in enumerate(parts):
+            a = np.asarray(get(p))
+            out[s, :, : a.shape[1]] = a
+        return out
+
+    e_rows = pad(lambda p: p.e_rows, np.int32)
+    e_cols = pad(lambda p: p.e_cols, np.int32)
+    e_data = pad(lambda p: p.e_data, data.dtype)
+    return e_rows, e_cols, e_data, block_rows
+
+
+@functools.cache
+def _spmm_ell_fn(mesh, axis_name, block_rows_ell):
+    from ..kernels.ell import ell_spmm
+
+    def local(er, ec, ed, b):
+        def one(r_, c_, v_):
+            return ell_spmm(r_, c_, v_, b, n_rows=r_.shape[0] * block_rows_ell)
+
+        return jax.vmap(one)(er, ec, ed)
+
+    return jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(axis_name, None, None),) * 3 + (P(),),
+            out_specs=P(axis_name, None, None),
+        )
+    )
+
+
+def spmm_sharded_ell(e_rows, e_cols, e_data, dense, n_rows, mesh, axis_name="x"):
+    """Distributed SpMM with the one-hot MXU block kernel per shard
+    (scatter-free — the TPU-production form of :func:`spmm_replicated`).
+    Inputs from :func:`partition_spmm_ell`; ``dense`` replicated."""
+    f = _spmm_ell_fn(mesh, axis_name, 128)
+    out = f(jnp.asarray(e_rows), jnp.asarray(e_cols), jnp.asarray(e_data), jnp.asarray(dense))
+    return out.reshape(-1, dense.shape[1])[:n_rows]
+
+
 def partition_mttkrp_ell(coords, data, n_rows, n_shards, block_rows_ell=128):
     """Host-side partitioner for :func:`mttkrp_sharded_ell`: i-partition a
     3-D COO tensor into row-block shards, each laid out in block-ELL form

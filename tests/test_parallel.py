@@ -293,6 +293,33 @@ def test_sum_partitioned(balance):
     np.testing.assert_allclose(sum_partitioned(pa, mesh), a.todense().sum(), rtol=1e-12)
 
 
+def test_spmm_sharded_ell_matches_oracle():
+    # scatter-free sharded SpMM (r4): one-hot MXU block kernel per shard
+    from sparse_tpu.parallel import make_mesh, partition_spmm_ell, spmm_sharded_ell
+
+    rng = np.random.default_rng(27)
+    mesh = make_mesh(8)
+    a = sparse.random((2100, 500), density=0.02, random_state=27)  # ragged over 8 shards
+    a = sparse.COO(np.asarray(a.coords), np.asarray(a.data, np.float32), shape=a.shape)
+    b = rng.random((500, 16)).astype(np.float32)
+    er, ec, ed, br = partition_spmm_ell(a, 8)
+    out = np.asarray(spmm_sharded_ell(er, ec, ed, jnp.asarray(b), 2100, mesh))
+    np.testing.assert_allclose(out, a.todense() @ b, rtol=1e-4, atol=1e-5)
+
+
+def test_spmm_sharded_ell_empty_shard():
+    from sparse_tpu.parallel import make_mesh, partition_spmm_ell, spmm_sharded_ell
+
+    mesh = make_mesh(8)
+    d = np.zeros((2048, 64), dtype=np.float32)
+    d[:10, :5] = np.random.default_rng(3).random((10, 5))  # later shards empty
+    a = sparse.COO.from_numpy(d)
+    b = np.random.default_rng(4).random((64, 4)).astype(np.float32)
+    er, ec, ed, br = partition_spmm_ell(a, 8)
+    out = np.asarray(spmm_sharded_ell(er, ec, ed, jnp.asarray(b), 2048, mesh))
+    np.testing.assert_allclose(out, d @ b, rtol=1e-5, atol=1e-6)
+
+
 def test_mttkrp_sharded_ell_matches_oracle():
     from sparse_tpu.parallel import make_mesh, mttkrp_sharded_ell, partition_mttkrp_ell
 
