@@ -5,6 +5,7 @@ from .sharding import (  # noqa: F401
     PartitionedCOO,
     assemble_spgemm_result,
     bucket_columns,
+    bucket_columns_ell,
     elemwise_partitioned,
     make_mesh,
     mttkrp_sharded,
@@ -18,6 +19,7 @@ from .sharding import (  # noqa: F401
     spmm_2d,
     spmm_replicated,
     spmm_ring,
+    spmm_ring_ell,
     spmm_sharded_ell,
     sum_partitioned,
 )

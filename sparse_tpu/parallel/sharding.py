@@ -371,6 +371,112 @@ def spmm_ring(bucketed, pcoo_shape, block_rows, dense_sharded, mesh, axis_name="
     return out.reshape(n_shards * block_rows, N)[:M]
 
 
+def bucket_columns_ell(coo, n_shards, n_buckets=None, block_rows_ell=128):
+    """Host-side partitioner for :func:`spmm_ring_ell`: row-partition a 2-D
+    COO matrix into shards, then bucket each shard's entries by column
+    block, laying every (shard, bucket) out in block-ELL form over the
+    shard's local 128-row blocks (common capacity).  Returns
+    ``(e_rows, e_cols, e_data, block_rows, block_cols)`` with the arrays
+    shaped ``(n_shards, n_buckets, n_blocks, cap)``; ``e_cols`` are LOCAL
+    within the bucket."""
+    from ..kernels.ell import build_block_ell
+
+    if n_buckets is None:
+        n_buckets = n_shards
+    coords = np.asarray(coo.coords)
+    data = np.asarray(coo.data)
+    n_rows, n_cols = coo.shape
+    block_rows = -(-n_rows // n_shards)
+    block_rows = -(-block_rows // block_rows_ell) * block_rows_ell
+    block_cols = -(-n_cols // n_buckets)
+    shard_of = np.minimum(coords[0] // block_rows, n_shards - 1)
+    bucket_of = np.minimum(coords[1] // block_cols, n_buckets - 1)
+    parts = {}
+    cap = 1
+    nb = block_rows // block_rows_ell
+    for s in range(n_shards):
+        for b in range(n_buckets):
+            sel = (shard_of == s) & (bucket_of == b)
+            p = build_block_ell(
+                coords[0][sel] - s * block_rows,
+                coords[1][sel] - b * block_cols,
+                data[sel],
+                block_rows,
+                block_cols,
+                block_rows=block_rows_ell,
+            )
+            parts[s, b] = p
+            cap = max(cap, int(p.e_cols.shape[1]))
+    e_rows = np.zeros((n_shards, n_buckets, nb, cap), dtype=np.int32)
+    e_cols = np.zeros((n_shards, n_buckets, nb, cap), dtype=np.int32)
+    e_data = np.zeros((n_shards, n_buckets, nb, cap), dtype=data.dtype)
+    for (s, b), p in parts.items():
+        w = p.e_cols.shape[1]
+        e_rows[s, b, :, :w] = np.asarray(p.e_rows)
+        e_cols[s, b, :, :w] = np.asarray(p.e_cols)
+        e_data[s, b, :, :w] = np.asarray(p.e_data)
+    return e_rows, e_cols, e_data, block_rows, block_cols
+
+
+@functools.cache
+def _spmm_ring_ell_fn(mesh, axis_name, block_rows, block_rows_ell):
+    from ..kernels.ell import ell_spmm
+
+    def local(er, ec, ed, b_block):
+        # er/ec/ed: (1, n_buckets, nb, cap); b_block: (block_cols_pad, N)
+        er = er[0]
+        ec = ec[0]
+        ed = ed[0]
+        idx = jax.lax.axis_index(axis_name)
+        n_dev = jax.lax.axis_size(axis_name)
+
+        def step(i, carry):
+            acc, blk = carry
+            bucket = (idx + i) % n_dev
+            r = jnp.take(er, bucket, axis=0)
+            c = jnp.take(ec, bucket, axis=0)
+            d = jnp.take(ed, bucket, axis=0)
+            # one-hot MXU block scatter — no segment_sum (XLA scatter
+            # serializes on TPU hardware: 18.9 vs 3.9 ms at a 1M-nnz
+            # shard, docs/scaling.md)
+            acc = acc + ell_spmm(r, c, d, blk, n_rows=block_rows, block_rows=block_rows_ell)
+            blk = jax.lax.ppermute(blk, axis_name, [(j, (j - 1) % n_dev) for j in range(n_dev)])
+            return acc, blk
+
+        n_loc = b_block.shape[-1]
+        acc = jnp.zeros((block_rows, n_loc), dtype=jnp.promote_types(ed.dtype, b_block.dtype))
+        acc = jax.lax.pcast(acc, (axis_name,), to="varying")
+        acc, _ = jax.lax.fori_loop(0, n_dev, step, (acc, b_block))
+        return acc[None]
+
+    return jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(
+                P(axis_name, None, None, None),
+                P(axis_name, None, None, None),
+                P(axis_name, None, None, None),
+                P(axis_name, None),
+            ),
+            out_specs=P(axis_name, None, None),
+        )
+    )
+
+
+def spmm_ring_ell(bucketed, n_rows, dense_sharded, mesh, axis_name="x"):
+    """Ring SpMM with the one-hot MXU block kernel per rotation — the
+    scatter-free TPU-production form of :func:`spmm_ring`.  ``bucketed``
+    from :func:`bucket_columns_ell`; ``dense_sharded`` K-sharded over the
+    mesh, padded to ``n_shards * block_cols`` rows."""
+    e_rows, e_cols, e_data, block_rows, block_cols = bucketed
+    n_shards = e_rows.shape[0]
+    N = dense_sharded.shape[-1]
+    f = _spmm_ring_ell_fn(mesh, axis_name, block_rows, 128)
+    out = f(jnp.asarray(e_rows), jnp.asarray(e_cols), jnp.asarray(e_data), dense_sharded)
+    return out.reshape(n_shards * block_rows, N)[:n_rows]
+
+
 @functools.cache
 def _spmm_2d_fn(mesh, row_axis, col_axis, block_rows):
     def local(rows, cols, data, b):

@@ -320,6 +320,26 @@ def test_spmm_sharded_ell_empty_shard():
     np.testing.assert_allclose(out, d @ b, rtol=1e-5, atol=1e-6)
 
 
+def test_spmm_ring_ell_matches_oracle():
+    # scatter-free ring SpMM (r4): ELL bucket kernel + ppermute rotations
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from sparse_tpu.parallel import bucket_columns_ell, make_mesh, spmm_ring_ell
+
+    rng = np.random.default_rng(33)
+    mesh = make_mesh(8)
+    m, k, n = 1100, 700, 8  # ragged over 8 shards/buckets
+    a = sparse.random((m, k), density=0.03, random_state=33)
+    a = sparse.COO(np.asarray(a.coords), np.asarray(a.data, np.float32), shape=a.shape)
+    b = rng.random((k, n)).astype(np.float32)
+    bucketed = bucket_columns_ell(a, 8)
+    block_cols = bucketed[4]
+    b_pad = np.zeros((8 * block_cols, n), dtype=np.float32)
+    b_pad[:k] = b
+    b_sh = jax.device_put(jnp.asarray(b_pad), NamedSharding(mesh, P("x", None)))
+    out = np.asarray(spmm_ring_ell(bucketed, m, b_sh, mesh))
+    np.testing.assert_allclose(out, a.todense() @ b, rtol=1e-4, atol=1e-5)
+
+
 def test_mttkrp_sharded_ell_matches_oracle():
     from sparse_tpu.parallel import make_mesh, mttkrp_sharded_ell, partition_mttkrp_ell
 
@@ -447,6 +467,49 @@ def test_spmm_ring_hlo_overlap_tpu_aot():
                 if "collective-permute-done" in after:
                     break
                 if "fusion" in after or "dot(" in after or "scatter" in after:
+                    overlap = True
+            if overlap:
+                break
+    assert overlap, "no compute scheduled between collective-permute start/done"
+
+
+def test_spmm_ring_ell_hlo_overlap_tpu_aot():
+    """Same AOT overlap assertion for the scatter-free ELL ring (r4): the
+    one-hot MXU bucket contraction must schedule between the async
+    collective-permute start/done pair."""
+    try:
+        from jax.experimental import topologies
+
+        topo = topologies.get_topology_desc(platform="tpu", topology_name="v5e:2x4")
+        devices = topo.devices
+    except Exception as e:  # no libtpu / plugin in this environment
+        pytest.skip(f"TPU topology unavailable: {e}")
+
+    from jax.sharding import Mesh
+    from sparse_tpu.parallel.sharding import _spmm_ring_ell_fn
+
+    mesh_t = Mesh(np.array(devices), ("x",))
+    n_dev = len(devices)
+    block_rows, nb, cap, block_cols, n = 256, n_dev, 32, 16, 8
+
+    f = _spmm_ring_ell_fn(mesh_t, "x", block_rows, 128)
+    sh_ell = NamedSharding(mesh_t, P("x", None, None, None))
+    sh_dense = NamedSharding(mesh_t, P("x", None))
+    args = (
+        jax.ShapeDtypeStruct((n_dev, n_dev, block_rows // 128, cap), jnp.int32, sharding=sh_ell),
+        jax.ShapeDtypeStruct((n_dev, n_dev, block_rows // 128, cap), jnp.int32, sharding=sh_ell),
+        jax.ShapeDtypeStruct((n_dev, n_dev, block_rows // 128, cap), jnp.float32, sharding=sh_ell),
+        jax.ShapeDtypeStruct((n_dev * block_cols, n), jnp.float32, sharding=sh_dense),
+    )
+    txt = f.lower(*args).compile().as_text()
+    assert txt.count("collective-permute-start") >= 1
+    overlap = False
+    for i, line in enumerate(lines := txt.splitlines()):
+        if "collective-permute-start" in line and "=" in line:
+            for after in lines[i + 1 :]:
+                if "collective-permute-done" in after:
+                    break
+                if "fusion" in after or "dot(" in after or "convolution" in after:
                     overlap = True
             if overlap:
                 break
