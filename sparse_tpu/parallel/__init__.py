@@ -17,6 +17,7 @@ from .sharding import (  # noqa: F401
     sddmm_sharded,
     spgemm_sharded,
     spmm_2d,
+    spmm_2d_ell,
     spmm_replicated,
     spmm_ring,
     spmm_ring_ell,

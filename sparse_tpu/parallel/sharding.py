@@ -519,6 +519,44 @@ def spmm_2d(pcoo, dense, mesh, row_axis="x", col_axis="y"):
 
 
 @functools.cache
+def _spmm_2d_ell_fn(mesh, row_axis, col_axis, block_rows_ell):
+    from ..kernels.ell import ell_spmm
+
+    def local(er, ec, ed, b):
+        # er/ec/ed: (k, nb, cap) row shards (replicated over col_axis);
+        # b: (K, N/ny) feature shard.  One-hot MXU block scatter — no
+        # segment_sum (XLA scatter serializes on TPU hardware).
+        def one(r_, c_, v_):
+            return ell_spmm(r_, c_, v_, b, n_rows=r_.shape[0] * block_rows_ell)
+
+        return jax.vmap(one)(er, ec, ed)
+
+    return jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(
+                P(row_axis, None, None),
+                P(row_axis, None, None),
+                P(row_axis, None, None),
+                P(None, col_axis),
+            ),
+            out_specs=P(row_axis, None, col_axis),
+        )
+    )
+
+
+def spmm_2d_ell(e_rows, e_cols, e_data, n_rows, dense, mesh, row_axis="x", col_axis="y"):
+    """2-D-mesh SpMM (dp rows x tp feature columns) with the one-hot MXU
+    block kernel per shard — the scatter-free TPU-production form of
+    :func:`spmm_2d`.  Inputs from :func:`partition_spmm_ell` (placed with
+    a ``(row_axis, None, None)`` sharding); ``dense`` feature-sharded."""
+    f = _spmm_2d_ell_fn(mesh, row_axis, col_axis, 128)
+    out = f(jnp.asarray(e_rows), jnp.asarray(e_cols), jnp.asarray(e_data), jnp.asarray(dense))
+    return out.reshape(-1, dense.shape[1])[:n_rows]
+
+
+@functools.cache
 def _sddmm_fn(mesh, axis_name, block_rows):
     def local(rows, cols, data, lhs_block, rhs):
         # rows/cols/data: (k, cap) row shards of the sample matrix; the lhs

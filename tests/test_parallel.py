@@ -320,6 +320,21 @@ def test_spmm_sharded_ell_empty_shard():
     np.testing.assert_allclose(out, d @ b, rtol=1e-5, atol=1e-6)
 
 
+def test_spmm_2d_ell_matches_oracle():
+    from jax.sharding import Mesh
+    from sparse_tpu.parallel import partition_spmm_ell, spmm_2d_ell
+
+    devs = np.asarray(jax.devices()[:8]).reshape(4, 2)
+    mesh = Mesh(devs, ("x", "y"))
+    rng = np.random.default_rng(35)
+    a = sparse.random((1000, 300), density=0.04, random_state=35)
+    a = sparse.COO(np.asarray(a.coords), np.asarray(a.data, np.float32), shape=a.shape)
+    b = rng.random((300, 16)).astype(np.float32)
+    er, ec, ed, br = partition_spmm_ell(a, 4)
+    out = np.asarray(spmm_2d_ell(er, ec, ed, 1000, jnp.asarray(b), mesh))
+    np.testing.assert_allclose(out, a.todense() @ b, rtol=1e-4, atol=1e-5)
+
+
 def test_spmm_ring_ell_matches_oracle():
     # scatter-free ring SpMM (r4): ELL bucket kernel + ppermute rotations
     from jax.sharding import NamedSharding, PartitionSpec as P
