@@ -135,15 +135,51 @@ def graph_conv(rows, cols, vals, x, w, *, n_nodes):
     return coo_spmm(rows, cols, vals, x @ w, n_rows=n_nodes)
 
 
+def _seg_scan_sorted(x, rows, op, init):
+    """Segmented inclusive scan over SORTED segment ids (Hillis-Steele:
+    log2(n) shift-op passes, combines stay within segments)."""
+    n = x.shape[0]
+    d = 1
+    while d < n:
+        same = rows[d:] == rows[:-d]
+        sh = jnp.concatenate([jnp.full(d, init, x.dtype), jnp.where(same, x[:-d], init)])
+        x = op(x, sh)
+        d *= 2
+    return x
+
+
 def segment_softmax(scores, rows, *, n_rows, mask=None):
     """Numerically-stable softmax over row segments of a sorted COO pattern.
 
     ``scores``: (nnz,) logits at the stored coordinates; rows sorted
     (canonical). ``mask``: optional (nnz,) bool, False entries get weight 0
-    (padding slots of capacity-bounded patterns). Traceable/differentiable."""
+    (padding slots of capacity-bounded patterns). Traceable/differentiable.
+
+    On TPU the reduction is a segmented scan + per-segment-tail gathers —
+    ``segment_max``/``segment_sum`` are XLA scatters, which serialize on
+    hardware (measured 2.2x at 2M entries, r4); CPU keeps the segment
+    ops (scatters are fine there, the log-passes are not)."""
     neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
     if mask is not None:
         scores = jnp.where(mask, scores, neg_inf)
+    if jax.default_backend() not in ("cpu",) and scores.shape[0] >= 4096:
+        from .kernels.search import searchsorted_sorted_probes
+
+        n = scores.shape[0]
+        row_last = jnp.clip(
+            searchsorted_sorted_probes(rows, jnp.arange(n_rows, dtype=rows.dtype), "right") - 1,
+            0,
+            n - 1,
+        )
+        m = _seg_scan_sorted(scores, rows, jnp.maximum, neg_inf)
+        row_max = m[row_last]
+        shifted = scores - jnp.where(jnp.isfinite(row_max), row_max, 0)[rows]
+        expd = jnp.exp(shifted)
+        if mask is not None:
+            expd = jnp.where(mask, expd, 0)
+        s = _seg_scan_sorted(expd, rows, jnp.add, jnp.asarray(0, expd.dtype))
+        denom = s[row_last]
+        return expd / jnp.where(denom == 0, 1, denom)[rows]
     row_max = jax.ops.segment_max(scores, rows, num_segments=n_rows, indices_are_sorted=True)
     shifted = scores - jnp.where(jnp.isfinite(row_max), row_max, 0)[rows]
     expd = jnp.exp(shifted)

@@ -302,3 +302,33 @@ def test_block_sparse_linear_grad_values_match_xla():
         ).T.sum()
     )(params.blocks)
     np.testing.assert_allclose(np.asarray(g_wrapper), np.asarray(g_xla), rtol=1e-6)
+
+
+def test_segment_softmax_scan_path_matches_segment_ops(monkeypatch):
+    # the TPU scan path (r4) must match the segment-op form exactly,
+    # incl. mask handling, empty rows, and all-masked rows
+    import sparse_tpu.nn as nn_mod
+
+    rng = np.random.default_rng(41)
+    n_rows = 50
+    rows = np.sort(rng.integers(0, n_rows, size=5000)).astype(np.int32)
+    rows[rows == 7] = 8  # leave row 7 empty
+    rows = np.sort(rows)
+    scores = rng.normal(size=rows.size).astype(np.float32)
+    mask = rng.random(rows.size) > 0.2
+    mask[rows == 9] = False  # row 9 fully masked
+
+    ref = np.asarray(
+        nn_mod.segment_softmax(jnp.asarray(scores), jnp.asarray(rows), n_rows=n_rows, mask=jnp.asarray(mask))
+    )
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(nn_mod.jax, "default_backend", lambda: "tpu")
+    got = np.asarray(
+        nn_mod.segment_softmax(jnp.asarray(scores), jnp.asarray(rows), n_rows=n_rows, mask=jnp.asarray(mask))
+    )
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-7)
+    # unmasked too
+    ref2 = np.asarray(nn_mod.segment_softmax(jnp.asarray(scores), jnp.asarray(rows), n_rows=n_rows))
+    monkeypatch.undo()
+    got2 = np.asarray(nn_mod.segment_softmax(jnp.asarray(scores), jnp.asarray(rows), n_rows=n_rows))
+    np.testing.assert_allclose(got2, ref2, rtol=1e-6, atol=1e-7)
