@@ -385,3 +385,31 @@ def test_row_ell_spmm_program_memoized():
     np.testing.assert_allclose(
         np.asarray(p1(d)), a.todense().astype(np.float32) @ np.asarray(d), rtol=1e-4
     )
+
+
+def test_esc_spgemm_packed_f32_path():
+    # f32 operands take the packed-gather-table branch (r4); compare vs
+    # the dense oracle incl. duplicate (i,j) products and padding slots
+    from sparse_tpu.kernels.spgemm import esc_spgemm, product_count
+
+    rng = np.random.default_rng(43)
+    for trial in range(3):
+        m, k, n = rng.integers(10, 60, size=3)
+        a = sparse.random((m, k), density=0.25, random_state=100 + trial)
+        b = sparse.random((k, n), density=0.25, random_state=200 + trial)
+        ra, ca = np.asarray(a.coords)
+        rb, cb = np.asarray(b.coords)
+        da = np.asarray(a.data, np.float32)
+        db = np.asarray(b.data, np.float32)
+        P = product_count(ca, rb, int(k)) + 7
+        out_r, out_c, out_d, nnz = esc_spgemm(
+            jnp.asarray(ra), jnp.asarray(ca), jnp.asarray(da),
+            jnp.asarray(rb), jnp.asarray(cb), jnp.asarray(db),
+            k=int(k), n=int(n), product_capacity=int(P), out_capacity=int(P),
+        )
+        assert out_d.dtype == jnp.float32
+        nnz = int(nnz)
+        res = np.zeros((m, n), dtype=np.float64)
+        res[np.asarray(out_r)[:nnz], np.asarray(out_c)[:nnz]] = np.asarray(out_d)[:nnz]
+        ref = a.todense().astype(np.float32) @ b.todense().astype(np.float32)
+        np.testing.assert_allclose(res, ref, rtol=1e-5, atol=1e-6)
