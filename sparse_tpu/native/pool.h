@@ -53,9 +53,10 @@ class ThreadPool {
     return *p;
   }
 
-  // Run fn(i) for i in [0, t); blocks until all t calls return.
+  // Run fn(i) for i in [0, t); blocks until all t calls return.  t above
+  // the core count oversubscribes (slow) but still executes EVERY slot —
+  // silently clamping would drop work and corrupt results.
   void run(int t, const std::function<void(int)>& fn) {
-    if (t > max_threads()) t = max_threads();
     if (t <= 1) {
       fn(0);
       return;
