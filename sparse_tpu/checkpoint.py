@@ -93,6 +93,16 @@ def load_partitioned(path, mesh=None, axis_name="x") -> PartitionedCOO:
             if arrays is None and jax.process_count() == 1:
                 arrays = ckptr.restore(arr_dir)
         except ImportError:
+            # Multi-process checkpoints are orbax-written per-process device
+            # shards — the arrays.npz fallback below does not exist for
+            # them; falling through would surface an unrelated
+            # FileNotFoundError.
+            if jax.process_count() > 1:
+                raise ImportError(
+                    "orbax-checkpoint is required to restore multi-process "
+                    "checkpoints (each process wrote only its device shards; "
+                    "there is no single-file npz fallback)"
+                )
             arrays = None
         except Exception:
             if jax.process_count() > 1:

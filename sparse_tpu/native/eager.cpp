@@ -222,17 +222,14 @@ BINCOUNT_SUM(st_bincount_sum_f32, float)
                int64_t* out_idx, T* out_vals) {                                              \
     int t = (int)std::min<int64_t>(stpool::ThreadPool::max_threads(), n >> 17);              \
     if (t >= 2 && n_bins <= (int64_t)1 << 22) {                                              \
-      /* per-slot private bins, merged serially (bins are small) */                          \
+      /* per-slot private bins, merged serially (bins are small).         */                 \
+      /* Allocated on the CALLING thread: an exception escaping a pool    */                 \
+      /* worker's std::function would std::terminate the process.        */                  \
       std::vector<std::unique_ptr<T[]>> priv(t - 1);                                         \
+      for (int i = 0; i < t - 1; ++i) priv[i].reset(new T[n_bins]);                          \
       int64_t chunk = (n + t - 1) / t;                                                       \
       stpool::parallel_for_slots(t, [&](int i) {                                             \
-        T* bins;                                                                             \
-        if (i == 0) {                                                                        \
-          bins = sums;                                                                       \
-        } else {                                                                             \
-          priv[i - 1].reset(new T[n_bins]);                                                  \
-          bins = priv[i - 1].get();                                                          \
-        }                                                                                    \
+        T* bins = (i == 0) ? sums : priv[i - 1].get();                                       \
         for (int64_t b = 0; b < n_bins; ++b) bins[b] = T(0);                                 \
         int64_t lo = i * chunk, hi = std::min<int64_t>(n, lo + chunk);                       \
         for (int64_t p = lo; p < hi; ++p) bins[keys[p]] += w[p];                             \
@@ -320,11 +317,17 @@ extern "C" {
     std::vector<std::unique_ptr<int64_t[]>> idx_buf(t);                                      \
     std::vector<std::unique_ptr<T[]>> val_buf(t);                                            \
     std::vector<int64_t> cnt(t, 0);                                                          \
+    /* scratch allocated on the CALLING thread: an exception escaping a  */                  \
+    /* pool worker's std::function would std::terminate the process     */                   \
+    for (int i = 0; i < t; ++i) {                                                            \
+      int64_t len = s[i + 1] - s[i];                                                         \
+      if (len <= 0) continue;                                                                \
+      idx_buf[i].reset(new int64_t[len]); /* uninitialized POD */                            \
+      val_buf[i].reset(new T[len]);                                                          \
+    }                                                                                        \
     stpool::parallel_for_slots(t, [&](int i) {                                               \
       int64_t len = s[i + 1] - s[i];                                                         \
       if (len <= 0) return;                                                                  \
-      idx_buf[i].reset(new int64_t[len]); /* uninitialized POD */                            \
-      val_buf[i].reset(new T[len]);                                                          \
       cnt[i] = sorted_reduce_range<T, KT>(keys, w, s[i], s[i + 1], idx_buf[i].get(),         \
                                           val_buf[i].get());                                 \
     });                                                                                      \

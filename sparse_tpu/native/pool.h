@@ -56,26 +56,45 @@ class ThreadPool {
   // Run fn(i) for i in [0, t); blocks until all t calls return.  t above
   // the core count oversubscribes (slow) but still executes EVERY slot —
   // silently clamping would drop work and corrupt results.
+  //
+  // The dispatch word packs (generation << 16) | slot_count into ONE
+  // atomic: a worker's decision to execute is made from the same atomic
+  // read that observes the generation, so a straggler parked between
+  // "which generation is this" and "am I in it" can never pair a stale
+  // generation with the next dispatch's slot count (that tear let a
+  // worker run a dispatch twice and release run() early — corrupting
+  // results or reading freed numpy buffers).
   void run(int t, const std::function<void(int)>& fn) {
     if (t <= 1) {
       fn(0);
       return;
     }
+    if ((uint64_t)(t - 1) > ((1u << kSlotBits) - 1)) {
+      // beyond the packed slot field: execute every slot serially rather
+      // than clamp (dropping slots would corrupt results)
+      for (int i = 0; i < t; ++i) fn(i);
+      return;
+    }
     std::lock_guard<std::mutex> outer(run_mutex_);
     ensure(t - 1);
     fn_ = &fn;
-    n_active_ = t - 1;
+    const uint64_t nslots = (uint64_t)(t - 1);
     done_.store(0, std::memory_order_release);
     {
-      // bump under the mutex so a worker checking the predicate inside
+      // publish under the mutex so a worker checking the predicate inside
       // cv_.wait cannot miss the notify
       std::lock_guard<std::mutex> lk(m_);
-      gen_.fetch_add(1, std::memory_order_acq_rel);
+      uint64_t g = (word_.load(std::memory_order_relaxed) >> kSlotBits) + 1;
+      word_.store((g << kSlotBits) | nslots, std::memory_order_release);
     }
     cv_.notify_all();
     fn(0);
+    // Every worker with idx <= nslots increments done_ exactly once, and
+    // none can still be pre-increment when we return (we wait for all of
+    // them here) — so the next dispatch's done_=0 store cannot race a
+    // straggler's increment.
     int spins = 0;
-    while (done_.load(std::memory_order_acquire) != n_active_) {
+    while (done_.load(std::memory_order_acquire) != (int)nslots) {
       if (++spins < (1 << 14))
         cpu_pause();
       else
@@ -91,17 +110,18 @@ class ThreadPool {
     new (&run_mutex_) std::mutex();
     new (&cv_) std::condition_variable();
     n_workers_ = 0;
-    n_active_ = 0;
     done_.store(0, std::memory_order_release);
   }
 
  private:
   ThreadPool() = default;
 
+  static constexpr int kSlotBits = 16;  // <= 65535 slots per dispatch
+
   void ensure(int k) {
-    // capture the CURRENT generation before spawning: a worker must start
-    // with seen == pre-dispatch gen or it would skip its first task
-    uint64_t cur = gen_.load(std::memory_order_acquire);
+    // capture the CURRENT dispatch word before spawning: a worker must
+    // start with seen == pre-dispatch word or it would skip its first task
+    uint64_t cur = word_.load(std::memory_order_acquire);
     while (n_workers_ < k) {
       int idx = ++n_workers_;
       std::thread([this, idx, cur] { loop(idx, cur); }).detach();
@@ -111,16 +131,22 @@ class ThreadPool {
   void loop(int idx, uint64_t seen) {
     for (;;) {
       int spins = 0;
-      while (gen_.load(std::memory_order_acquire) == seen) {
+      uint64_t w;
+      while ((w = word_.load(std::memory_order_acquire)) == seen) {
         if (++spins > 20000) {
           std::unique_lock<std::mutex> lk(m_);
-          cv_.wait(lk, [&] { return gen_.load(std::memory_order_acquire) != seen; });
+          cv_.wait(lk, [&] {
+            return word_.load(std::memory_order_acquire) != seen;
+          });
+          w = word_.load(std::memory_order_acquire);
           break;
         }
         cpu_pause();
       }
-      seen = gen_.load(std::memory_order_acquire);
-      if (idx <= n_active_) {
+      seen = w;
+      // generation and slot count come from the SAME atomic read — no
+      // stale-generation / fresh-count pairing is possible.
+      if ((uint64_t)idx <= (w & ((1u << kSlotBits) - 1))) {
         (*fn_)(idx);
         done_.fetch_add(1, std::memory_order_acq_rel);
       }
@@ -130,10 +156,10 @@ class ThreadPool {
   std::mutex run_mutex_;  // serializes concurrent run() callers
   std::mutex m_;
   std::condition_variable cv_;
-  std::atomic<uint64_t> gen_{0};
+  // (generation << kSlotBits) | slot_count — see run()
+  std::atomic<uint64_t> word_{0};
   std::atomic<int> done_{0};
   const std::function<void(int)>* fn_ = nullptr;
-  int n_active_ = 0;
   int n_workers_ = 0;
 };
 

@@ -421,18 +421,48 @@ def _spmm_dense_accelerator(a, b):
         return None
     import jax.numpy as jnp
 
-    from ..kernels.row_ell import row_ell_spmm_program, row_ell_spmv
+    from ..kernels.row_ell import row_ell_spmm, row_ell_spmm_program, row_ell_spmv
 
     rell = a.to_row_ell()
     # the row-ELL kernels promote internally (result_type of data and dense)
     bj = jnp.asarray(np.asarray(b), dtype=dt)
     if np.asarray(b).ndim == 1:
         out = row_ell_spmv(rell, bj)
-    else:
+    elif _layout_seen_before(rell) and _tier_nbytes(rell) <= _PROGRAM_EMBED_MAX_BYTES:
         # constant-embedded program (memoized on the layout): XLA
-        # pre-lays-out the tier arrays — 3.78 vs 4.65 ms at the bench shape
+        # pre-lays-out the tier arrays — 3.78 vs 4.65 ms at the bench
+        # shape.  Worth a per-layout compile only on REPEAT use (the
+        # layout cache on COO makes repeats share tiers identity); a
+        # one-shot dot() takes the args-based kernel below instead of a
+        # multi-second recompile.  Big layouts stay args-based too: 100MB+
+        # closure constants can blow the tunnel compile-request limit.
         out = row_ell_spmm_program(rell)(bj)
+    else:
+        out = row_ell_spmm(rell, bj)
     return np.asarray(out)
+
+
+# Program embedding gate for the eager accelerator: promote a layout to
+# the constant-embedded program only once it has been seen before (a
+# repeat-use signal — solvers/benchmarks hit the same matrix every call)
+# and its tiers are small enough to inline into a compile request.
+_PROGRAM_EMBED_MAX_BYTES = 80 * 1024 * 1024
+_SEEN_LAYOUTS = {}
+
+
+def _tier_nbytes(rell):
+    return sum(int(c.nbytes) + int(d.nbytes) for c, d in rell.tiers)
+
+
+def _layout_seen_before(rell):
+    key = id(rell.tiers)
+    hit = _SEEN_LAYOUTS.get(key)
+    if hit is not None and hit is rell.tiers:
+        return True
+    _SEEN_LAYOUTS[key] = rell.tiers
+    if len(_SEEN_LAYOUTS) > 64:
+        _SEEN_LAYOUTS.pop(next(iter(_SEEN_LAYOUTS)))
+    return False
 
 
 def _spmm_dense_native(a, b):

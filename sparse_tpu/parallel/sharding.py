@@ -471,6 +471,16 @@ def spmm_ring_ell(bucketed, n_rows, dense_sharded, mesh, axis_name="x"):
     mesh, padded to ``n_shards * block_cols`` rows."""
     e_rows, e_cols, e_data, block_rows, block_cols = bucketed
     n_shards = e_rows.shape[0]
+    n_buckets = e_rows.shape[1]
+    axis_size = mesh.shape[axis_name]
+    # The rotation indexes buckets with (device_idx + step) % axis_size: a
+    # bucket count that differs from the ring size would silently read the
+    # wrong (jnp.take-clamped) bucket, not error.
+    if not (n_buckets == n_shards == axis_size):
+        raise ValueError(
+            f"spmm_ring_ell needs n_buckets == n_shards == mesh axis size; "
+            f"got n_buckets={n_buckets}, n_shards={n_shards}, |{axis_name}|={axis_size}"
+        )
     N = dense_sharded.shape[-1]
     f = _spmm_ring_ell_fn(mesh, axis_name, block_rows, 128)
     out = f(jnp.asarray(e_rows), jnp.asarray(e_cols), jnp.asarray(e_data), dense_sharded)

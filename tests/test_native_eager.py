@@ -425,3 +425,33 @@ def test_transpose2d_generic_dtypes(dtype):
     np.testing.assert_array_equal(cols_t, np.asarray(ref.coords)[1])
     np.testing.assert_array_equal(vals_t, np.asarray(ref.data))
     np.testing.assert_array_equal(S.T.todense(), d.T)
+
+
+def test_pool_dispatch_stress_alternating_slot_counts():
+    # Regression for the pool.h dispatch race: a straggler worker pairing a
+    # stale generation with the NEXT dispatch's slot count could execute a
+    # dispatch twice and release run() early (advisor r4, high).  The fix
+    # packs (generation, slot_count) into one atomic word; here we hammer
+    # many back-to-back threaded dispatches with alternating slot counts
+    # and verify exact results every time.
+    rng = np.random.default_rng(11)
+    n = 1 << 19  # above the n >> 17 threading threshold
+    keys_sorted = np.sort(rng.integers(0, 5000, n)).astype(np.int64)
+    w = rng.standard_normal(n)
+    keys_small = np.sort(rng.integers(0, 50, 1 << 18)).astype(np.int64)
+    w_small = rng.standard_normal(1 << 18)
+    exp_big = np.bincount(keys_sorted, weights=w, minlength=5000)
+    exp_small = np.bincount(keys_small, weights=w_small, minlength=50)
+    for _ in range(30):
+        for keys, weights, exp in (
+            (keys_sorted, w, exp_big),
+            (keys_small, w_small, exp_small),
+        ):
+            idx, vals = eager.sorted_reduce_compact(keys, weights)
+            dense = np.zeros(exp.shape[0])
+            dense[idx] = vals
+            np.testing.assert_allclose(dense, exp, rtol=1e-12, atol=1e-12)
+            idx2, vals2 = eager.bincount_sum_compact(keys, weights, exp.shape[0])
+            dense2 = np.zeros(exp.shape[0])
+            dense2[idx2] = vals2
+            np.testing.assert_allclose(dense2, exp, rtol=1e-12, atol=1e-12)

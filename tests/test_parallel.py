@@ -355,6 +355,23 @@ def test_spmm_ring_ell_matches_oracle():
     np.testing.assert_allclose(out, a.todense() @ b, rtol=1e-4, atol=1e-5)
 
 
+def test_spmm_ring_ell_rejects_bucket_ring_mismatch():
+    # advisor r4 (low): the rotation assumes n_buckets == ring size; a
+    # mismatch must raise, not silently read jnp.take-clamped buckets
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from sparse_tpu.parallel import bucket_columns_ell, make_mesh, spmm_ring_ell
+
+    mesh = make_mesh(8)
+    a = sparse.random((256, 256), density=0.05, random_state=7)
+    a = sparse.COO(np.asarray(a.coords), np.asarray(a.data, np.float32), shape=a.shape)
+    bucketed = bucket_columns_ell(a, 4)  # 4 buckets on an 8-device ring
+    block_cols = bucketed[4]
+    b_pad = np.zeros((4 * block_cols, 8), dtype=np.float32)
+    b_sh = jax.device_put(jnp.asarray(b_pad), NamedSharding(mesh, P("x", None)))
+    with pytest.raises(ValueError, match="n_buckets"):
+        spmm_ring_ell(bucketed, 256, b_sh, mesh)
+
+
 def test_mttkrp_sharded_ell_matches_oracle():
     from sparse_tpu.parallel import make_mesh, mttkrp_sharded_ell, partition_mttkrp_ell
 
