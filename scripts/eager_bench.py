@@ -104,6 +104,9 @@ def main():
     x2 = rng.random(100000)
     y2 = rng.random(99990)
     row("spmv_add csc 100k @1e-6", bench(lambda: m2 @ x2 + y2), bench(lambda: s2 @ x2 + y2))
+    # fused entry (sparse.matvec_add): seeds the output with y, skipping
+    # the unfused expression's separate full-length add pass
+    row("spmv_add fused (matvec_add)", bench(lambda: sparse.matvec_add(m2, x2, y2)), bench(lambda: s2 @ x2 + y2))
 
     worst = max(r[1] / r[2] for r in rows_out)
     print(f"\nworst ratio vs scipy: {worst:.2f}x over {len(rows_out)} ops")

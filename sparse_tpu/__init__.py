@@ -130,7 +130,7 @@ from .core.coo import COO  # noqa: E402
 from .core.dok import DOK  # noqa: E402
 from .core.gcxs import CSC, CSR, GCXS  # noqa: E402
 from .ops.elemwise import broadcast_to, elemwise  # noqa: E402
-from .ops.dot import dot, matmul, sddmm, tensordot, vecdot  # noqa: E402
+from .ops.dot import dot, matmul, matvec_add, sddmm, tensordot, vecdot  # noqa: E402
 from .ops.einsum import einsum  # noqa: E402
 from .ops.common import (  # noqa: E402
     argmax,
@@ -328,6 +328,7 @@ __all__ = sorted(
         "logical_xor",
         "matmul",
         "matrix_transpose",
+        "matvec_add",
         "max",
         "maximum",
         "mean",

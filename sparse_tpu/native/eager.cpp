@@ -820,6 +820,66 @@ void csc_spmv(const I* pc, const I* ia, const T* va, int64_t n_cols, int64_t n_r
   }
 }
 
+// Scatter into a CALLER-zeroed output (np.zeros = calloc: untouched pages
+// stay on the shared zero page, where an in-kernel memset would
+// materialize and write every page — measured ~0.05 ms of the spmv_add
+// example's 0.29 ms matvec).
+template <typename T, typename I>
+void csc_spmv_acc(const I* pc, const I* ia, const T* va, int64_t n_cols, const T* x, T* out) {
+  for (int64_t j = 0; j < n_cols; ++j) {
+    I p = pc[j], e = pc[j + 1];
+    if (p == e) continue;
+    T xv = x[j];
+    for (; p < e; ++p) out[ia[p]] += va[p] * xv;
+  }
+}
+
+// Entry-loop matvec for the sparse-row regime (nnz << n_rows): the
+// CSR/CSC forms iterate every row/column (99,990 iterations for 10k
+// entries at the spmv_add example shape — loop-overhead-bound at
+// ~0.24-0.30 ms), where a scatter over the ENTRIES alone is ~10k
+// iterations.  Caller pre-initializes out (np.zeros, or y for the fused
+// A@x+y).  Serial: this regime's entry counts don't amortize threads.
+template <typename T, typename I>
+void coo_spmv_acc(const I* ri, const I* ci, const T* va, int64_t nnz, const T* x, T* out) {
+  for (int64_t p = 0; p < nnz; ++p) out[ri[p]] += va[p] * x[ci[p]];
+}
+
+// Fused A@x + y (the reference's headline spmv_add example,
+// examples/spmv_add_example.py:11-66): seed the output with y instead of
+// zeros, turning matvec+add (memset + scatter + full read/add/write pass
+// = ~4 output-size passes) into memcpy + scatter (~2 passes).
+template <typename T, typename I>
+void csr_spmv_add(const I* pa, const I* ja, const T* va, int64_t n_rows, const T* x, const T* y0,
+                  T* out) {
+  run_rows(pa, n_rows, 17, 1, [&](int64_t r0, int64_t r1) {
+    for (int64_t r = r0; r < r1; ++r) {
+      int64_t p = pa[r], e = pa[r + 1];
+      T a0 = T(0), a1 = T(0), a2 = T(0), a3 = T(0);
+      for (; p + 4 <= e; p += 4) {
+        a0 += va[p] * x[ja[p]];
+        a1 += va[p + 1] * x[ja[p + 1]];
+        a2 += va[p + 2] * x[ja[p + 2]];
+        a3 += va[p + 3] * x[ja[p + 3]];
+      }
+      for (; p < e; ++p) a0 += va[p] * x[ja[p]];
+      out[r] = y0[r] + (a0 + a1) + (a2 + a3);
+    }
+  });
+}
+
+template <typename T, typename I>
+void csc_spmv_add(const I* pc, const I* ia, const T* va, int64_t n_cols, int64_t n_rows,
+                  const T* x, const T* y0, T* out) {
+  std::memcpy(out, y0, n_rows * sizeof(T));
+  for (int64_t j = 0; j < n_cols; ++j) {
+    I p = pc[j], e = pc[j + 1];
+    if (p == e) continue;
+    T xv = x[j];
+    for (; p < e; ++p) out[ia[p]] += va[p] * xv;
+  }
+}
+
 template <typename T, typename I>
 void csc_spmm(const I* pc, const I* ia, const T* va, int64_t n_cols, int64_t n_rows, const T* b,
               int64_t n_cols_out, T* out) {
@@ -883,6 +943,32 @@ extern "C" {
   int st_csc_spmm_##TS##_##IS(const I* pc, const I* ia, const T* va, int64_t n_cols,           \
                               int64_t n_rows, const T* b, int64_t n_cols_out, T* out) {        \
     csc_spmm<T, I>(pc, ia, va, n_cols, n_rows, b, n_cols_out, out);                            \
+    return 0;                                                                                  \
+  }                                                                                            \
+  int st_csc_spmv_acc_##TS##_##IS(const I* pc, const I* ia, const T* va, int64_t n_cols,       \
+                                  const T* x, T* out) {                                        \
+    csc_spmv_acc<T, I>(pc, ia, va, n_cols, x, out);                                            \
+    return 0;                                                                                  \
+  }                                                                                            \
+  int st_coo_spmv_acc_##TS##_##IS(const I* ri, const I* ci, const T* va, int64_t nnz,          \
+                                  const T* x, T* out) {                                        \
+    coo_spmv_acc<T, I>(ri, ci, va, nnz, x, out);                                               \
+    return 0;                                                                                  \
+  }                                                                                            \
+  int st_coo_spmv_add_##TS##_##IS(const I* ri, const I* ci, const T* va, int64_t nnz,          \
+                                  int64_t n_rows, const T* x, const T* y0, T* out) {           \
+    std::memcpy(out, y0, n_rows * sizeof(T));                                                  \
+    coo_spmv_acc<T, I>(ri, ci, va, nnz, x, out);                                               \
+    return 0;                                                                                  \
+  }                                                                                            \
+  int st_csr_spmv_add_##TS##_##IS(const I* pa, const I* ja, const T* va, int64_t n_rows,       \
+                                  const T* x, const T* y0, T* out) {                           \
+    csr_spmv_add<T, I>(pa, ja, va, n_rows, x, y0, out);                                        \
+    return 0;                                                                                  \
+  }                                                                                            \
+  int st_csc_spmv_add_##TS##_##IS(const I* pc, const I* ia, const T* va, int64_t n_cols,       \
+                                  int64_t n_rows, const T* x, const T* y0, T* out) {           \
+    csc_spmv_add<T, I>(pc, ia, va, n_cols, n_rows, x, y0, out);                                \
     return 0;                                                                                  \
   }
 

@@ -163,6 +163,20 @@ def _from_scipy_operand(x):
 
 def matmul(a, b):
     """``a @ b`` with numpy matmul semantics (batching, 1-D promotion)."""
+    if (
+        type(b) is np.ndarray
+        and b.ndim == 1
+        and isinstance(a, SparseArray)
+        and a.ndim == 2
+        and a.shape[1] == b.shape[0]
+        and a.size
+    ):
+        # eager matvec fast path: one memoized branch straight to the
+        # native kernel — the matmul->dot->_dot->_spmm_dense wrapper chain
+        # is a measurable share of wall time at spmv_add's 10k-nnz scale
+        res = _matvec_fast(a, b)
+        if res is not None:
+            return res
     a = _from_scipy_operand(a)
     b = _from_scipy_operand(b)
     check_zero_fill_value(a, b, func_name="matmul")
@@ -463,6 +477,156 @@ def _layout_seen_before(rell):
     if len(_SEEN_LAYOUTS) > 64:
         _SEEN_LAYOUTS.pop(next(iter(_SEEN_LAYOUTS)))
     return False
+
+
+def _entry_matvec_buffers(a, dt):
+    """``(row_ids, col_ids, data)`` per-entry triplets (matching index
+    dtype) for the entry-loop matvec, memoized on the instance — the
+    sparse-row-regime kernel (``nnz << n_rows``) iterates entries only."""
+    from ..core.gcxs import GCXS, _uncompress_indptr_np
+
+    memo = getattr(a, "_entry_mv_memo", None)
+    if memo is not None and memo[0] is a.data:
+        ri, ci = memo[1], memo[2]
+    elif isinstance(a, COO):
+        coords = np.asarray(a.coords)
+        ri = np.ascontiguousarray(coords[0].astype(np.int64, copy=False))
+        ci = np.ascontiguousarray(coords[1].astype(np.int64, copy=False))
+    elif isinstance(a, GCXS) and a.compressed_axes in ((0,), (1,)):
+        idx = np.asarray(a.indices)
+        unc = _uncompress_indptr_np(np.asarray(a.indptr)).astype(idx.dtype, copy=False)
+        ri, ci = (unc, idx) if a.compressed_axes == (0,) else (idx, unc)
+    else:
+        return None
+    if memo is None or memo[0] is not a.data:
+        try:
+            a._entry_mv_memo = (a.data, ri, ci)
+        except AttributeError:
+            pass
+    return ri, ci, np.asarray(a.data).astype(dt, copy=False)
+
+
+def _compressed_matvec_buffers(a, dt):
+    """``(indptr, idx, data, compressed_rows)`` buffers for the native
+    CSR/CSC matvec kernels, or None.  GCXS hands over its compressed
+    buffers directly; canonical COO contributes its memoized row indptr."""
+    from ..core.gcxs import GCXS
+    from ..native import build_indptr
+
+    if isinstance(a, GCXS) and a.ndim == 2 and a.compressed_axes in ((0,), (1,)):
+        data = np.asarray(a.data).astype(dt, copy=False)
+        return np.asarray(a.indptr), np.asarray(a.indices), data, a.compressed_axes == (0,)
+    if isinstance(a, COO) and a.ndim == 2:
+        coords = np.asarray(a.coords)
+        data = np.asarray(a.data).astype(dt, copy=False)
+        memo = getattr(a, "_indptr_memo", None)
+        if memo is not None and memo[0] is a.coords:
+            indptr = memo[1]
+        else:
+            indptr = build_indptr(coords[0], a.shape[0])
+            try:
+                a._indptr_memo = (a.coords, indptr)
+            except AttributeError:
+                pass
+        return indptr, coords[1], data, True
+    return None
+
+
+def _matvec_fast(a, b):
+    """2-D sparse @ 1-D float ndarray straight to the native kernel.
+
+    Applicability is decided BEFORE any semantic side effect (fill-value
+    error, NaN warning) so a None return leaves the generic path to redo
+    them exactly once."""
+    from .._settings import EAGER_MATMUL_DEVICE
+
+    if EAGER_MATMUL_DEVICE == "default":
+        return None  # accelerator knob routes matvecs to the device kernels
+    dt = np.promote_types(a.dtype, b.dtype)
+    if dt not in (np.float64, np.float32) or _native_eager.get_lib() is None:
+        return None
+    entry = _entry_matvec_buffers(a, dt) if a.nnz * 2 <= a.shape[0] else None
+    bufs = None if entry is not None else _compressed_matvec_buffers(a, dt)
+    if entry is None and bufs is None:
+        return None
+    check_zero_fill_value(a, b, func_name="matmul")
+    if _has_nan(a) or _has_nan(b):
+        warnings.warn(
+            "Nan will not be propagated in matrix multiplication",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+    b = b.astype(dt, copy=False)
+    if entry is not None:
+        ri, ci, data = entry
+        res = _native_eager.coo_spmv_entries(ri, ci, data, b, a.shape[0])
+        if res is not None:
+            return res
+        bufs = _compressed_matvec_buffers(a, dt)
+        if bufs is None:
+            return None
+    indptr, idx, data, compressed_rows = bufs
+    if compressed_rows:
+        return _native_eager.csr_spmm_dense(indptr, idx, data, b, a.shape[0], owner=a)
+    return _native_eager.csc_spmm_dense(indptr, idx, data, b, a.shape[0], a.shape[1], owner=a)
+
+
+def matvec_add(a, x, y):
+    """Fused ``a @ x + y`` (sparse 2-D ``a``, dense 1-D ``x``/``y``).
+
+    One native pass seeds the output with ``y`` instead of zeros — the
+    unfused expression pays a memset plus a separate full-length add pass,
+    which dominates at the reference ``spmv_add`` example's density
+    (``/root/reference/examples/spmv_add_example.py:11-66``: 99,990×100k
+    @1e-6 is output-bandwidth-bound).  Semantics are exactly
+    ``matmul(a, x) + y`` (same fill-value errors and NaN warning); any
+    non-native case falls back to that expression."""
+    if (
+        isinstance(a, SparseArray)
+        and a.ndim == 2
+        and type(x) is np.ndarray
+        and x.ndim == 1
+        and type(y) is np.ndarray
+        and y.shape == (a.shape[0],)
+        and a.shape[1] == x.shape[0]
+        and a.size
+    ):
+        dt = np.promote_types(np.promote_types(a.dtype, x.dtype), y.dtype)
+        if dt in (np.float64, np.float32) and _native_eager.get_lib() is not None:
+            entry = _entry_matvec_buffers(a, dt) if a.nnz * 2 <= a.shape[0] else None
+            bufs = None if entry is not None else _compressed_matvec_buffers(a, dt)
+            if entry is not None or bufs is not None:
+                check_zero_fill_value(a, x, func_name="matmul")
+                if _has_nan(a) or _has_nan(x):
+                    warnings.warn(
+                        "Nan will not be propagated in matrix multiplication",
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
+                xdt = x.astype(dt, copy=False)
+                ydt = y.astype(dt, copy=False)
+                if entry is not None:
+                    ri, ci, data = entry
+                    res = _native_eager.coo_spmv_entries(ri, ci, data, xdt, a.shape[0], y=ydt)
+                    if res is not None:
+                        return res
+                    bufs = _compressed_matvec_buffers(a, dt)
+                if bufs is not None:
+                    indptr, idx, data, compressed_rows = bufs
+                    res = _native_eager.spmv_add(
+                        indptr,
+                        idx,
+                        data,
+                        xdt,
+                        ydt,
+                        a.shape[0],
+                        a.shape[1],
+                        compressed_rows,
+                        owner=a,
+                    )
+                    if res is not None:
+                        return res
+    return matmul(a, x) + y
 
 
 def _spmm_dense_native(a, b):

@@ -455,3 +455,59 @@ def test_pool_dispatch_stress_alternating_slot_counts():
             dense2 = np.zeros(exp.shape[0])
             dense2[idx2] = vals2
             np.testing.assert_allclose(dense2, exp, rtol=1e-12, atol=1e-12)
+
+
+@pytest.mark.parametrize("fmt,ca", [("gcxs", (0,)), ("gcxs", (1,)), ("coo", None)])
+@pytest.mark.parametrize("regime", ["sparse_rows", "dense_rows"])
+def test_matvec_add_fused_and_entry_paths(fmt, ca, regime):
+    # Fused A@x+y (sparse.matvec_add) and the entry-loop matvec kernel
+    # (nnz << n_rows routes to st_coo_spmv_acc/add — the spmv_add example
+    # regime); dense-row inputs stay on the CSR/CSC kernels.
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(3)
+    if regime == "sparse_rows":
+        shape, density = (8000, 9000), 1e-5  # nnz ~ 720 << 8000 rows
+    else:
+        shape, density = (800, 900), 5e-2  # nnz ~ 36k >> 800 rows
+    kw = {"compressed_axes": ca} if ca else {}
+    m = st.random(shape, density=density, random_state=5, format=fmt, **kw)
+    sm = sp.csr_array(m.to_scipy_sparse() if fmt == "gcxs" else m.tocsr())
+    x = rng.standard_normal(shape[1])
+    y = rng.standard_normal(shape[0])
+    for _ in range(2):  # repeat: exercises the per-instance buffer memos
+        np.testing.assert_allclose(np.asarray(m @ x), sm @ x, rtol=1e-10)
+        np.testing.assert_allclose(st.matvec_add(m, x, y), sm @ x + y, rtol=1e-10)
+    # f32 variant
+    m32 = m.astype(np.float32)
+    np.testing.assert_allclose(
+        st.matvec_add(m32, x.astype(np.float32), y.astype(np.float32)),
+        (sm @ x + y).astype(np.float32),
+        rtol=1e-3,
+        atol=1e-3,
+    )
+
+
+def test_matvec_add_semantics_match_expression():
+    # same fill-value error and NaN warning as ``matmul(a, x) + y``;
+    # generic fallbacks (non-float dtype, sparse y) agree with the expression
+    import warnings as _w
+
+    rng = np.random.default_rng(4)
+    m = st.random((500, 400), density=0.01, random_state=9)
+    x = rng.standard_normal(400)
+    y = rng.standard_normal(500)
+    bad = st.COO(m.coords, np.asarray(m.data), shape=m.shape, fill_value=1.0)
+    with pytest.raises(ValueError):
+        st.matvec_add(bad, x, y)
+    xn = x.copy()
+    xn[3] = np.nan
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        st.matvec_add(m, xn, y)
+    assert sum("Nan will not be propagated" in str(r.message) for r in rec) == 1
+    # int dtype falls back to the generic expression
+    mi = st.COO(m.coords, np.ones(m.nnz, dtype=np.int64), shape=m.shape)
+    xi = np.ones(400, dtype=np.int64)
+    yi = np.arange(500)
+    np.testing.assert_array_equal(st.matvec_add(mi, xi, yi), np.asarray(mi @ xi) + yi)
