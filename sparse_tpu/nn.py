@@ -148,6 +148,23 @@ def _seg_scan_sorted(x, rows, op, init):
     return x
 
 
+def _seg_scan_sorted_rev(x, rows, op, init):
+    """Backward (suffix) segmented inclusive scan — used to PROPAGATE a
+    per-segment total (sitting at each segment's last slot after a forward
+    scan) back to every slot positionally.  A small-table ``value[rows]``
+    broadcast gather would serialize: per-entry scalar gathers issue at
+    ~140 M/s on TPU (≈14 ms per 2M-entry gather), where these log-passes
+    are bandwidth-bound elementwise ops."""
+    n = x.shape[0]
+    d = 1
+    while d < n:
+        same = rows[d:] == rows[:-d]
+        sh = jnp.concatenate([jnp.where(same, x[d:], init), jnp.full(d, init, x.dtype)])
+        x = op(x, sh)
+        d *= 2
+    return x
+
+
 def segment_softmax(scores, rows, *, n_rows, mask=None):
     """Numerically-stable softmax over row segments of a sorted COO pattern.
 
@@ -163,23 +180,23 @@ def segment_softmax(scores, rows, *, n_rows, mask=None):
     if mask is not None:
         scores = jnp.where(mask, scores, neg_inf)
     if jax.default_backend() not in ("cpu",) and scores.shape[0] >= 4096:
-        from .kernels.search import searchsorted_sorted_probes
-
-        n = scores.shape[0]
-        row_last = jnp.clip(
-            searchsorted_sorted_probes(rows, jnp.arange(n_rows, dtype=rows.dtype), "right") - 1,
-            0,
-            n - 1,
-        )
+        # all-positional formulation (r5): forward scan computes prefix
+        # stats, a backward max-scan propagates each segment's total to
+        # every slot.  NO per-entry ``[rows]`` gathers and no row-tail
+        # searchsorted — the r4 form spent ~28 of its 30.3 ms in exactly
+        # those two broadcast gathers (2×2M scalar gathers at the 140 M/s
+        # issue bound), not in the scan passes.
         m = _seg_scan_sorted(scores, rows, jnp.maximum, neg_inf)
-        row_max = m[row_last]
-        shifted = scores - jnp.where(jnp.isfinite(row_max), row_max, 0)[rows]
+        row_max = _seg_scan_sorted_rev(m, rows, jnp.maximum, neg_inf)
+        shifted = scores - jnp.where(jnp.isfinite(row_max), row_max, 0)
         expd = jnp.exp(shifted)
         if mask is not None:
             expd = jnp.where(mask, expd, 0)
         s = _seg_scan_sorted(expd, rows, jnp.add, jnp.asarray(0, expd.dtype))
-        denom = s[row_last]
-        return expd / jnp.where(denom == 0, 1, denom)[rows]
+        # prefix sums of the non-negative expd are non-decreasing within a
+        # segment, so a backward MAX scan propagates the segment total
+        denom = _seg_scan_sorted_rev(s, rows, jnp.maximum, jnp.asarray(0, s.dtype))
+        return expd / jnp.where(denom == 0, 1, denom)
     row_max = jax.ops.segment_max(scores, rows, num_segments=n_rows, indices_are_sorted=True)
     shifted = scores - jnp.where(jnp.isfinite(row_max), row_max, 0)[rows]
     expd = jnp.exp(shifted)
@@ -189,7 +206,10 @@ def segment_softmax(scores, rows, *, n_rows, mask=None):
     return expd / jnp.where(denom == 0, 1, denom)[rows]
 
 
-def sparse_attention(q, k, v, rows, cols, *, scale=None, mask=None):
+_ATTENTION_ELL_MEMO = {}
+
+
+def sparse_attention(q, k, v, rows, cols, *, scale=None, mask=None, max_ell_blowup=4.0):
     """Attention restricted to a sparse (query, key) pattern.
 
     ``rows``/``cols``: canonical COO pattern (rows sorted) of allowed
@@ -202,10 +222,38 @@ def sparse_attention(q, k, v, rows, cols, *, scale=None, mask=None):
 
     q: (Lq, d), k: (Lk, d), v: (Lk, dv) → (Lq, dv). Differentiable and
     jittable; O(nnz·d) compute and memory. ``mask`` marks valid entries of a
-    capacity-padded pattern."""
+    capacity-padded pattern.
+
+    When the pattern is HOST-known (numpy ``rows``/``cols``) and its max
+    row degree pads to at most ``max_ell_blowup``× the edge count, the
+    whole pipeline runs in a padded row-ELL layout instead
+    (:func:`sparse_attention_ell`): gathers + batched MXU contractions +
+    a dense masked softmax, with NO per-edge segment machinery — measured
+    ~6 ms vs the COO pipeline's ~16 ms at 2.1M edges / d=64 (r5,
+    docs/spmm_roofline.md).  The layout build is memoized on the pattern
+    arrays' identity, so repeated calls (training steps) pay it once."""
     d = q.shape[-1]
     if scale is None:
         scale = 1.0 / np.sqrt(d)
+    if mask is None and type(rows) is np.ndarray and type(cols) is np.ndarray and rows.size:
+        L = q.shape[0]
+        key = (id(rows), id(cols), L)
+        hit = _ATTENTION_ELL_MEMO.get(key)
+        if hit is not None and hit[0] is rows and hit[1] is cols:
+            e_cols, valid = hit[2], hit[3]
+        else:
+            cap = int(np.bincount(rows, minlength=L).max())
+            e_cols = valid = None
+            # blowup guard + absolute cap (the padded layout rides along
+            # as a jit constant; keep it well under compile-request limits)
+            if L * cap <= max_ell_blowup * rows.size and L * cap <= (1 << 26):
+                e_cols, valid = build_attention_ell(rows, cols, L)
+                e_cols, valid = jnp.asarray(e_cols), jnp.asarray(valid)
+            _ATTENTION_ELL_MEMO[key] = (rows, cols, e_cols, valid)
+            if len(_ATTENTION_ELL_MEMO) > 32:
+                _ATTENTION_ELL_MEMO.pop(next(iter(_ATTENTION_ELL_MEMO)))
+        if e_cols is not None:
+            return sparse_attention_ell(q, k, v, e_cols, valid, scale=scale)
     scores = sddmm(rows, cols, jnp.ones((rows.shape[0],), q.dtype), q, k.T) * jnp.asarray(scale, q.dtype)
     attn = segment_softmax(scores, rows, n_rows=q.shape[0], mask=mask)
     return coo_spmm(rows, cols, attn, v, n_rows=q.shape[0])
