@@ -269,6 +269,40 @@ def main():
         dt = device_bench(f, (a_j, b_j), iters=10, perturb=perturb_coo2)
         emit("spgemm", "jit", dt)
 
+    if on("segment_softmax"):
+        # r5: backward-scan propagation form (quarter-scale: 512k edges)
+        from sparse_tpu import nn as stnn
+
+        Ls = 1 << 12
+        degs_s = np.clip(rng.poisson(128, size=Ls), 1, 192)
+        rows_s = np.repeat(np.arange(Ls, dtype=np.int32), degs_s)
+        rows_sj = jnp.asarray(rows_s)
+        scores_s = jnp.asarray(rng.standard_normal(rows_s.size).astype(np.float32))
+        dt = device_bench(
+            lambda s: stnn.segment_softmax(s, rows_sj, n_rows=Ls), (scores_s,), iters=30
+        )
+        emit("segment_softmax", "jit", dt, "medges_per_s", rows_s.size / dt / 1e6)
+
+    if on("sparse_attention"):
+        # r5 flagship: ELL-routed general COO attention (quarter-scale)
+        from sparse_tpu import nn as stnn
+
+        La2, Da2 = 1 << 12, 64
+        degs_a = np.clip(rng.poisson(128, size=La2), 1, 192)
+        rows_a2 = np.repeat(np.arange(La2, dtype=np.int32), degs_a)
+        cols_a2 = rng.integers(0, La2, size=rows_a2.size).astype(np.int32)
+        ord_a2 = np.lexsort((cols_a2, rows_a2))
+        rows_a2, cols_a2 = rows_a2[ord_a2], cols_a2[ord_a2]
+        k_a2 = rows_a2.astype(np.int64) * La2 + cols_a2
+        u_a2 = np.concatenate([[True], np.diff(k_a2) > 0])
+        rows_a2, cols_a2 = rows_a2[u_a2], cols_a2[u_a2]
+        q_a2 = jnp.asarray(rng.standard_normal((La2, Da2)).astype(np.float32))
+        kv_a2 = jnp.asarray(rng.standard_normal((La2, Da2)).astype(np.float32))
+        dt = device_bench(
+            lambda x: stnn.sparse_attention(x, kv_a2, kv_a2, rows_a2, cols_a2), (q_a2,), iters=20
+        )
+        emit("sparse_attention", "jit", dt, "medges_per_s", rows_a2.size / dt / 1e6)
+
     if on("elemwise"):
         from sparse_tpu.jitops import union_elemwise
 

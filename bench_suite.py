@@ -294,6 +294,33 @@ def main():
         )
         rows_out.append(("dense attention (same shapes)", f"{dt * 1e3:.2f} ms", ""))
 
+    # 6c. general COO sparse attention, 2.1M irregular edges (r5 flagship:
+    # ELL route + rebuilt scan softmax; see docs/spmm_roofline.md)
+    if on_tpu:
+        from sparse_tpu import nn as stnn
+
+        Lg, Dg = 1 << 14, 64
+        degs = np.clip(rng.poisson(128, size=Lg), 1, 192)
+        rows_g = np.repeat(np.arange(Lg, dtype=np.int32), degs)
+        cols_g = rng.integers(0, Lg, size=rows_g.size).astype(np.int32)
+        order_g = np.lexsort((cols_g, rows_g))
+        rows_g, cols_g = rows_g[order_g], cols_g[order_g]
+        keys_g = rows_g.astype(np.int64) * Lg + cols_g
+        uniq_g = np.concatenate([[True], np.diff(keys_g) > 0])
+        rows_g, cols_g = rows_g[uniq_g], cols_g[uniq_g]
+        nnz_g = rows_g.size
+        qg = jnp.asarray(rng.standard_normal((Lg, Dg)).astype(np.float32))
+        kg = jnp.asarray(rng.standard_normal((Lg, Dg)).astype(np.float32))
+        vg = jnp.asarray(rng.standard_normal((Lg, Dg)).astype(np.float32))
+        dt = device_bench(lambda x: stnn.sparse_attention(x, kg, vg, rows_g, cols_g), (qg,), iters=20)
+        rows_out.append(
+            (f"sparse attention e2e {nnz_g / 1e6:.1f}M edges d={Dg} (ELL route)", f"{dt * 1e3:.2f} ms", f"{nnz_g / dt / 1e6:.0f}M edges/s")
+        )
+        rows_gj = jnp.asarray(rows_g)
+        scores_g = jnp.asarray(rng.standard_normal(nnz_g).astype(np.float32))
+        dt = device_bench(lambda s: stnn.segment_softmax(s, rows_gj, n_rows=Lg), (scores_g,), iters=30)
+        rows_out.append((f"segment softmax {nnz_g / 1e6:.1f}M edges (bwd-scan)", f"{dt * 1e3:.2f} ms", f"{nnz_g / dt / 1e6:.0f}M edges/s"))
+
     # 6b. block-sparse training step (fully kernelized VJP)
     if on_tpu:
         from sparse_tpu.nn import block_sparse_linear, init_block_sparse_linear

@@ -47,8 +47,14 @@ def bench(fn, args, iters=20, perturb=None):
         def body(carry, i):
             aa = list(a)
             if perturb is not None:
-                eps = i.astype(jnp.float32) * 1e-6
-                aa[perturb] = (aa[perturb] + eps.astype(aa[perturb].dtype)).astype(a[perturb].dtype)
+                # integer args perturb by i itself: a float-eps cast to int
+                # truncates to a foldable 0 (CLAUDE.md) and the op risks
+                # LICM-hoisting the whole body
+                if jnp.issubdtype(aa[perturb].dtype, jnp.integer):
+                    aa[perturb] = aa[perturb] + i.astype(aa[perturb].dtype)
+                else:
+                    eps = i.astype(jnp.float32) * 1e-6
+                    aa[perturb] = (aa[perturb] + eps.astype(aa[perturb].dtype)).astype(a[perturb].dtype)
             out = fn(*aa)
             return carry + out.sum().astype(jnp.float32), None
 
@@ -117,7 +123,9 @@ def run_shape(m, k, n, density, tag):
         s = jnp.sort(ks)
         return s.astype(jnp.float32) * (jnp.arange(s.shape[0], dtype=jnp.float32) * 1e-9)
 
-    t_sort = bench(sort_only, (keys,), perturb=None)
+    # perturb the keys: with invariant inputs XLA hoists the sort out of
+    # the timing scan entirely (measured a bogus 0.3 ms "floor" at 2.8M)
+    t_sort = bench(sort_only, (keys,), perturb=0)
 
     # expansion phase only
     def expand_only(va_, vb_):
@@ -136,7 +144,7 @@ def run_shape(m, k, n, density, tag):
 
     print(
         f"[{tag}] full {t_full*1e3:.3f} ms | single-sort floor {t_sort*1e3:.3f} ms "
-        f"(mechanism floor ~= 5 sorts) | vs 5-sort floor {5*t_sort/t_full:.3f}",
+        f"(r5 mechanism floor ~= 2 sorts) | vs 2-sort floor {2*t_sort/t_full:.3f}",
         flush=True,
     )
     return t_full, t_sort

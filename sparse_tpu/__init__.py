@@ -26,6 +26,14 @@ if not bool(int(_os.environ.get("SPARSE_TPU_NO_X64", "0"))):
     # NumPy-parity semantics (float64/int64 defaults) require x64 mode.
     _jax.config.update("jax_enable_x64", True)
 
+# Big cumulative ops / multi-operand sorts inside a lax.scan (e.g. the
+# traceable esc_spgemm benched in a scan loop) can fail TPU compiles with
+# "scoped allocation ... reduce-window ... vmem limit" at libtpu's 16 MB
+# default.  Raise the scoped-vmem limit when the user hasn't configured
+# libtpu themselves (must happen before libtpu loads; verified fix on v5e).
+if "LIBTPU_INIT_ARGS" not in _os.environ:
+    _os.environ["LIBTPU_INIT_ARGS"] = "--xla_tpu_scoped_vmem_limit_kib=65536"
+
 # Backend selector parity (reference sparse/__init__.py:10-63): the reference
 # dispatches between Numba/Finch/MLIR via SPARSE_BACKEND; here there is one
 # JAX/XLA/Pallas backend — honor the variable and warn on unknown values so

@@ -26,6 +26,23 @@ TPU cost model (r4 measurements at 2.8M products, v5e):
   per-entry columns into int32 lane tables (one row gather replaces 3-4
   scalar gathers) and co-sorts values with keys via multi-operand
   ``lax.sort`` (no permutation gathers).
+
+r5: the whole pipeline is on a TWO-big-sort budget (r4 paid ~5 sorts of
+``product_capacity``-sized arrays — VERDICT r4 #4):
+
+- the expansion's ``searchsorted(ends, arange(P))`` (2 sorts) is now a
+  BLOCKED COMPARE-COUNT: block-boundary ranks from a small searchsorted
+  (``nnz_a + P/B`` elements), then ``e[p] = base[block] + #{window keys
+  <= p}`` with a per-block gathered key window.  The window bound W = B
+  is static because ``ends`` is strictly increasing once zero-repeat
+  A-entries (ties) are pushed to the back by a small trace-time co-sort;
+  their pile at ``ends == total`` only affects p >= total, which the
+  validity mask already discards.
+- the contraction's ``searchsorted(seg, arange(ocap))`` head/tail lookup
+  (2 sorts) is gone: the segmented Hillis-Steele scan now runs BACKWARD,
+  leaving each duplicate-group's total at its HEAD slot, and one
+  multi-operand co-sort of ``(head ? key : +inf, head ? total : 0)``
+  compacts the result — replacing 2 sorts + packed gathers with 1 sort.
 """
 
 from __future__ import annotations
@@ -38,6 +55,8 @@ import jax
 import jax.numpy as jnp
 
 from .search import searchsorted_sorted_probes
+
+_COUNT_BLOCK = 64  # probe-grid block width B for the blocked compare-count
 
 
 def product_count(cols_a, rows_b, k):
@@ -52,6 +71,53 @@ def _f32_bits(x):
 
 def _bits_f32(i):
     return jax.lax.bitcast_convert_type(i, jnp.float32)
+
+
+def _blocked_rank_grid(ends, pcap):
+    """``e[p] = #{ends <= p}`` for the dense probe grid ``p = 0..pcap-1``
+    WITHOUT a product-sized sort.  ``ends`` must be non-decreasing with all
+    ties at its maximum (zero-tail form) so every width-B window of the
+    value grid holds at most B keys below the tie value."""
+    n_k = ends.shape[0]
+    B = _COUNT_BLOCK
+    nblk = -(-pcap // B)
+    # block-boundary ranks: base[t] = #{ends < t*B}  (small: n_k + nblk+1)
+    base = searchsorted_sorted_probes(ends, jnp.arange(nblk + 1, dtype=ends.dtype) * B, side="left")
+    base = base.astype(jnp.int32)
+    # per-block key window: keys >= t*B start at base[t]; at most B of them
+    # lie below (t+1)*B (strict increase below the tie pile), and gathered
+    # keys beyond the block are >= the next block start, comparing False
+    # against every in-block probe.  The windows are CONTIGUOUS, so fetch
+    # them as nblk SLICE gathers (slice_sizes=B) — a jnp.take with (nblk,
+    # B) fancy indices would issue pcap SCALAR gathers (~140 M/s: ~20 ms
+    # at 2.8M products, as costly as the sort it replaces).  A sentinel
+    # tail keeps every window in bounds without start-clipping (clipped
+    # starts would slide the window BACK over already-counted keys).
+    # int32 value domain when it fits (int64 compares are emulated on TPU:
+    # the int64 form of this count measured 90 ms at 2.8M products — the
+    # entire pipeline's cost — vs ~2 ms in int32)
+    i32 = pcap + B < np.iinfo(np.int32).max
+    vdt = jnp.int32 if i32 else ends.dtype
+    sent = np.iinfo(np.int32).max if i32 else np.iinfo(np.int64).max
+    ends_v = jnp.minimum(ends, sent).astype(vdt) if i32 else ends
+    # Fetch each block's key window as TWO ALIGNED 64-lane ROW gathers
+    # from a (n/64, 64) reshape of the sorted keys.  Both a fancy-indexed
+    # jnp.take and a lax.gather with slice_sizes=(B,) lower to per-ELEMENT
+    # gathers on TPU (measured 54-92 ms at 2.8M products — the scalar
+    # 140 M/s issue bound); 2-D-table row gathers run at the ~700 M rows/s
+    # row rate.  The window [base, base+B) sits inside the two aligned
+    # rows [64*(base//64), 64*(base//64)+128); gathered keys with rank <
+    # base all compare <= p (they precede the block), so subtracting
+    # base % 64 corrects the count exactly.
+    n2 = n_k // 64 + 2
+    tbl = jnp.concatenate([ends_v, jnp.full(n2 * 64 - n_k, sent, vdt)]).reshape(n2, 64)
+    rowidx = (base[:-1] // 64).astype(jnp.int32)
+    gk = jnp.concatenate([jnp.take(tbl, rowidx, axis=0), jnp.take(tbl, rowidx + 1, axis=0)], axis=1)  # (nblk, 128)
+    probes = (jnp.arange(nblk, dtype=jnp.int32)[:, None] * B + jnp.arange(B, dtype=jnp.int32)[None, :]).astype(vdt)
+    # compare laid out (nblk, B, W) so the reduction runs over the MINOR
+    # (lane) axis
+    cnt = jnp.sum(gk[:, None, :] <= probes[:, :, None], axis=2, dtype=jnp.int32) - (base[:-1] % 64)[:, None]
+    return (base[:-1, None] + cnt).reshape(nblk * B)[:pcap]
 
 
 @functools.partial(jax.jit, static_argnames=("k", "n", "product_capacity", "out_capacity"))
@@ -75,14 +141,39 @@ def esc_spgemm(rows_a, cols_a, data_a, rows_b, cols_b, data_b, *, k, n, product_
 
     # per-A-entry quantities (nnz_a-sized gathers: cheap)
     repeats = counts_b[cols_a]
+    startsb_a = starts_b[cols_a]
+
+    # zero-tail reorder: push zero-repeat A-entries (they own no products)
+    # behind the rest with one SMALL stable co-sort, so the cumulative
+    # ``ends`` below is strictly increasing except for a tie pile at
+    # ``total`` — the static-window guarantee of the blocked count
+    if nnz_a:
+        zkey = (repeats == 0).astype(jnp.int32)
+        if packed:
+            _, repeats, startsb_a, rows_az, data_bits = jax.lax.sort(
+                (zkey, repeats, startsb_a.astype(jnp.int64), rows_a.astype(jnp.int32), _f32_bits(data_a)),
+                num_keys=1,
+                is_stable=True,
+            )
+            data_az = _bits_f32(data_bits)
+        else:
+            _, repeats, startsb_a, rows_az, data_az = jax.lax.sort(
+                (zkey, repeats, startsb_a.astype(jnp.int64), rows_a.astype(jnp.int64), data_a),
+                num_keys=1,
+                is_stable=True,
+            )
+    else:
+        rows_az, data_az = rows_a, data_a
+
     ends = jnp.cumsum(repeats)
     starts_prod = ends - repeats
-    startsb_a = starts_b[cols_a]
-    total = ends[-1] if nnz_a else jnp.asarray(0, ends.dtype)
+    total = ends[-1] if nnz_a else jnp.asarray(0, jnp.int64)
 
-    # expansion: product p belongs to A-entry e(p)
-    p_idx = jnp.arange(product_capacity, dtype=ends.dtype)
-    e = searchsorted_sorted_probes(ends, p_idx, side="right")
+    # expansion: product p belongs to A-entry e(p) = #{ends <= p} — the
+    # blocked compare-count (no product-sized sort; r4 paid a double
+    # argsort of (nnz_a + P) here)
+    p_idx = jnp.arange(product_capacity, dtype=jnp.int64)
+    e = _blocked_rank_grid(ends.astype(jnp.int64), product_capacity)
     e_c = jnp.clip(e, 0, max(nnz_a - 1, 0))
     valid = p_idx < total
 
@@ -90,10 +181,10 @@ def esc_spgemm(rows_a, cols_a, data_a, rows_b, cols_b, data_b, *, k, n, product_
         # ONE row gather per product per side instead of 3-4 scalar gathers
         a_tab = jnp.stack(
             [
-                rows_a.astype(jnp.int32),
+                rows_az.astype(jnp.int32),
                 starts_prod.astype(jnp.int32),
                 startsb_a.astype(jnp.int32),
-                _f32_bits(data_a),
+                _f32_bits(data_az),
             ],
             axis=1,
         )
@@ -108,9 +199,9 @@ def esc_spgemm(rows_a, cols_a, data_a, rows_b, cols_b, data_b, *, k, n, product_
     else:
         within = p_idx - starts_prod[e_c]
         b_idx = jnp.clip(startsb_a[e_c] + within, 0, max(nnz_b - 1, 0))
-        out_i = jnp.where(valid, rows_a[e_c], jnp.iinfo(jnp.int32).max).astype(jnp.int64)
+        out_i = jnp.where(valid, rows_az[e_c], jnp.iinfo(jnp.int32).max).astype(jnp.int64)
         out_j = jnp.where(valid, cols_b[b_idx], 0).astype(jnp.int64)
-        v = jnp.where(valid, data_a[e_c].astype(dt) * data_b[b_idx].astype(dt), 0)
+        v = jnp.where(valid, data_az[e_c].astype(dt) * data_b[b_idx].astype(dt), 0)
 
     # contract: co-sort (key, value) in ONE multi-operand lax.sort — no
     # argsort permutation gathers; sentinel rows sort last
@@ -126,49 +217,28 @@ def esc_spgemm(rows_a, cols_a, data_a, rows_b, cols_b, data_b, *, k, n, product_
     seg = jnp.cumsum(is_new) - 1
     out_nnz = is_new.sum()
 
-    # per-segment prefix sums via a segmented Hillis-Steele scan (adds stay
-    # WITHIN segments — exact, no global-cumsum error growth)
+    # per-segment SUFFIX sums via a BACKWARD segmented Hillis-Steele scan
+    # (adds stay within segments — exact, no global-cumsum error growth):
+    # each duplicate-group's total lands at its HEAD slot, so no head/tail
+    # searchsorted lookup is needed afterwards
     x = v_s
     d = 1
     while d < product_capacity:
         same = seg[d:] == seg[:-d]
-        x = x + jnp.concatenate([jnp.zeros(d, x.dtype), jnp.where(same, x[:-d], 0)])
+        x = x + jnp.concatenate([jnp.where(same, x[d:], 0), jnp.zeros(d, x.dtype)])
         d *= 2
 
-    # seg ids are contiguous 0..out_nnz-1, so ONE searchsorted over an
-    # (out_capacity+1) probe grid gives both each segment's head and (via
-    # shift) its end
-    head_ext = searchsorted_sorted_probes(
-        seg, jnp.arange(out_capacity + 1, dtype=seg.dtype), side="left"
-    )
-    head = jnp.clip(head_ext[:-1], 0, product_capacity - 1)
-    end_pos = head_ext[1:]
-    tail = jnp.clip(end_pos - 1, 0, product_capacity - 1)
+    # compact the head slots with ONE co-sort: heads keep their (already
+    # ascending, unique) key, every other slot floats to +inf
+    big = jnp.asarray(np.iinfo(np.int64).max, key.dtype)
+    ck = jnp.where(is_new, key_s, big)
+    cv = jnp.where(is_new, x, 0)
+    ck_s, cv_s = jax.lax.sort((ck, cv), num_keys=1)
+
     slot = jnp.arange(out_capacity)
     in_range = slot < out_nnz
-
-    if packed:
-        # pack (key lo32, key hi32, bitcast(x)) so the head/tail lookups
-        # are row gathers too.  The sentinel tail folds into the last
-        # segment: take keys from the head, sums from the tail.
-        out_tab = jnp.stack(
-            [
-                (key_s & jnp.int64(0xFFFFFFFF)).astype(jnp.int32),
-                (key_s >> jnp.int64(32)).astype(jnp.int32),
-                _f32_bits(x),
-            ],
-            axis=1,
-        )
-        gh = jnp.take(out_tab, head, axis=0)
-        gt = jnp.take(out_tab, tail, axis=0)
-        keys_out_raw = (gh[:, 1].astype(jnp.int64) << jnp.int64(32)) | (
-            gh[:, 0].astype(jnp.int64) & jnp.int64(0xFFFFFFFF)
-        )
-        keys_out = jnp.where(in_range, keys_out_raw, jnp.asarray(-1, key.dtype))
-        sums = jnp.where(in_range, _bits_f32(gt[:, 2]), 0.0)
-    else:
-        sums = jnp.where(in_range, x[tail], 0)
-        keys_out = jnp.where(in_range, key_s[head], jnp.asarray(-1, key.dtype))
+    keys_out = jnp.where(in_range, ck_s[:out_capacity], jnp.asarray(-1, key.dtype))
+    sums = jnp.where(in_range, cv_s[:out_capacity], 0)
 
     out_rows = jnp.where(in_range, keys_out // n, jnp.iinfo(jnp.int32).max).astype(jnp.int32)
     out_cols = jnp.where(in_range, keys_out % n, 0).astype(jnp.int32)

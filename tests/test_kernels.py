@@ -413,3 +413,101 @@ def test_esc_spgemm_packed_f32_path():
         res[np.asarray(out_r)[:nnz], np.asarray(out_c)[:nnz]] = np.asarray(out_d)[:nnz]
         ref = a.todense().astype(np.float32) @ b.todense().astype(np.float32)
         np.testing.assert_allclose(res, ref, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("dtype", [np.float32, np.float64])
+def test_esc_spgemm_empty_b_rows_tie_piles(dtype):
+    # adversarial for the r5 blocked-count expansion: most B rows EMPTY, so
+    # most A entries have zero repeats -> huge tie piles in the cumulative
+    # ``ends``.  The zero-tail reorder must keep the static key window
+    # sound (correctness, not just the uniform-random case).
+    from sparse_tpu.kernels.spgemm import esc_spgemm, product_count
+
+    rng = np.random.default_rng(7)
+    m = kk = n = 400
+    # A dense-ish, B confined to 3 rows (397 empty rows)
+    a = sparse.random((m, kk), density=0.05, random_state=2)
+    rb = np.sort(rng.integers(0, 3, size=60)).astype(np.int32)
+    cb = rng.integers(0, n, size=60).astype(np.int32)
+    db = rng.standard_normal(60).astype(dtype)
+    import scipy.sparse as sp
+
+    B = sp.coo_array((db, (rb, cb)), shape=(kk, n))
+    B.sum_duplicates()
+    rb2, cb2, db2 = B.row.astype(np.int32), B.col.astype(np.int32), B.data.astype(dtype)
+    ra, ca = np.asarray(a.coords)
+    da = np.asarray(a.data).astype(dtype)
+    P = product_count(ca, rb2, kk) + 7
+    out_r, out_c, out_d, nnz = esc_spgemm(
+        jnp.asarray(ra), jnp.asarray(ca), jnp.asarray(da),
+        jnp.asarray(rb2), jnp.asarray(cb2), jnp.asarray(db2),
+        k=kk, n=n, product_capacity=P, out_capacity=P,
+    )
+    nnz = int(nnz)
+    res = np.zeros((m, n))
+    res[np.asarray(out_r)[:nnz], np.asarray(out_c)[:nnz]] = np.asarray(out_d)[:nnz]
+    oracle = a.todense().astype(dtype) @ np.asarray(B.todense())
+    np.testing.assert_allclose(res, oracle, rtol=1e-5, atol=1e-5)
+    # canonical order of the compacted output
+    keys = np.asarray(out_r)[:nnz].astype(np.int64) * n + np.asarray(out_c)[:nnz]
+    assert (np.diff(keys) > 0).all()
+
+
+def test_esc_spgemm_duplicate_collisions_and_order():
+    # many colliding (i, j) products: the backward-scan head totals and the
+    # one-sort compaction must sum duplicates exactly and emit sorted output
+    from sparse_tpu.kernels.spgemm import esc_spgemm, product_count
+
+    rng = np.random.default_rng(8)
+    m, kk, n = 30, 40, 8  # narrow n forces collisions
+    a = sparse.random((m, kk), density=0.3, random_state=3)
+    b = sparse.random((kk, n), density=0.5, random_state=4)
+    ra, ca = np.asarray(a.coords)
+    rb, cb = np.asarray(b.coords)
+    P = product_count(ca, rb, kk) + 3
+    out_r, out_c, out_d, nnz = esc_spgemm(
+        jnp.asarray(ra), jnp.asarray(ca), jnp.asarray(np.asarray(a.data)),
+        jnp.asarray(rb), jnp.asarray(cb), jnp.asarray(np.asarray(b.data)),
+        k=kk, n=n, product_capacity=P, out_capacity=P,
+    )
+    nnz = int(nnz)
+    res = np.zeros((m, n))
+    res[np.asarray(out_r)[:nnz], np.asarray(out_c)[:nnz]] = np.asarray(out_d)[:nnz]
+    np.testing.assert_allclose(res, a.todense() @ b.todense(), rtol=1e-10)
+    keys = np.asarray(out_r)[:nnz].astype(np.int64) * n + np.asarray(out_c)[:nnz]
+    assert (np.diff(keys) > 0).all()
+    # padding slots carry the sentinel row and zero data
+    assert (np.asarray(out_r)[nnz:] == np.iinfo(np.int32).max).all()
+    assert (np.asarray(out_d)[nnz:] == 0).all()
+
+
+def test_sparse_attention_ell_route_matches_coo_pipeline():
+    # numpy pattern -> ELL route; jnp pattern -> COO/segment pipeline.
+    # Both must match the dense softmax oracle.
+    from sparse_tpu import nn as stnn
+
+    rng = np.random.default_rng(12)
+    L, d = 64, 16
+    mask_d = rng.random((L, L)) < 0.1
+    mask_d[3] = False  # empty query row
+    rows, cols = np.nonzero(mask_d)
+    rows = rows.astype(np.int32)
+    cols = cols.astype(np.int32)
+    q = rng.standard_normal((L, d)).astype(np.float32)
+    k = rng.standard_normal((L, d)).astype(np.float32)
+    v = rng.standard_normal((L, d)).astype(np.float32)
+
+    scores = (q @ k.T) / np.sqrt(d)
+    scores = np.where(mask_d, scores, -np.inf)
+    mx = np.max(scores, axis=1, keepdims=True)
+    e = np.exp(scores - np.where(np.isfinite(mx), mx, 0))
+    e = np.where(mask_d, e, 0)
+    den = e.sum(axis=1, keepdims=True)
+    oracle = (e / np.where(den == 0, 1, den)) @ v
+
+    out_ell = np.asarray(stnn.sparse_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), rows, cols))
+    out_coo = np.asarray(
+        stnn.sparse_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(rows), jnp.asarray(cols))
+    )
+    np.testing.assert_allclose(out_ell, oracle, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(out_coo, oracle, rtol=2e-4, atol=2e-5)
