@@ -227,11 +227,11 @@ def sparse_attention(q, k, v, rows, cols, *, scale=None, mask=None, max_ell_blow
     When the pattern is HOST-known (numpy ``rows``/``cols``) and its max
     row degree pads to at most ``max_ell_blowup``× the edge count, the
     whole pipeline runs in a padded row-ELL layout instead
-    (:func:`sparse_attention_ell`): gathers + batched MXU contractions +
-    a dense masked softmax, with NO per-edge segment machinery — measured
-    ~6 ms vs the COO pipeline's ~16 ms at 2.1M edges / d=64 (r5,
-    docs/spmm_roofline.md).  The layout build is memoized on the pattern
-    arrays' identity, so repeated calls (training steps) pay it once."""
+    (:func:`sparse_attention_ell`): ONE packed [k|v] row gather + VPU
+    products + a dense masked softmax, with NO per-edge segment
+    machinery (r5 numbers in docs/spmm_roofline.md).  The layout build
+    is memoized on the pattern arrays' identity, so repeated calls
+    (training steps) pay it once."""
     d = q.shape[-1]
     if scale is None:
         scale = 1.0 / np.sqrt(d)
@@ -280,18 +280,32 @@ def build_attention_ell(rows, cols, length):
 
 
 def sparse_attention_ell(q, k, v, e_cols, valid, *, scale=None):
-    """Sparse attention over a row-ELL pattern — no segment ops: gathers +
-    batched MXU contractions + a dense masked softmax over the padded
-    neighbor axis. ~an order of magnitude faster than the COO/segment form
-    on TPU for regular patterns (sliding windows); measured 8× faster than
-    dense attention at L=8192, window 256.
+    """Sparse attention over a row-ELL pattern — no segment ops: one packed
+    gather + VPU products + a dense masked softmax over the padded
+    neighbor axis.
 
-    q (L, d), k (Lk, d), v (Lk, dv), e_cols/valid (L, cap) → (L, dv)."""
+    q (L, d), k (Lk, d), v (Lk, dv), e_cols/valid (L, cap) → (L, dv).
+
+    r5 formulation (experiments/attention_ell_forms_r5.py): ``k`` and
+    ``v`` are packed into ONE (Lk, d+dv) table so a single row gather
+    serves both the score and output contractions — separate (·, 64)
+    gathers lane-pad 64→128 and ran 9× under the row-gather rate
+    (27.5 ms EACH at 2.85M slots; packed total ~7 ms).  ``q`` is
+    zero-padded over the v lanes, so the score reduce over the full
+    packed row adds exactly 0 for them; the output reduce keeps the
+    packed row and slices the v half at the end.  Products/reduces are
+    VPU elementwise (exact f32 — the einsum form's DEFAULT precision
+    truncated operands to bf16 on TPU: maxerr 7.7e-3)."""
     d = q.shape[-1]
+    dv = v.shape[-1]
     if scale is None:
         scale = 1.0 / np.sqrt(d)
-    gk = jnp.take(k, e_cols, axis=0)  # (L, cap, d)
-    scores = jnp.einsum("ld,lcd->lc", q, gk, preferred_element_type=q.dtype) * jnp.asarray(scale, q.dtype)
+    dt = jnp.result_type(q.dtype, k.dtype, v.dtype)
+    kv = jnp.concatenate([k.astype(dt), v.astype(dt)], axis=1)  # (Lk, d+dv)
+    g = jnp.take(kv, e_cols, axis=0)  # (L, cap, d+dv) — one gather
+    qs = q.astype(dt) * jnp.asarray(scale, dt)
+    qp = jnp.concatenate([qs, jnp.zeros((q.shape[0], dv), dt)], axis=1)
+    scores = (qp[:, None, :] * g).sum(axis=-1)
     neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
     scores = jnp.where(valid, scores, neg_inf)
     m = jnp.max(scores, axis=1, keepdims=True)
@@ -299,8 +313,7 @@ def sparse_attention_ell(q, k, v, e_cols, valid, *, scale=None):
     e = jnp.where(valid, e, 0)
     denom = e.sum(axis=1, keepdims=True)
     attn = e / jnp.where(denom == 0, 1, denom)
-    gv = jnp.take(v, e_cols, axis=0)  # (L, cap, dv)
-    return jnp.einsum("lc,lcd->ld", attn, gv, preferred_element_type=q.dtype)
+    return (attn[:, :, None] * g).sum(axis=1)[:, d:]
 
 
 def banded_attention(q, k, v, *, window, scale=None, block=128, causal=False, precision=None):
