@@ -120,6 +120,24 @@ MTTKRP_SCAN_GROUP = 4
 MTTKRP_SCAN_MIN_BLOCKS = 32
 
 
+def _split16_cols(x):
+    """EXACT 16-bit split along columns: (n, r) f32 -> (n, 2r) int16
+    holding each value's high and low 16 bits.  Halves the lane-padded
+    gather streams like the bf16 hilo split, but ``_recon16_cols``
+    rebuilds the ORIGINAL f32 bitwise (r5)."""
+    bits = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.int32)
+    hi = (bits >> 16).astype(jnp.int16)
+    lo = bits.astype(jnp.int16)  # wraps: low 16 bits
+    return jnp.concatenate([hi, lo], axis=1)
+
+
+def _recon16_cols(g, r):
+    """Inverse of :func:`_split16_cols` on gathered (..., 2r) int16."""
+    hi = g[..., :r].astype(jnp.int32) << 16
+    lo = g[..., r:].astype(jnp.int32) & jnp.int32(0xFFFF)
+    return jax.lax.bitcast_convert_type(hi | lo, jnp.float32)
+
+
 def _hilo_split_cols(x):
     """bf16 hi|lo split along columns: (n, r) f32 -> (n, 2r) bf16 with
     hi = round-to-nearest-bf16(x), lo = bf16(x - hi).  Computed with
@@ -140,23 +158,42 @@ def ell_mttkrp(e_rows, e_j, e_k, e_data, c, d, *, n_rows, block_rows=DEFAULT_BLO
 
     ``strategy`` (r4 measurement campaign, docs/spmm_roofline.md "MTTKRP"):
 
-    - ``"exact"`` (default): f32 gathers and products.  Large problems
-      (>= 32 row blocks) run as a scan over block groups whose
-      gathered/product slices stay VMEM-resident: 51.8 ms at the 10M-nnz
-      bench shape (67.6 monolithic).  The two factor gathers are
-      ISSUE-bound (~28.6 ms; sorting the entries does NOT lift the issue
-      rate on cache-resident tables), and six other reformulations
-      (data-folded operand, pair-product table, 4-per-row lane packing,
-      j-sort, one-hot pick, packed+bf16) all measured slower.
+    - ``"exact"`` (default): exact-grade f32.  Large f32 problems with
+      ``2r <= 128`` gather INT16-SPLIT tables (r5,
+      experiments/mttkrp_exact16_r5.py): each factor f32 is stored as
+      its two 16-bit halves in a (J, 2r) int16 table — the gathered
+      rows' tile padding halves (the f32 (E, r=32) stream pads 4× to
+      128 lanes) and ``(hi << 16) | lo`` reconstructs the ORIGINAL f32
+      BITWISE, so only the contraction's FP association differs (55.4 →
+      45.0 ms at the 10M-nnz bench shape, same-session; the r4
+      scan-over-blocks form measured 62.2 with split tables — the scan
+      only paid off when the streams were full-width — and stays for
+      the f64/x64 path).  The r4 negatives still stand: data-folded
+      operand, pair-product table, 4-per-row lane packing, j-sort,
+      one-hot pick, packed+bf16 all slower; gathers are issue-bound on
+      cache-resident tables.
     - ``"bf16"``: C/D gathered as bf16, f32 accumulation — halves the
       padded gather-output streams: 58.0 ms (1.17x), relerr ~1e-3.
     - ``"hilo"``: (J, 2r) hi|lo bf16 split tables — same gathered bytes
-      as ``"bf16"`` (the (…, r) tile pads to 128 lanes either way below
-      r=64), f32-reconstructed factors: relerr ~1e-7 at a small extra
-      VPU cost.  Use when bf16 error is too coarse but exact is too slow.
+      as ``"bf16"``, f32-reconstructed factors: relerr ~1e-7.  Mostly
+      superseded by the exact int16 split (same bytes, bit-true
+      values); kept for compatibility.
     """
     n_blocks, cap = e_j.shape
     r = c.shape[1]
+    dt_in = jnp.promote_types(c.dtype, d.dtype)
+    if strategy == "exact" and dt_in == jnp.float32 and 2 * r <= 128 and n_blocks >= MTTKRP_SCAN_MIN_BLOCKS:
+        c2 = _split16_cols(c.astype(jnp.float32))
+        d2 = _split16_cols(d.astype(jnp.float32))
+        gc = jnp.take(c2, e_j.reshape(-1), axis=0).reshape(n_blocks, cap, 2 * r)
+        gd = jnp.take(d2, e_k.reshape(-1), axis=0).reshape(n_blocks, cap, 2 * r)
+        g = _recon16_cols(gc, r) * _recon16_cols(gd, r)
+        prod = e_data[:, :, None] * g
+        onehot = (e_rows[:, :, None] == jnp.arange(block_rows, dtype=e_rows.dtype)[None, None, :]).astype(prod.dtype)
+        out = jnp.einsum(
+            "ber,ben->brn", onehot, prod, preferred_element_type=prod.dtype, precision=jax.lax.Precision.HIGHEST
+        )
+        return out.reshape(n_blocks * block_rows, r)[:n_rows]
     if strategy == "exact" and n_blocks >= MTTKRP_SCAN_MIN_BLOCKS:
         # scan over groups of blocks: per-iteration gathered/product slices
         # stay VMEM-resident instead of materializing 4x-lane-padded
