@@ -336,7 +336,6 @@ __all__ = sorted(
         "logical_xor",
         "matmul",
         "matrix_transpose",
-        "matvec_add",
         "max",
         "maximum",
         "mean",
